@@ -1,0 +1,376 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.util.Det._
+import graft.clean.Cleaning
+import graft.dims.DateDim
+
+/** The relational query surface of SURVEY §2 (scans, projections, filters,
+  * joins, aggregates, dedup, windows), expressed Spark-first on the
+  * driver's TPC-H-ish test tables.
+  *
+  * Determinism contract (driver hash-compares against DuckDB):
+  *   - every query ends in a total ORDER BY over non-null keys;
+  *   - every double aggregate goes through graft.util.Det (exact decimal
+  *     sums, double conversion last);
+  *   - column names are aliased identically here and in `oracles`.
+  */
+object Relational {
+
+  private def yr(c: String) = year(col(c))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S3 (`quality_checks.py:88`): parquet scan with pushed filter + pruned columns.
+    "s3_parquet_scan" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .filter(col("l_quantity") > 25)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // S5 (`DB.sql:117-121` FROM clauses): spark.sql over registered views —
+    // the SQL entry point must match the Dataset API (SURVEY §3.3).
+    "s5_sql_scan" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderstatus, count(*) AS n
+               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // K5 (`DB.sql:11-18,37-45`): INSERT…SELECT dim load — project/rename,
+    // write to warehouse storage, read back.
+    "k5_insert_select" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_nationkey").as("nation_id"),
+        col("c_acctbal").as("acct_balance"),
+        col("c_mktsegment").as("segment"))
+      val tgt = sys.props("java.io.tmpdir") + "/graft_warehouse/customer_dim"
+      dim.write.mode("overwrite").parquet(tgt)
+      s.read.parquet(tgt).orderBy("customer_id")
+    }),
+
+    // P1 (`DB.sql:12-17`): projection + rename into Transaction_dim shape.
+    "p1_project_rename" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("transaction_id"),
+        col("o_orderdate").cast("date").as("transaction_date"),
+        col("o_totalprice").as("transaction_amount"),
+        col("o_orderpriority").as("narration"))
+        .orderBy("transaction_id")),
+
+    // P2 (`spark_etl.py:33-34,42-43`): single-pass withColumns cast/rewrite.
+    "p2_cast_rewrite" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumns(Map(
+          "order_date" -> col("o_orderdate").cast("date"),
+          "total_cents" -> (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")))
+        .select("o_orderkey", "order_date", "total_cents")
+        .orderBy("o_orderkey")),
+
+    // P3 (`spark_etl.py:85-88`): NOT NULL key filter.
+    "p3_filter_notnull" -> ((s, d) =>
+      Cleaning.dropNullKey(Tables.events(s, d), "user_id")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
+
+    // P4 (`spark_etl.py:143-144`, fixed per SURVEY §4 O-3): incremental
+    // high-watermark on a real source column so the predicate pushes down.
+    "p4_incremental_hwm" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > lit(500L))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // P5 (`spark_etl.py:24-25`): LIKE predicates.
+    "p5_like" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_brand").like("Brand#1%") || col("p_type").like("%ECO%"))
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")),
+
+    // P6 (`spark_etl.py:22-27`): CASE WHEN bucketing.
+    "p6_case_when" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        Cleaning.bucket(col("c_acctbal"),
+          Seq((0.0, "negative"), (1000.0, "low"), (5000.0, "mid")), "high").as("bal_bucket"))
+        .orderBy("c_custkey")),
+
+    // P8/D4 (`DB.sql:21,48,106`): ordered LIMIT → TakeOrderedAndProject.
+    "p8_limit_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(5)),
+
+    // J1 (`DB.sql:117-119`): fact ⋈ broadcast dim + rollup.
+    "j1_dim_fact_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")),
+
+    // J2/A4 (`DB.sql:109-124`, completed GROUP BY per SURVEY §8.6):
+    // 3-table star join + hash-aggregate rollup. Flagship query.
+    "j2_star3_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), yr("o_orderdate").as("order_year"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("c_mktsegment", "order_year", "l_returnflag")),
+
+    // J3/A7 (`Diagrams/Data Model.png` LOAN_DATE_ID edge; monthly-trend chart):
+    // fact ⋈ broadcast date dimension, chronological month rollup.
+    "j3_date_dim_join" -> ((s, d) => {
+      val dates = DateDim.fromColumn(Tables.orders(s, d), "o_orderdate")
+      Tables.orders(s, d)
+        .withColumn("date_id", date_format(col("o_orderdate"), "yyyyMMdd").cast("int"))
+        .join(broadcast(dates), Seq("date_id"))
+        .groupBy("year", "month", "month_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("year", "month")
+    }),
+
+    // §2.4 note + §5: left-anti orphan-FK check (customers with no orders).
+    "j4_anti_orphans" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // A1/A2/A3/A11 (`spark_etl.py:127`; `quality_checks.py:26-29`; KPI cards):
+    // global watermark + volume + uniqueness + KPI aggregates in one pass.
+    "a1_kpi_global" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        max(col("o_orderkey")).as("max_key"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dsum(col("o_totalprice")).as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))),
+
+    // A6 (dashboard chart 1): sum/avg by category.
+    "a6_sum_avg_by_seg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy("c_mktsegment")),
+
+    // A8 (dashboard top-narration chart): top-k groups by measure.
+    "a8_topk_by_measure" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(dsum(col("value")).as("total"))
+        .orderBy(desc("total"), col("event_type"))
+        .limit(3)),
+
+    // A10 (dashboard year slicer): filtered-year rollup.
+    "a10_year_slice" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(yr("o_orderdate") === 1997)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")),
+
+    // §2.5 closing note: CUBE for the slicer's all-years totals.
+    "a12_cube_slicer" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), yr("o_orderdate").as("order_year"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("order_year"))),
+
+    // D1 (`spark_etl.py:62`): full-row dedup on a projection.
+    "d1_dedup_full" -> ((s, d) =>
+      Cleaning.dedupFull(Tables.lineitem(s, d).select("l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy("l_suppkey", "l_returnflag", "l_linestatus")),
+
+    // D2 (`mongo_postgres_cdc.py:359-380`): last-write-wins keyed dedup.
+    "d2_dedup_lww" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          date_trunc("second", col("ts")).as("last_ts"))
+        .orderBy("user_id")
+    }),
+
+    // W1 (SURVEY §2.6): ranking/analytic windows for surrogate-keying & SCD.
+    "w1_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // F1-F5 (`spark_etl.py:29-72`): numeric cleaning chain in one projection.
+    "f_numeric_clean" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        Cleaning.leadingInt(col("o_orderpriority")).as("priority_num"),
+        Cleaning.numericFill(col("o_totalprice")).as("total_filled"),
+        Cleaning.toPositive(col("o_totalprice") - lit(100000.0)).as("delta_abs"))
+        .orderBy("o_orderkey")),
+
+    // F5/F6 (`spark_etl.py:59,78`): sentinel→NULL then NULL→default.
+    "f_sentinel_fill" -> ((s, d) =>
+      Cleaning.fillDefault(
+        Cleaning.sentinelToNull(Tables.documents(s, d), "src0", Seq("source")),
+        "source", "unknown")
+        .select(col("doc_id"), col("source").as("src_clean"))
+        .orderBy("doc_id")),
+
+    // F7-F12 (`DB.sql:54-102`): the full date dimension.
+    "f_date_dim" -> ((s, d) =>
+      DateDim.fromColumn(Tables.orders(s, d), "o_orderdate").orderBy("date_id")),
+
+    // F21 (`spark_etl.py:141`, replay-safe per SURVEY §7.4): dense surrogate
+    // keys via row_number + warehouse max-offset.
+    "f21_surrogate_keys" -> ((s, d) => {
+      val hwmOffset = 1000L
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        (row_number().over(Window.orderBy("c_custkey")) + lit(hwmOffset)).as("fact_id"))
+        .orderBy("c_custkey")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "s3_parquet_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_quantity > 25 ORDER BY l_orderkey, l_linenumber""",
+    "s5_sql_scan" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "k5_insert_select" ->
+      """SELECT c_custkey AS customer_id, c_name AS customer_name, c_nationkey AS nation_id,
+                c_acctbal AS acct_balance, c_mktsegment AS segment
+         FROM customer ORDER BY customer_id""",
+    "p1_project_rename" ->
+      """SELECT o_orderkey AS transaction_id, CAST(o_orderdate AS DATE) AS transaction_date,
+                o_totalprice AS transaction_amount, o_orderpriority AS narration
+         FROM orders ORDER BY transaction_id""",
+    "p2_cast_rewrite" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+         FROM orders ORDER BY o_orderkey""",
+    "p3_filter_notnull" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE user_id IS NOT NULL ORDER BY event_id""",
+    "p4_incremental_hwm" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey > 500 ORDER BY o_orderkey""",
+    "p5_like" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE p_brand LIKE 'Brand#1%' OR p_type LIKE '%ECO%' ORDER BY p_partkey""",
+    "p6_case_when" ->
+      """SELECT c_custkey,
+                CASE WHEN c_acctbal < 0 THEN 'negative'
+                     WHEN c_acctbal < 1000 THEN 'low'
+                     WHEN c_acctbal < 5000 THEN 'mid'
+                     ELSE 'high' END AS bal_bucket
+         FROM customer ORDER BY c_custkey""",
+    "p8_limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
+    "j1_dim_fact_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "j2_star3_rollup" ->
+      """SELECT c_mktsegment, EXTRACT(year FROM o_orderdate) AS order_year, l_returnflag,
+                count(*) AS n_lines,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "j3_date_dim_join" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS year, EXTRACT(month FROM o_orderdate) AS month,
+                monthname(o_orderdate) AS month_name, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+    "j4_anti_orphans" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "a1_kpi_global" ->
+      """SELECT max(o_orderkey) AS max_key, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_cust,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+                min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+         FROM orders""",
+    "a6_sum_avg_by_seg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "a8_topk_by_measure" ->
+      """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY event_type ORDER BY total DESC, event_type LIMIT 3""",
+    "a10_year_slice" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "a12_cube_slicer" ->
+      """SELECT o_orderstatus, EXTRACT(year FROM o_orderdate) AS order_year, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, EXTRACT(year FROM o_orderdate))
+         ORDER BY o_orderstatus ASC NULLS FIRST, order_year ASC NULLS FIRST""",
+    "d1_dedup_full" ->
+      """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_suppkey, l_returnflag, l_linestatus""",
+    "d2_dedup_lww" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                date_trunc('second', ts) AS last_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "w1_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER w AS rn,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+    "f_numeric_clean" ->
+      """SELECT o_orderkey,
+                CAST(NULLIF(regexp_extract(o_orderpriority, '^\s*(\d+)', 1), '') AS INT) AS priority_num,
+                COALESCE(CAST(o_totalprice AS DOUBLE), 0.0) AS total_filled,
+                ABS(o_totalprice - 100000.0) AS delta_abs
+         FROM orders ORDER BY o_orderkey""",
+    "f_sentinel_fill" ->
+      """SELECT doc_id, COALESCE(NULLIF(source, 'src0'), 'unknown') AS src_clean
+         FROM documents ORDER BY doc_id""",
+    "f_date_dim" ->
+      """WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_full FROM orders WHERE o_orderdate IS NOT NULL)
+         SELECT CAST(EXTRACT(year FROM date_full)*10000 + EXTRACT(month FROM date_full)*100
+                     + EXTRACT(day FROM date_full) AS INT) AS date_id,
+                date_full,
+                CAST(EXTRACT(year FROM date_full) AS INT) AS year,
+                CAST(EXTRACT(quarter FROM date_full) AS INT) AS quarter,
+                CAST(EXTRACT(month FROM date_full) AS INT) AS month,
+                CAST(EXTRACT(week FROM date_full) AS INT) AS week,
+                CAST(EXTRACT(day FROM date_full) AS INT) AS day,
+                CAST(EXTRACT(dow FROM date_full) AS INT) AS day_of_week,
+                dayname(date_full) AS day_name,
+                monthname(date_full) AS month_name,
+                CASE WHEN EXTRACT(dow FROM date_full) IN (0, 6) THEN 0 ELSE 1 END AS is_weekday,
+                CASE WHEN (EXTRACT(year FROM date_full) % 4 = 0 AND EXTRACT(year FROM date_full) % 100 <> 0)
+                          OR EXTRACT(year FROM date_full) % 400 = 0 THEN 1 ELSE 0 END AS is_leapyear
+         FROM dd ORDER BY date_id""",
+    "f21_surrogate_keys" ->
+      """SELECT c_custkey, 1000 + row_number() OVER (ORDER BY c_custkey) AS fact_id
+         FROM customer ORDER BY c_custkey""")
+}
