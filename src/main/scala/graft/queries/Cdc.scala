@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.cdc.{JsonFlatten, NameNormalizer, PkExtractor}
+import graft.functions.SmartTimestamp.smart_timestamp
+import graft.streaming.CdcStream
+
+/** CDC-plane operators (SURVEY §2.3 F13-F20, §2.7) exercised as batch
+  * queries over the `events` table — the same transform functions are
+  * wired into the Structured Streaming path in [[graft.streaming.CdcStream]].
+  */
+object Cdc {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F16 (`mongo_postgres_cdc.py:295`): JSON payload parse.
+    "f16_json_parse" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("payload",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("payload.k").as("k"))
+        .orderBy("event_id")),
+
+    // F15/F17 (`mongo_postgres_cdc.py:90-112,165-197`): recursive struct
+    // flatten with depth cap — depth-2 scalars expand to parent_child
+    // columns, the depth-3 struct serializes to JSON.
+    "f17_flatten_struct" -> ((s, d) => {
+      val nested = Tables.events(s, d).select(
+        col("event_id"),
+        struct(
+          col("user_id"),
+          struct(
+            col("event_type").as("type"),
+            struct(col("event_type").as("t")).as("lvl3")).as("lvl2")).as("payload"))
+      JsonFlatten.flatten(nested).orderBy("event_id")
+    }),
+
+    // F18/F20 (`mongo_postgres_cdc.py:216-224,311-332`): name normalization
+    // + reserved/collision rename as one schema pass.
+    "f18_normalize_names" -> ((s, d) =>
+      NameNormalizer(
+        Tables.customer(s, d).toDF("C-CustKey", "C Name", "Select", "9nation", "c custkey"))
+        .orderBy("c_custkey")),
+
+    // F19 (`mongo_postgres_cdc.py:199-214`): primary-key extraction.
+    "f19_pk_extract" -> ((s, d) =>
+      PkExtractor.withPrimaryKey(
+        Tables.events(s, d).select("event_id", "user_id", "event_type"))
+        .orderBy("event_id")),
+
+    // F13 (`mongo_postgres_cdc.py:144-156`): epoch-magnitude detection via
+    // the native SmartTimestamp expression (codegen'd, no UDF).
+    "f13_smart_timestamp" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .select(
+          col("event_id"),
+          col("epoch_s"),
+          smart_timestamp(col("epoch_s")).as("ts_from_s"),
+          smart_timestamp(col("epoch_s") * 1000 + 123).as("ts_from_ms"),
+          smart_timestamp(col("event_id")).as("ts_invalid"))
+        .orderBy("event_id")),
+
+    // §3.2 end-to-end: the full CDC batch shape (parse → flatten →
+    // normalize → pk → metadata), minus the nondeterministic timestamp.
+    "t_cdc_transform" -> ((s, d) => {
+      val raw = Tables.events(s, d).select(
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("json"))
+      CdcStream.transform(raw, org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING"), "events")
+        .drop("processed_at")
+        .orderBy("event_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "f16_json_parse" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""",
+    "f17_flatten_struct" ->
+      """SELECT event_id, user_id AS payload_user_id, event_type AS payload_lvl2_type,
+                '{"t":"' || event_type || '"}' AS payload_lvl2_lvl3
+         FROM events ORDER BY event_id""",
+    "f18_normalize_names" ->
+      """SELECT c_custkey, c_name, c_nationkey AS select_1, c_acctbal AS col_9nation,
+                c_mktsegment AS c_custkey_1
+         FROM customer ORDER BY c_custkey""",
+    "f19_pk_extract" ->
+      """SELECT event_id, user_id, event_type, CAST(event_id AS VARCHAR) AS kafka_primary_key
+         FROM events ORDER BY event_id""",
+    "f13_smart_timestamp" ->
+      """WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+         SELECT event_id, epoch_s,
+                make_timestamp(epoch_s * 1000000) AS ts_from_s,
+                make_timestamp((epoch_s * 1000 + 123) * 1000) AS ts_from_ms,
+                CAST(NULL AS TIMESTAMP) AS ts_invalid
+         FROM e ORDER BY event_id""",
+    "t_cdc_transform" ->
+      """SELECT '{"event_id":' || event_id || ',"user_id":' || user_id
+                || ',"event_type":"' || event_type || '"}' AS raw_data,
+                event_id, user_id, event_type,
+                CAST(event_id AS VARCHAR) AS kafka_primary_key,
+                'events' AS kafka_topic
+         FROM events ORDER BY event_id""")
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming CDC path: MemoryStream → transform → in-memory upsert sink.
+  * Replays the same batch twice and asserts idempotence (SURVEY §5.4 /
+  * T2 effectively-once contract). */
+class CdcStreamSpec extends SparkSpecBase {
+
+  private val payloadSchema =
+    StructType.fromDDL("id BIGINT, name STRING, amount DOUBLE")
+
+  test("transform → upsert is idempotent under replay and last-write-wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sink = new CdcStream.InMemorySink
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+
+    val writer = CdcStream.run(
+      input.toDF().withColumnRenamed("value", "json"),
+      payloadSchema, "unit-topic", sink, ckpt)
+    val q = writer.start()
+
+    input.addData(
+      """{"id": 1, "name": "a", "amount": 10.0}""",
+      """{"id": 2, "name": "b", "amount": 20.0}""")
+    q.processAllAvailable()
+    assert(sink.state.size() == 2)
+    assert(sink.state.get("1").getAs[String]("name") == "a")
+
+    // same keys again (replay + update) → still 2 rows, latest value wins
+    input.addData(
+      """{"id": 1, "name": "a2", "amount": 11.0}""",
+      """{"id": 1, "name": "a3", "amount": 12.0}""")
+    q.processAllAvailable()
+    assert(sink.state.size() == 2)
+    assert(sink.state.get("1").getAs[String]("name") == "a3")
+    assert(sink.state.get("1").getAs[String]("kafka_topic") == "unit-topic")
+    q.stop()
+  }
+
+  test("topic routing matches reference substring rules") {
+    assert(CdcStream.routeTable("mongo.loan_applications") == "loan_events")
+    assert(CdcStream.routeTable("bank-statements") == "transaction_events")
+    assert(CdcStream.routeTable("customer.profile") == "customer_events")
+    assert(CdcStream.routeTable("Other Topic!") == "other_topic")
+  }
+}
