@@ -18,7 +18,8 @@ object SparkEntry {
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
-      (graft.queries.Cdc.queries, graft.queries.Cdc.oracles))
+      (graft.queries.Cdc.queries, graft.queries.Cdc.oracles),
+      (graft.queries.Quality.queries, graft.queries.Quality.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.quality.QualityChecks
+
+/** Quality-check query surface (SURVEY §2.5 A2/A3/A5/A9, §5.5). */
+object Quality {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A5 (`quality_checks.py:14-20`): per-column null profile, one pass.
+    "a5_null_profile" -> ((s, d) =>
+      QualityChecks.nullProfile(Tables.lineitem(s, d))),
+
+    // A2/A3 (`quality_checks.py:22-33`, dict-key bug fixed per SURVEY §8.8):
+    // volume + three separate uniqueness metrics.
+    "a3_volume_uniqueness" -> ((s, d) =>
+      QualityChecks.volumeMetrics(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+
+    // A9 (dashboard count-by-category): count customers per nation via a
+    // broadcast dim join.
+    "a9_count_by_group" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_name")),
+
+    // §5.5: FK-orphan summary over the star's declared join edges (J3).
+    "q_fk_orphan_summary" -> ((s, d) =>
+      QualityChecks.orphanSummary(Seq(
+        ("li_orphan_orders", Tables.lineitem(s, d), Tables.orders(s, d), "l_orderkey", "o_orderkey"),
+        ("li_orphan_part", Tables.lineitem(s, d), Tables.part(s, d), "l_partkey", "p_partkey"),
+        ("li_orphan_supp", Tables.lineitem(s, d), Tables.supplier(s, d), "l_suppkey", "s_suppkey"),
+        ("ord_orphan_cust", Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey")))))
+
+  def oracles: Map[String, String] = Map(
+    "a5_null_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(*) AS n_total,
+                   CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS null_rate
+            FROM lineitem""").mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    "a3_volume_uniqueness" ->
+      """SELECT count(*) AS total_rows, count(DISTINCT l_orderkey) AS distinct_l_orderkey,
+                count(DISTINCT l_partkey) AS distinct_l_partkey,
+                count(DISTINCT l_suppkey) AS distinct_l_suppkey
+         FROM lineitem""",
+    "a9_count_by_group" ->
+      """SELECT n_name, count(*) AS n_customers FROM customer
+         JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
+    "q_fk_orphan_summary" ->
+      """SELECT
+           (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS li_orphan_orders,
+           (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS li_orphan_part,
+           (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)) AS li_orphan_supp,
+           (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS ord_orphan_cust""")
+}
