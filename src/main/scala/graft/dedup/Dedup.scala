@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Document deduplication suite for the training-data pipeline extensions.
+  *
+  * Scale design (the point of each variant at 100 TB):
+  *   - exact: one shuffle on a 128-bit fingerprint — embarrassingly parallel.
+  *   - MinHash+LSH: candidate generation is a *band-bucket equi-join*
+  *     (shuffle on band hash), never an all-pairs comparison; verification
+  *     touches only candidate pairs. This is the standard shingle→minhash→
+  *     band→bucket-join pipeline (Broder 1997; Leskovec et al., "Mining of
+  *     Massive Datasets" ch.3).
+  *   - SimHash: 64-bit signature per doc, then a pigeonhole chunk-bucket
+  *     join (Manku et al., WWW'07) — pairs within hamming distance k must
+  *     share one of k+1 bit-chunks, so candidate generation is again an
+  *     equi-join.
+  *
+  * The hash family is md5-based (`md5(i + "|" + shingle)`) so the DuckDB
+  * oracle can reproduce signatures bit-for-bit; swap in xxhash64 for raw
+  * throughput if oracle parity is not needed.
+  */
+object Dedup {
+
+  // ---------------- exact ----------------
+
+  /** Exact dedup groups: fingerprint → keeper id + copy count. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Deduplicated view: keep the lowest id per fingerprint. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(exactGroups(docs, idCol, textCol).select(col("keeper_id").as(idCol)), Seq(idCol), "left_semi")
+
+  // ---------------- shingles / jaccard ----------------
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  def docShingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+
+  /** Exact all-pairs jaccard via inverted-index join (no LSH): pairs that
+    * share at least one shingle, with |∩|/|∪| ≥ threshold. At scale the
+    * `sh` join key needs stop-shingle removal for skew (a shingle shared
+    * by k docs contributes k² candidate rows). */
+  def jaccardPairs(shingleTab: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingleTab.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shingleTab.as("a"); val b = shingleTab.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  val NumHashes = 32
+  val NumBands = 16 // × 2 rows: P(candidate | j=0.5) ≈ 0.99
+
+  /** 32 md5-family minhash signatures per doc (one shuffle on doc_id). */
+  def minhashSignatures(shingleTab: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
+    shingleTab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_hash) — the LSH bucket table. */
+  def bandTable(signatures: DataFrame): DataFrame = {
+    val rows = NumHashes / NumBands
+    val bandCols = (0 until NumBands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"mh${rows * b + r}")): _*))
+    }
+    signatures.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate pairs: docs sharing any band bucket (equi-join shuffle). */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash LSH near-dup pairs, jaccard-verified. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs)
+    val cand = candidatePairs(bandTable(minhashSignatures(sh)))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = cand.join(x, Seq("doc_a")).join(y, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over distinct whitespace tokens (xxhash64 bit votes). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(xxhash64(col("tok")), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs within `maxHamming` via the pigeonhole chunk join:
+    * split the 64-bit signature into maxHamming+1 chunks; any pair within
+    * the distance must agree on at least one chunk. */
+  def simhashNearDups(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val chunks = (0 until nChunks).map(ci =>
+      shiftrightunsigned(col("simhash"), ci * chunkBits)
+        .bitwiseAND((1L << chunkBits) - 1).as(s"c$ci"))
+    val tab = signatures.select((col("doc_id") +: col("simhash") +: chunks): _*)
+    val exploded = tab.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nChunks).map(ci => col(s"c$ci")): _*)).as(Seq("chunk_idx", "chunk")))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

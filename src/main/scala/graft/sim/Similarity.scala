@@ -1,0 +1,111 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers (builder prompt):
+  *   - brute-force cosine: exact, O(n·m·d) — the correctness baseline and
+  *     the right answer when one side is small (query batches);
+  *   - random-hyperplane LSH buckets: candidate generation by signature
+  *     equi-join (Charikar 2002), turning all-pairs into a bucket join —
+  *     the 100 TB scale path.
+  *
+  * Dot products accumulate into DECIMAL(38,15): exact and order-independent,
+  * so cosine values (and therefore top-k order) are bit-identical across
+  * partitionings and engines — plain double sums would make ranking
+  * nondeterministic run-to-run at scale.
+  */
+object Similarity {
+
+  /** Exact, order-independent dot product of two float vectors. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(38,15)")),
+      lit(0).cast("decimal(38,15)"),
+      (acc, v) => acc + v)
+
+  /** (vec_id, embedding, nsq): squared norm via the same exact sum. */
+  def withNorms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      dotDecimal(col("embedding"), col("embedding")).cast("double").as("nsq"))
+
+  private def cosExpr: Column =
+    col("dot").cast("double") / sqrt(col("na") * col("nb"))
+
+  /** All pairs (va < vb) with cosine ≥ threshold — brute force. */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = withNorms(emb)
+    val a = n.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
+    val b = n.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        dotDecimal(col("ea"), col("eb")).as("dot"), col("na"), col("nb"))
+      .select(col("va"), col("vb"), cosExpr.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Exact top-k neighbours for a set of query vectors (brute force). */
+  def topK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val n = withNorms(emb)
+    val q = withNorms(queries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("na"))
+    val c = n.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
+    val scored = q.join(c, col("qid") =!= col("vb"))
+      .select(col("qid"), col("vb"),
+        dotDecimal(col("qe"), col("eb")).as("dot"), col("na"), col("nb"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+  }
+
+  // ---------------- LSH (random hyperplanes) ----------------
+
+  val NumPlanes = 16
+
+  /** Deterministic pseudo-random ±1 hyperplane weights (seed 42). */
+  private[sim] def planeWeights(dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** 16-bit signature: bit p = sign(w_p · v). Pure expressions — the
+    * weights are literals folded into codegen. */
+  def signatures(emb: DataFrame, dim: Int): DataFrame = {
+    val w = planeWeights(dim)
+    val bits = (0 until NumPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedLit(w(p).toSeq), (x, wc) => x.cast("double") * wc),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    emb.select(col("vec_id"), col("embedding"), bits.reduce(_ + _).as("sig"))
+  }
+
+  /** ANN: candidates share a signature half (hamming ≤ 1 pigeonhole on two
+    * 8-bit chunks), then exact cosine + top-k within candidates only. */
+  def annTopK(emb: DataFrame, dim: Int, k: Int): DataFrame = {
+    val sig = signatures(emb, dim)
+    val chunked = sig.select(col("vec_id"), col("embedding"),
+      posexplode(array(col("sig").bitwiseAND(255), shiftright(col("sig"), 8)))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("chunk_idx"), col("chunk"))
+    val cand = a.join(b, Seq("chunk_idx", "chunk")).filter(col("qid") =!= col("vb"))
+      .select("qid", "qe", "vb", "eb").distinct()
+    val scored = cand
+      .withColumn("dot", dotDecimal(col("qe"), col("eb")))
+      .withColumn("na", dotDecimal(col("qe"), col("qe")).cast("double"))
+      .withColumn("nb", dotDecimal(col("eb"), col("eb")).cast("double"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+  }
+}

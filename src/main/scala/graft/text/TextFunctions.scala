@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline extensions
+  * (builder prompt: dedup / language-ID / quality scoring / token counting /
+  * fingerprinting). All pure Column expressions — codegen'd, no UDFs — so
+  * they vectorize inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** BPE-ish lexer tokens: letter runs, digit runs, single punctuation.
+    * (Both Spark and DuckDB expose regexp_extract_all with RE2-compatible
+    * syntax, so this stays oracle-checkable.) */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Contiguous n-token shingles ("a b c") over the token array.
+    * Empty when the document has fewer than n tokens. */
+  def shingles(tok: Column, n: Int = 3): Column =
+    when(size(tok) >= n,
+      transform(sequence(lit(1), size(tok) - (n - 1)),
+        i => concat_ws(" ", slice(tok, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Number of tokens that appear in `words` (duplicates counted). */
+  def hitCount(tok: Column, words: Seq[String]): Column =
+    size(filter(tok, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Punctuation characters (anything outside [A-Za-z0-9 whitespace]). */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+
+  /** Canonical form for exact-dedup fingerprinting: lower, trim, collapse
+    * runs of whitespace. */
+  def normalized(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** 128-bit content fingerprint of the canonical form (md5 is available
+    * verbatim in the DuckDB oracle; for pure speed xxhash64 is the
+    * in-engine alternative). */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Small per-language marker-word lists for the n-gram/stopword
+    * language-ID heuristic. Deterministic, priority-ordered. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Language-ID: argmax of marker hits with fixed priority-order
+    * tie-breaking; 'und' when nothing matches. */
+  def langId(tok: Column): Column = {
+    val hits = LangMarkers.map { case (lang, words) => lang -> hitCount(tok, words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: rewards length (up to 100 tokens),
+    * penalizes punctuation density, rewards stopword naturalness. */
+  def qualityScore(text: Column): Column = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val stopRatio = hitCount(tok, LangMarkers.flatMap(_._2)).cast("double") /
+      greatest(size(tok), lit(1)).cast("double")
+    round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 6)
+  }
+}
