@@ -19,7 +19,8 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Cdc.queries, graft.queries.Cdc.oracles),
-      (graft.queries.Quality.queries, graft.queries.Quality.oracles))
+      (graft.queries.Quality.queries, graft.queries.Quality.oracles),
+      (graft.queries.TrainingData.queries, graft.queries.TrainingData.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

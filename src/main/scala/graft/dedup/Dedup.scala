@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.text.TextFunctions._
 
 /** Document deduplication suite for the training-data pipeline extensions.
@@ -75,6 +76,13 @@ object Dedup {
     shingleTab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Unpivot a wide signature row to (doc_id, h_idx, mh) — the long form
+    * the oracle computes directly; the wide form stays the efficient
+    * single-pass representation in the engine. */
+  def minhashLong(signatures: DataFrame): DataFrame =
+    signatures.select(col("doc_id"),
+      posexplode(array((0 until NumHashes).map(i => col(s"mh$i")): _*)).as(Seq("h_idx", "mh")))
+
   /** (doc_id, band_idx, band_hash) — the LSH bucket table. */
   def bandTable(signatures: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
@@ -126,12 +134,42 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** 32-bit SimHash with an md5-parity hash family: bit j of a token's
+    * hash is the parity of hex digit j of md5(token). Slower than the
+    * xxhash64 variant but bit-reproducible on any engine with md5 —
+    * used by the oracle-checked query surface. */
+  def simhashMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val h = md5(col("tok"))
+    val votes = (0 until 32).map(j =>
+      sum(when(substring(h, j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"b$j"))
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 32).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 "local
+    * algorithms for document fingerprinting"): hash every positional
+    * n-gram, take the window-min over each sliding window of `w`
+    * shingles, keep the distinct minima per document. One narrow window
+    * pass per doc — no cross-doc shuffle beyond the doc_id partition. */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, w: Int = 4): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos", "sh")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sh.select(col("doc_id"), min(md5(col("sh"))).over(win).as("fp")).distinct()
+  }
+
   /** Near-dup pairs within `maxHamming` via the pigeonhole chunk join:
-    * split the 64-bit signature into maxHamming+1 chunks; any pair within
-    * the distance must agree on at least one chunk. */
-  def simhashNearDups(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * split the `sigBits`-bit signature into maxHamming+1 chunks; any pair
+    * within the distance must agree on at least one chunk. */
+  def simhashNearDups(signatures: DataFrame, maxHamming: Int = 3, sigBits: Int = 64): DataFrame = {
     val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
+    val chunkBits = sigBits / nChunks
     val chunks = (0 until nChunks).map(ci =>
       shiftrightunsigned(col("simhash"), ci * chunkBits)
         .bitwiseAND((1L << chunkBits) - 1).as(s"c$ci"))

@@ -247,6 +247,86 @@ object Relational {
         col("c_custkey"),
         (row_number().over(Window.orderBy("c_custkey")) + lit(hwmOffset)).as("fact_id"))
         .orderBy("c_custkey")
+    }),
+
+    // SURVEY §2.6 note: set operations (needed by CDC schema evolution
+    // and replay reconciliation) — INTERSECT + EXCEPT over key sets.
+    "p9_set_ops" -> ((s, d) => {
+      def custs(y: Int) = Tables.orders(s, d)
+        .filter(yr("o_orderdate") === y).select(col("o_custkey").as("custkey")).distinct()
+      custs(1997).intersect(custs(1998)).withColumn("set_op", lit("both"))
+        .unionByName(custs(1997).except(custs(1998)).withColumn("set_op", lit("only_1997")))
+        .orderBy("set_op", "custkey")
+    }),
+
+    // SURVEY §2.5 closing note: ROLLUP for the slicer's subtotal rows.
+    "a13_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // §3.3: the spark.sql entry point with GROUPING SETS — SQL surface
+    // parity with the Dataset API.
+    "a14_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderstatus, year(o_orderdate) AS order_year, count(*) AS n
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)))
+               ORDER BY o_orderstatus ASC NULLS FIRST, order_year ASC NULLS FIRST""")
+    }),
+
+    // SURVEY §2.4 note: left-semi join (the free counterpart of J4).
+    "j5_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // Range join: measure → bucket-boundary table via broadcast
+    // nested-loop (the small side is literal, so BNLJ is the right plan).
+    "j6_range_join" -> ((s, d) => {
+      import s.implicits._
+      val buckets = Seq(
+        (1, -1e18, 100.0), (2, 100.0, 500.0), (3, 500.0, 2000.0), (4, 2000.0, 1e18))
+        .toDF("bucket_id", "lo", "hi")
+      Tables.events(s, d)
+        .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("bucket_id")
+    }),
+
+    // A3 at scale: HLL approximate distinct (the 100 TB path for
+    // uniqueness checks). Approximation is engine-specific → rows-only.
+    "a15_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orderkeys"),
+        approx_count_distinct(col("l_partkey")).as("approx_partkeys"),
+        count(lit(1)).as("n_rows"))),
+
+    // W2: RANGE-framed window (30-day trailing spend per customer) —
+    // value-based frames, unlike W1's row frames.
+    "w2_window_range" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .withColumn("day_num", datediff(col("o_orderdate"), lit("1990-01-01").cast("date")))
+      val w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+      base.select(
+        col("o_custkey"), col("o_orderkey"), col("day_num"),
+        count(lit(1)).over(w).as("n_last30"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("sum_last30"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // F-evolution (SURVEY §7.1): unionByName(allowMissingColumns) — the
+    // CDC schema-evolution merge of an old and a new message shape.
+    "f22_union_by_name" -> ((s, d) => {
+      val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      v1.unionByName(v2, allowMissingColumns = true).orderBy("o_orderkey")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -372,5 +452,45 @@ object Relational {
          FROM dd ORDER BY date_id""",
     "f21_surrogate_keys" ->
       """SELECT c_custkey, 1000 + row_number() OVER (ORDER BY c_custkey) AS fact_id
-         FROM customer ORDER BY c_custkey""")
+         FROM customer ORDER BY c_custkey""",
+    "p9_set_ops" ->
+      """WITH y97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997),
+              y98 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998)
+         SELECT custkey, 'both' AS set_op FROM (SELECT custkey FROM y97 INTERSECT SELECT custkey FROM y98)
+         UNION ALL
+         SELECT custkey, 'only_1997' AS set_op FROM (SELECT custkey FROM y97 EXCEPT SELECT custkey FROM y98)
+         ORDER BY set_op, custkey""",
+    "a13_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "a14_grouping_sets" ->
+      """SELECT o_orderstatus, EXTRACT(year FROM o_orderdate) AS order_year, count(*) AS n
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (EXTRACT(year FROM o_orderdate)))
+         ORDER BY o_orderstatus ASC NULLS FIRST, order_year ASC NULLS FIRST""",
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "j6_range_join" ->
+      """WITH buckets(bucket_id, lo, hi) AS (VALUES
+           (1, -1e18, 100.0), (2, 100.0, 500.0), (3, 500.0, 2000.0), (4, 2000.0, 1e18))
+         SELECT bucket_id, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events JOIN buckets ON value >= lo AND value < hi
+         GROUP BY bucket_id ORDER BY bucket_id""",
+    "w2_window_range" ->
+      """SELECT o_custkey, o_orderkey, day_num,
+                count(*) OVER w AS n_last30,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last30
+         FROM (SELECT *, date_diff('day', DATE '1990-01-01', o_orderdate) AS day_num FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "f22_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
+         ORDER BY o_orderkey""")
 }

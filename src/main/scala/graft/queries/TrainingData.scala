@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.mm.Multimodal
+import graft.text.TextFunctions
+
+/** Training-data pipeline query surface (builder prompt extensions):
+  * deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+  * winnowing), similarity search (brute-force + blocked + LSH-ANN over
+  * the embeddings table), text analysis (language-ID, quality scoring,
+  * token stats), and multimodal binary-column plumbing.
+  *
+  * Every hash family is md5-based so DuckDB reproduces signatures
+  * bit-for-bit; every double is either a pure per-row expression
+  * (bit-deterministic) or an exact-decimal sum converted to double last
+  * (order-independent — see [[graft.util.Det]]). The oracle SQL for the
+  * signature pipelines is *generated from the same constants* as the
+  * Spark side (hash count, band width, marker words) so the two cannot
+  * drift.
+  */
+object TrainingData {
+
+  // ---- shared DuckDB CTE fragments (tokens → positional/distinct shingles) ----
+
+  private val tokCte =
+    """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)"""
+  private val posShingleCte = // positional 3-gram shingles, 1-based i
+    s"""$tokCte,
+       xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok WHERE len(t) >= 3),
+       shp AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS sh FROM xg)"""
+  private val shingleCte = // distinct (doc_id, shingle)
+    s"""$posShingleCte,
+       sh AS (SELECT DISTINCT doc_id, sh FROM shp)"""
+  private val minhashCte = // long-form 32-hash minhash signatures
+    s"""$shingleCte,
+       mh AS (SELECT doc_id, i AS h_idx, min(md5(i || '|' || sh)) AS mh
+              FROM sh CROSS JOIN generate_series(0, ${Dedup.NumHashes - 1}) AS g(i)
+              GROUP BY doc_id, i)"""
+  private val jaccardTail = // cand(doc_a, doc_b) → verified pairs ≥ threshold
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                 FROM cand c JOIN sh p ON p.doc_id = c.doc_a
+                             JOIN sh q ON q.doc_id = c.doc_b AND q.sh = p.sh
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       FROM inter JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+       ORDER BY doc_a, doc_b"""
+
+  // md5-parity simhash, generated from the same bit count as Dedup.simhashMd5
+  private val simhashSelect: String = {
+    val votes = (0 until 32).map(j =>
+      s"SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val bits = (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""dtok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents),
+       votes AS (SELECT doc_id, $votes FROM dtok GROUP BY doc_id),
+       sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes)"""
+  }
+
+  // zipped (vec_id, pos, q) fixed-point embedding elements + exact norms
+  // (q = round(v·10⁶) — mirrors Similarity.Quant)
+  private val embCte =
+    """e AS (SELECT vec_id,
+              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+              unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings),
+       norms AS (SELECT vec_id, CAST(SUM(q * q) AS DOUBLE) AS nsq FROM e GROUP BY vec_id)"""
+
+  private def langIdSql: String = {
+    val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(t, x -> list_contains($lst, x))) AS h_$lang"
+    }.mkString(", ")
+    val best = TextFunctions.LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val cases = TextFunctions.LangMarkers.map { case (l, _) =>
+      s"WHEN h_$l > 0 AND h_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH $tokCte,
+       hits AS (SELECT doc_id, t, $hitCols FROM tok)
+       SELECT doc_id, CASE $cases ELSE 'und' END AS lang_detected, CAST(len(t) AS INT) AS n_tokens
+       FROM hits ORDER BY doc_id"""
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- deduplication ----------------
+
+    // Exact dedup: one shuffle on a 128-bit content fingerprint.
+    "x1_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d)).orderBy("fp")),
+
+    // n-gram Jaccard all-pairs via the inverted-index join (no LSH) —
+    // correct baseline the LSH variants are measured against.
+    "x2_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Dedup.docShingles(Tables.documents(s, d)), 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // MinHash signatures (wide single-pass agg, unpivoted for the check).
+    "x3_minhash_sigs" -> ((s, d) =>
+      Dedup.minhashLong(Dedup.minhashSignatures(Dedup.docShingles(Tables.documents(s, d))))
+        .orderBy("doc_id", "h_idx")),
+
+    // Full MinHash→band→bucket-join→Jaccard-verify near-dup pipeline.
+    "x4_minhash_neardups" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")),
+
+    // 32-bit md5-parity SimHash signatures.
+    "x5_simhash" -> ((s, d) =>
+      Dedup.simhashMd5(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // SimHash near-dups: pigeonhole chunk join, hamming ≤ 3.
+    "x6_simhash_neardups" -> ((s, d) =>
+      Dedup.simhashNearDups(Dedup.simhashMd5(Tables.documents(s, d)), maxHamming = 3, sigBits = 32)
+        .orderBy("doc_a", "doc_b")),
+
+    // Winnowing document fingerprints (shingle-hash window minima).
+    "x10_winnow_fp" -> ((s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d)).orderBy("doc_id", "fp")),
+
+    // ---------------- text analysis ----------------
+
+    // Language-ID heuristic vs the declared label.
+    "x7_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_detected"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // Heuristic quality score (length / punctuation / stopword ratios).
+    "x8_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace + BPE-ish lexer + punctuation density.
+    "x9_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_ws_tokens"),
+        size(TextFunctions.bpeTokens(col("text"))).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        TextFunctions.punctCount(col("text")).as("n_punct"))
+        .orderBy("doc_id")),
+
+    // ---------------- similarity search ----------------
+
+    // Brute-force exact cosine top-5 for a small query set.
+    "x11_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.topK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
+    }),
+
+    // Blocked all-pairs cosine (label = blocking key) — the scale shape.
+    "x12_embcos_blocked" -> ((s, d) =>
+      Similarity.blockedCosinePairs(Tables.embeddings(s, d), "label", 0.3)
+        .orderBy("va", "vb")),
+
+    // LSH-ANN top-k (random hyperplanes → chunk-bucket join → exact
+    // re-rank). Approximate by construction → rows-only check.
+    "x13_ann_topk" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), 64, 5)
+        .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")),
+
+    // ---------------- multimodal ----------------
+
+    // Binary media columns + typed metadata + frame sampling — pure
+    // codegen'd expressions over the blob.
+    "x14_mm_features" -> ((s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d))
+      media.select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.mime").as("mime"),
+        lower(hex(substring(col("media"), 1, 16))).as("head_hex"),
+        md5(col("media")).as("content_md5"),
+        size(Multimodal.frameSample(col("media"), 64, 48)).as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // mapPartitions decode stub (per-partition codec-init shape) —
+    // deterministic fake features; rows-only check.
+    "x15_mm_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(Multimodal.asMedia(Tables.documents(s, d)))
+        .toDF().select("doc_id", "n_bytes", "n_frames", "feat").orderBy("doc_id")))
+
+  def oracles: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY fp ORDER BY fp""",
+    "x2_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          $jaccardTail""",
+    "x3_minhash_sigs" ->
+      s"""WITH $minhashCte
+          SELECT doc_id, h_idx, mh FROM mh ORDER BY doc_id, h_idx""",
+    "x4_minhash_neardups" ->
+      s"""WITH $minhashCte,
+          bands AS (SELECT doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands} AS band_idx,
+                           md5(string_agg(mh, '|' ORDER BY h_idx)) AS band_hash
+                    FROM mh GROUP BY doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands}),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id),
+          $jaccardTail""",
+    "x5_simhash" ->
+      s"""WITH $simhashSelect
+          SELECT doc_id, simhash FROM sims ORDER BY doc_id""",
+    "x6_simhash_neardups" ->
+      s"""WITH $simhashSelect,
+          chunks AS (SELECT doc_id, simhash, ci AS chunk_idx, (simhash >> (ci * 8)) & 255 AS chunk
+                     FROM sims CROSS JOIN generate_series(0, 3) AS g(ci)),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           a.simhash AS sa, b.simhash AS sb
+                    FROM chunks a JOIN chunks b
+                      ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM pairs
+          WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""",
+    "x10_winnow_fp" ->
+      s"""WITH $posShingleCte,
+          w AS (SELECT doc_id, min(md5(sh)) OVER
+                  (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM shp)
+          SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
+    "x7_lang_id" -> langIdSql,
+    "x8_quality_score" ->
+      s"""WITH $tokCte,
+          m AS (SELECT doc_id, t, text,
+                  CAST(len(t) AS DOUBLE) AS ntok,
+                  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+                  CAST(len(list_filter(t, x -> list_contains(${TextFunctions.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS DOUBLE) AS nstop
+                FROM tok JOIN documents USING (doc_id))
+          SELECT doc_id,
+                 round(0.4 * least(ntok / 100.0, 1.0)
+                     + 0.4 * (1.0 - np / greatest(length(text), 1))
+                     + 0.2 * (nstop / greatest(len(t), 1)), 6) AS quality
+          FROM m ORDER BY doc_id""",
+    "x9_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+                length(text) AS n_chars_calc,
+                length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct
+         FROM documents ORDER BY doc_id""",
+    "x11_sim_topk" ->
+      s"""WITH $embCte,
+          dots AS (SELECT a.vec_id AS qid, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+                   FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+                   WHERE a.vec_id < 10 GROUP BY 1, 2),
+          scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) AS cos
+                     FROM dots JOIN norms x ON x.vec_id = qid JOIN norms y ON y.vec_id = vb)
+          SELECT qid, vb, cos, rank FROM
+            (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
+             FROM scored)
+          WHERE rank <= 5 ORDER BY qid, rank""",
+    "x12_embcos_blocked" ->
+      s"""WITH $embCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          el AS (SELECT e.vec_id, label, q, pos FROM e JOIN lab USING (vec_id)),
+          dots AS (SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+                   FROM el a JOIN el b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+                   GROUP BY 1, 2, 3)
+          SELECT label, va, vb, CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) AS cos
+          FROM dots JOIN norms x ON x.vec_id = va JOIN norms y ON y.vec_id = vb
+          WHERE CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) >= 0.3
+          ORDER BY va, vb""",
+    "x14_mm_features" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS n_bytes,
+                'text/plain' AS mime,
+                lower(substring(hex(encode(text)), 1, 32)) AS head_hex,
+                md5(text) AS content_md5,
+                CASE WHEN octet_length(encode(text)) >= 64
+                     THEN (octet_length(encode(text)) - 64) // 48 + 1 ELSE 0 END AS n_frames
+         FROM documents ORDER BY doc_id""")
+}

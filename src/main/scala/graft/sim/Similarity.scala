@@ -13,24 +13,32 @@ import org.apache.spark.sql.expressions.Window
   *     equi-join (Charikar 2002), turning all-pairs into a bucket join —
   *     the 100 TB scale path.
   *
-  * Dot products accumulate into DECIMAL(38,15): exact and order-independent,
-  * so cosine values (and therefore top-k order) are bit-identical across
-  * partitionings and engines — plain double sums would make ranking
-  * nondeterministic run-to-run at scale.
+  * Dot products use fixed-point integer math: each element quantizes to
+  * round(v·10⁶) as a 64-bit int, products and sums stay integer (exact,
+  * order-independent — a 64-dim dot of ±10⁶-scale values is ≪ 2⁶³), and
+  * cosine is derived from the integers in one double division at the
+  * end. Results (and therefore top-k order) are bit-identical across
+  * partitionings and engines; plain double sums would make ranking
+  * nondeterministic run-to-run at scale, and decimal accumulation ties
+  * the result to each engine's double→decimal rounding of the shortest
+  * vs exact binary representation.
   */
 object Similarity {
 
-  /** Exact, order-independent dot product of two float vectors. */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(38,15)")),
-      lit(0).cast("decimal(38,15)"),
-      (acc, v) => acc + v)
+  /** Fixed-point quantization scale: 10⁶ ≈ keep 6 fractional digits. */
+  val Quant = 1e6
 
-  /** (vec_id, embedding, nsq): squared norm via the same exact sum. */
+  private def q(x: Column): Column = round(x.cast("double") * Quant).cast("long")
+
+  /** Exact, order-independent fixed-point dot product of two float
+    * vectors (a 64-bit integer — convert to double only for ratios). */
+  def dotFixed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => q(x) * q(y)), lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, embedding, nsq): squared fixed-point norm. */
   def withNorms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      dotDecimal(col("embedding"), col("embedding")).cast("double").as("nsq"))
+      dotFixed(col("embedding"), col("embedding")).cast("double").as("nsq"))
 
   private def cosExpr: Column =
     col("dot").cast("double") / sqrt(col("na") * col("nb"))
@@ -42,7 +50,7 @@ object Similarity {
     val b = n.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
     a.join(b, col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        dotDecimal(col("ea"), col("eb")).as("dot"), col("na"), col("nb"))
+        dotFixed(col("ea"), col("eb")).as("dot"), col("na"), col("nb"))
       .select(col("va"), col("vb"), cosExpr.as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -55,12 +63,28 @@ object Similarity {
     val c = n.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
     val scored = q.join(c, col("qid") =!= col("vb"))
       .select(col("qid"), col("vb"),
-        dotDecimal(col("qe"), col("eb")).as("dot"), col("na"), col("nb"))
+        dotFixed(col("qe"), col("eb")).as("dot"), col("na"), col("nb"))
       .select(col("qid"), col("vb"), cosExpr.as("cos"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
       .filter(col("rank") <= k)
+  }
+
+  /** Near-dup pairs restricted to a blocking key (e.g. a cluster/label
+    * column): the 100 TB-friendly shape of all-pairs search — the
+    * equi-join on the block turns O(n²) into Σ per-block², and each
+    * block's pairs co-locate on one shuffle partition. */
+  def blockedCosinePairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val n = emb.select(col(blockCol).as("label"), col("vec_id"), col("embedding"),
+      dotFixed(col("embedding"), col("embedding")).cast("double").as("nsq"))
+    val a = n.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
+    val b = n.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .select(col("label"), col("va"), col("vb"),
+        dotFixed(col("ea"), col("eb")).as("dot"), col("na"), col("nb"))
+      .select(col("label"), col("va"), col("vb"), cosExpr.as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   // ---------------- LSH (random hyperplanes) ----------------
@@ -100,9 +124,9 @@ object Similarity {
     val cand = a.join(b, Seq("chunk_idx", "chunk")).filter(col("qid") =!= col("vb"))
       .select("qid", "qe", "vb", "eb").distinct()
     val scored = cand
-      .withColumn("dot", dotDecimal(col("qe"), col("eb")))
-      .withColumn("na", dotDecimal(col("qe"), col("qe")).cast("double"))
-      .withColumn("nb", dotDecimal(col("eb"), col("eb")).cast("double"))
+      .withColumn("dot", dotFixed(col("qe"), col("eb")))
+      .withColumn("na", dotFixed(col("qe"), col("qe")).cast("double"))
+      .withColumn("nb", dotFixed(col("eb"), col("eb")).cast("double"))
       .select(col("qid"), col("vb"), cosExpr.as("cos"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
