@@ -1,0 +1,55 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("exactDedup keeps one row per fingerprint and is idempotent") {
+    val once = Dedup.exactDedup(docs)
+    val twice = Dedup.exactDedup(once)
+    assert(once.count() === Dedup.exactGroups(docs).count())
+    assert(twice.count() === once.count())
+  }
+
+  test("exactGroups keeper is the minimum doc_id of its group") {
+    val g = Dedup.exactGroups(docs)
+    // every keeper must exist in docs and group sizes sum to the row count
+    assert(g.agg(sum("n_copies")).first().getLong(0) === docs.count())
+    assert(g.join(docs, g("keeper_id") === docs("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("minhash LSH finds the same >=0.5 near-dup pairs as exact jaccard") {
+    val exact = Dedup.jaccardPairs(Dedup.docShingles(docs), 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes LSH ⊆ exact; 16 bands × 2 rows at j≈0.99 ⇒ full recall here
+    assert(lsh === exact)
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("simhash near-dups recall most jaccard near-dups and respect the hamming bound") {
+    val simDf = Dedup.simhashNearDups(Dedup.simhashMd5(docs), maxHamming = 3, sigBits = 32).cache()
+    assert(simDf.filter(col("hamming") > 3).count() === 0)
+    val sim = simDf.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(Dedup.docShingles(docs), 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // SimHash is approximate: near-identical token sets usually land within
+    // hamming 3, but a few token edits can flip more than 3 of 32 bits.
+    val recalled = exact.count(sim.contains)
+    assert(recalled * 2 >= exact.size, s"recall $recalled/${exact.size} below 50%")
+  }
+
+  test("winnowing emits at most one fingerprint per shingle and is deterministic") {
+    val fp1 = Dedup.winnowFingerprints(docs).count()
+    val fp2 = Dedup.winnowFingerprints(docs).count()
+    val nShingles = Dedup.docShingles(docs).count()
+    assert(fp1 === fp2)
+    assert(fp1 <= nShingles)
+    assert(fp1 > 0)
+  }
+}

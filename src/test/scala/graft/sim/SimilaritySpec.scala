@@ -1,0 +1,46 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dotFixed matches hand-computed fixed-point dot product") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.dotFixed(col("a"), col("b"))).first().getLong(0)
+    // (1e6*4e6 + 2e6*5e6 + 3e6*6e6) = 32e12
+    assert(got === 32L * 1000000L * 1000000L)
+  }
+
+  test("topK returns k ranked neighbours per query, self excluded, cos in [-1,1]") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = Similarity.topK(emb, emb.filter(col("vec_id") < 5), 3).cache()
+    assert(res.groupBy("qid").count().filter(col("count") =!= 3).count() === 0)
+    assert(res.filter(col("qid") === col("vb")).count() === 0)
+    assert(res.filter(abs(col("cos")) > 1.0 + 1e-9).count() === 0)
+  }
+
+  test("annTopK candidates agree with brute force on their top-1 when recalled") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val exact = Similarity.topK(emb, emb, 1)
+      .select("qid", "vb").as[(Long, Long)].collect().toMap
+    val ann = Similarity.annTopK(emb, 64, 1)
+      .select("qid", "vb").as[(Long, Long)].collect().toMap
+    // ANN is approximate: where it returns the same neighbour id, fine;
+    // overall recall on this data should be well above zero.
+    val hits = ann.count { case (q, v) => exact.get(q).contains(v) }
+    assert(hits > 0, s"ANN recall should be non-zero (got $hits/${ann.size})")
+  }
+
+  test("blockedCosinePairs only pairs rows sharing the blocking key") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val pairs = Similarity.blockedCosinePairs(emb, "label", 0.0)
+      .select("va", "vb").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+  }
+}

@@ -1,0 +1,49 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+  import TextFunctions._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("langId picks the language with the most marker hits, 'und' when none") {
+    val cases = Seq(
+      "the cat is on the mat and it is happy" -> "en",
+      "el perro y la casa de los vecinos" -> "es",
+      "der hund und die katze ist ein tier" -> "de",
+      "xyzzy plugh qwerty" -> "und")
+    cases.foreach { case (text, want) =>
+      val got = one(text).select(langId(tokens(col("text")))).first().getString(0)
+      assert(got === want, s"for: $text")
+    }
+  }
+
+  test("shingles: n tokens yield n-2 trigram shingles; short docs yield none") {
+    assert(one("a b c d e").select(size(shingles(tokens(col("text"))))).first().getInt(0) === 3)
+    assert(one("a b").select(size(shingles(tokens(col("text"))))).first().getInt(0) === 0)
+  }
+
+  test("qualityScore stays in [0,1] and rewards natural text over noise") {
+    val natural = one("the quick brown fox is seen in the park and it is fine " * 5)
+      .select(qualityScore(col("text"))).first().getDouble(0)
+    val noise = one("@@!! ## $$%% ^^&&")
+      .select(qualityScore(col("text"))).first().getDouble(0)
+    assert(natural >= 0.0 && natural <= 1.0)
+    assert(noise >= 0.0 && noise <= 1.0)
+    assert(natural > noise)
+  }
+
+  test("bpeTokens splits letter runs, digit runs, punctuation") {
+    val got = one("ab12,cd").select(bpeTokens(col("text"))).first().getSeq[String](0)
+    assert(got === Seq("ab", "12", ",", "cd"))
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val fps = Seq("Hello  World", "hello world", " HELLO\tWORLD ")
+      .toDF("text").select(fingerprint(col("text"))).distinct()
+    assert(fps.count() === 1)
+  }
+}
