@@ -39,11 +39,16 @@ object Dedup {
 
   // ---------------- shingles / jaccard ----------------
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index input. */
+  /** Distinct (doc_id, shingle) pairs — the inverted-index input.
+    * Tokenization materializes in its own projection first: `shingles`
+    * references the token array from inside a lambda, and inlining the
+    * regex split there would re-run it once per shingle per row (a
+    * ~100× blowup). A named column is a cheap bound reference, and
+    * CollapseProject keeps non-cheap expressions un-inlined. */
   def docShingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"), n)).as("sh"))
       .distinct()
 
   /** Exact all-pairs jaccard via inverted-index join (no LSH): pairs that
@@ -69,11 +74,17 @@ object Dedup {
   val NumHashes = 32
   val NumBands = 16 // × 2 rows: P(candidate | j=0.5) ≈ 0.99
 
-  /** 32 md5-family minhash signatures per doc (one shuffle on doc_id). */
+  /** 32 md5-family minhash signatures per doc. The hash family is
+    * evaluated once per *distinct shingle* (the dictionary) and joined
+    * back to occurrences — corpora repeat shingles heavily, so this cuts
+    * md5 work by the occurrence/dictionary ratio before the one shuffle
+    * on doc_id. */
   def minhashSignatures(shingleTab: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
-    shingleTab.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val dict = shingleTab.select("sh").distinct().select(
+      col("sh") +: (0 until NumHashes).map(i =>
+        md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
+    val aggs = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
+    shingleTab.join(dict, Seq("sh")).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Unpivot a wide signature row to (doc_id, h_idx, mh) — the long form
@@ -103,10 +114,15 @@ object Dedup {
       .distinct()
   }
 
-  /** End-to-end MinHash LSH near-dup pairs, jaccard-verified. */
+  /** End-to-end MinHash LSH near-dup pairs, jaccard-verified. The
+    * shingle table feeds four subtrees (signatures, sizes, both verify
+    * sides) — cache it rather than recompute the tokenize+explode. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(docs)
-    val cand = candidatePairs(bandTable(minhashSignatures(sh)))
+    val sh = docShingles(docs).cache()
+    // bands feed both sides of the candidate self-join — cache, or the
+    // signature aggregation runs twice.
+    val bands = bandTable(minhashSignatures(sh)).cache()
+    val cand = candidatePairs(bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val y = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -158,8 +174,8 @@ object Dedup {
     * pass per doc — no cross-doc shuffle beyond the doc_id partition. */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                          n: Int = 3, w: Int = 4): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos", "sh")))
+    val sh = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), posexplode(shingles(col("t"), n)).as(Seq("pos", "sh")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     sh.select(col("doc_id"), min(md5(col("sh"))).over(win).as("fp")).distinct()
   }

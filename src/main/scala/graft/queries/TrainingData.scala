@@ -97,7 +97,7 @@ object TrainingData {
     // n-gram Jaccard all-pairs via the inverted-index join (no LSH) —
     // correct baseline the LSH variants are measured against.
     "x2_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(Dedup.docShingles(Tables.documents(s, d)), 0.5)
+      Dedup.jaccardPairs(Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // MinHash signatures (wide single-pass agg, unpivoted for the check).
@@ -113,9 +113,11 @@ object TrainingData {
     "x5_simhash" -> ((s, d) =>
       Dedup.simhashMd5(Tables.documents(s, d)).orderBy("doc_id")),
 
-    // SimHash near-dups: pigeonhole chunk join, hamming ≤ 3.
+    // SimHash near-dups: pigeonhole chunk join, hamming ≤ 3. Signatures
+    // cache — the chunk table self-joins.
     "x6_simhash_neardups" -> ((s, d) =>
-      Dedup.simhashNearDups(Dedup.simhashMd5(Tables.documents(s, d)), maxHamming = 3, sigBits = 32)
+      Dedup.simhashNearDups(Dedup.simhashMd5(Tables.documents(s, d)).cache(),
+        maxHamming = 3, sigBits = 32)
         .orderBy("doc_a", "doc_b")),
 
     // Winnowing document fingerprints (shingle-hash window minima).

@@ -31,13 +31,39 @@ object Similarity {
   private def q(x: Column): Column = round(x.cast("double") * Quant).cast("long")
 
   /** Exact, order-independent fixed-point dot product of two float
-    * vectors (a 64-bit integer — convert to double only for ratios). */
+    * vectors (a 64-bit integer — convert to double only for ratios).
+    * Fine for per-row use (norms, small query sets); for large pair
+    * sets prefer the exploded element join (see [[pairDots]]) — Spark's
+    * higher-order functions don't participate in whole-stage codegen,
+    * so per-pair lambdas dominate wall-clock at volume. */
   def dotFixed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => q(x) * q(y)), lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, pos, qv): the fixed-point elements, one row each — the
+    * join-friendly layout for bulk dot products. */
+  def elements(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(transform(col("embedding"), x => q(x))).as(Seq("pos", "qv")))
+
+  /** Bulk exact dot products for an id-pair set via the element join:
+    * (ida, idb) → (ida, idb, dot). One shuffle on (id, pos), one
+    * codegen'd hash aggregate — no per-pair lambdas. */
+  def pairDots(pairs: DataFrame, embA: DataFrame, embB: DataFrame,
+               aCol: String, bCol: String): DataFrame =
+    pairs
+      .join(elements(embA).select(col("vec_id").as(aCol), col("pos"), col("qv").as("qa")), Seq(aCol))
+      .join(elements(embB).select(col("vec_id").as(bCol), col("pos"), col("qv").as("qb")), Seq(bCol, "pos"))
+      .groupBy(aCol, bCol)
+      .agg(sum(col("qa") * col("qb")).as("dot"))
 
   /** (vec_id, embedding, nsq): squared fixed-point norm. */
   def withNorms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
+      dotFixed(col("embedding"), col("embedding")).cast("double").as("nsq"))
+
+  /** (vec_id, nsq) only — for joining norms onto pair sets. */
+  def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       dotFixed(col("embedding"), col("embedding")).cast("double").as("nsq"))
 
   private def cosExpr: Column =
@@ -45,25 +71,26 @@ object Similarity {
 
   /** All pairs (va < vb) with cosine ≥ threshold — brute force. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val n = withNorms(emb)
-    val a = n.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
-    val b = n.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
-    a.join(b, col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-        dotFixed(col("ea"), col("eb")).as("dot"), col("na"), col("nb"))
+    val ids = emb.select(col("vec_id"))
+    val cand = ids.select(col("vec_id").as("va"))
+      .crossJoin(ids.select(col("vec_id").as("vb")))
+      .filter(col("va") < col("vb"))
+    val n = norms(emb)
+    pairDots(cand, emb, emb, "va", "vb")
+      .join(n.select(col("vec_id").as("va"), col("nsq").as("na")), Seq("va"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
       .select(col("va"), col("vb"), cosExpr.as("cos"))
       .filter(col("cos") >= threshold)
   }
 
   /** Exact top-k neighbours for a set of query vectors (brute force). */
   def topK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val n = withNorms(emb)
-    val q = withNorms(queries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("na"))
-    val c = n.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
-    val scored = q.join(c, col("qid") =!= col("vb"))
-      .select(col("qid"), col("vb"),
-        dotFixed(col("qe"), col("eb")).as("dot"), col("na"), col("nb"))
+    val cand = queries.select(col("vec_id").as("qid"))
+      .crossJoin(emb.select(col("vec_id").as("vb")))
+      .filter(col("qid") =!= col("vb"))
+    val scored = pairDots(cand, queries, emb, "qid", "vb")
+      .join(norms(queries).select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(norms(emb).select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
       .select(col("qid"), col("vb"), cosExpr.as("cos"))
     scored
       .withColumn("rank", row_number().over(
@@ -74,15 +101,20 @@ object Similarity {
   /** Near-dup pairs restricted to a blocking key (e.g. a cluster/label
     * column): the 100 TB-friendly shape of all-pairs search — the
     * equi-join on the block turns O(n²) into Σ per-block², and each
-    * block's pairs co-locate on one shuffle partition. */
+    * block's pairs co-locate on one shuffle partition. Dots go through
+    * the element join on (label, pos): whole-stage-codegen'd long
+    * multiply-adds instead of per-pair array lambdas. */
   def blockedCosinePairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    val n = emb.select(col(blockCol).as("label"), col("vec_id"), col("embedding"),
-      dotFixed(col("embedding"), col("embedding")).cast("double").as("nsq"))
-    val a = n.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
-    val b = n.select(col("label"), col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
-    a.join(b, Seq("label")).filter(col("va") < col("vb"))
-      .select(col("label"), col("va"), col("vb"),
-        dotFixed(col("ea"), col("eb")).as("dot"), col("na"), col("nb"))
+    val lab = emb.select(col("vec_id"), col(blockCol).as("label"))
+    val el = elements(emb).join(lab, Seq("vec_id"))
+    val a = el.select(col("label"), col("vec_id").as("va"), col("pos"), col("qv").as("qa"))
+    val b = el.select(col("label"), col("vec_id").as("vb"), col("pos"), col("qv").as("qb"))
+    val dots = a.join(b, Seq("label", "pos")).filter(col("va") < col("vb"))
+      .groupBy("label", "va", "vb").agg(sum(col("qa") * col("qb")).as("dot"))
+    val n = norms(emb)
+    dots
+      .join(n.select(col("vec_id").as("va"), col("nsq").as("na")), Seq("va"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
       .select(col("label"), col("va"), col("vb"), cosExpr.as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -111,22 +143,22 @@ object Similarity {
   }
 
   /** ANN: candidates share a signature half (hamming ≤ 1 pigeonhole on two
-    * 8-bit chunks), then exact cosine + top-k within candidates only. */
+    * 8-bit chunks), then exact cosine + top-k within candidates only.
+    * Candidate generation carries only ids (never the vectors) through
+    * the bucket join and distinct; dots and norms join in afterwards. */
   def annTopK(emb: DataFrame, dim: Int, k: Int): DataFrame = {
     val sig = signatures(emb, dim)
-    val chunked = sig.select(col("vec_id"), col("embedding"),
+    val chunked = sig.select(col("vec_id"),
       posexplode(array(col("sig").bitwiseAND(255), shiftright(col("sig"), 8)))
         .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      col("chunk_idx"), col("chunk"))
-    val b = chunked.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      col("chunk_idx"), col("chunk"))
+    val a = chunked.select(col("vec_id").as("qid"), col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col("vec_id").as("vb"), col("chunk_idx"), col("chunk"))
     val cand = a.join(b, Seq("chunk_idx", "chunk")).filter(col("qid") =!= col("vb"))
-      .select("qid", "qe", "vb", "eb").distinct()
-    val scored = cand
-      .withColumn("dot", dotFixed(col("qe"), col("eb")))
-      .withColumn("na", dotFixed(col("qe"), col("qe")).cast("double"))
-      .withColumn("nb", dotFixed(col("eb"), col("eb")).cast("double"))
+      .select("qid", "vb").distinct()
+    val n = norms(emb)
+    val scored = pairDots(cand, emb, emb, "qid", "vb")
+      .join(n.select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
       .select(col("qid"), col("vb"), cosExpr.as("cos"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
