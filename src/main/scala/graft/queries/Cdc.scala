@@ -63,6 +63,19 @@ object Cdc {
           smart_timestamp(col("event_id")).as("ts_invalid"))
         .orderBy("event_id")),
 
+    // T4 (batch semantics of [[graft.streaming.EventAggregates]]):
+    // tumbling daily windows — the same plan the streaming path runs.
+    "t2_tumbling_window" -> ((s, d) =>
+      graft.streaming.EventAggregates.tumblingCounts(
+        Tables.events(s, d).drop("props"), "1 day")
+        .orderBy("win_start", "event_type")),
+
+    // T4: session windows (1-hour gap) per user, batch semantics.
+    "t3_session_window" -> ((s, d) =>
+      graft.streaming.EventAggregates.sessionized(
+        Tables.events(s, d).drop("props"), "1 hour")
+        .orderBy(asc_nulls_first("user_id"), col("session_start"))),
+
     // §3.2 end-to-end: the full CDC batch shape (parse → flatten →
     // normalize → pk → metadata), minus the nondeterministic timestamp.
     "t_cdc_transform" -> ((s, d) => {
@@ -75,6 +88,23 @@ object Cdc {
     }))
 
   def oracles: Map[String, String] = Map(
+    "t2_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_type,
+                count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t3_session_window" ->
+      """WITH m AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           s AS (SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+         SELECT min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
+                user_id, count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id ASC NULLS FIRST, session_start""",
     "f16_json_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",

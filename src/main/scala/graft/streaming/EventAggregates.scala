@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import graft.util.Det._
+
+/** Streaming aggregate surface (SURVEY §2.7 T3-T5 extensions): windowed
+  * aggregation with watermarks, session windows, watermark-scoped dedup,
+  * and custom keyed state. Every transform is batch/stream agnostic —
+  * the same plan runs over `Tables.events` (batch, oracle-checked) and a
+  * Kafka/MemoryStream source (streaming, spec-checked), which is the
+  * Structured Streaming contract.
+  *
+  * At scale the watermark is what bounds state: without it a windowed
+  * aggregate over an unbounded stream grows state forever; with it,
+  * windows older than (max event time − delay) finalize and GC.
+  */
+object EventAggregates {
+
+  /** T4: tumbling-window counts/sums per event type. Late rows beyond
+    * `watermark` are dropped; closed windows leave the state store. */
+  def tumblingCounts(events: DataFrame, win: String = "1 day",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** T4: session windows — a session extends while consecutive events per
+    * user arrive within `gap`; end = last event + gap. */
+  def sessionized(events: DataFrame, gap: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** T3: replay/duplicate suppression bounded by the watermark — the
+    * streaming-safe `dropDuplicates` (unbounded-key dedup state would
+    * grow forever on an infinite stream). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** T5: custom keyed state via `mapGroupsWithState` — running per-user
+    * totals that survive across micro-batches (the
+    * `KeyValueGroupedDataset` path for state the built-in windows can't
+    * express). Emits the updated total per user per batch. */
+  def runningTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserTotals(uid, prev.n_events + batch.size,
+            prev.total_value + batch.map(_._2).sum)
+          state.update(next)
+          next
+      }
+  }
+}
