@@ -1,0 +1,37 @@
+package graft.util
+
+import graft.SparkSpecBase
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpecBase {
+
+  private lazy val orders = Tables.orders(spark, sfDir)
+  private lazy val customer = Tables.customer(spark, sfDir)
+
+  test("saltedJoin returns exactly the rows of the plain equi-join") {
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey").orderBy("o_orderkey")
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", "c_custkey", 4)
+      .select("o_orderkey", "c_custkey").orderBy("o_orderkey")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("twoPhaseDistinct equals countDistinct per key") {
+    val direct = orders.groupBy("o_custkey")
+      .agg(countDistinct("o_orderstatus").as("distinct_o_orderstatus"))
+    val phased = Skew.twoPhaseDistinct(orders, "o_custkey", "o_orderstatus")
+    assert(phased.except(direct).count() === 0)
+    assert(direct.except(phased).count() === 0)
+  }
+
+  test("twoPhaseCollectSet equals the sorted plain collect_set per key") {
+    val direct = orders.groupBy("o_custkey")
+      .agg(array_sort(collect_set("o_orderstatus")).as("set_o_orderstatus"))
+    val phased = Skew.twoPhaseCollectSet(orders, "o_custkey", "o_orderstatus", 4)
+    assert(phased.except(direct).count() === 0)
+    assert(direct.except(phased).count() === 0)
+  }
+}
