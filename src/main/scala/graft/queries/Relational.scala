@@ -319,6 +319,20 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // §3.1 end-to-end under the oracle gate: the full batch-ETL run
+    // (watermark → extract → clean → dims → replay-safe surrogate keys →
+    // partitioned append → QC) into a scratch warehouse, fact read back.
+    "k6_pipeline_fact" -> ((s, d) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft_pipeline_wh"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      val report = graft.app.PipelineRunner.run(s, d, wh)
+      require(report.qcPassed, s"pipeline QC gate failed: $report")
+      s.read.parquet(s"$wh/loan_fact")
+        .select("fact_id", "source_order_key", "customer_id", "date_id",
+          "amount", "priority_num", "status", "load_year")
+        .orderBy("source_order_key")
+    }),
+
     // F-evolution (SURVEY §7.1): unionByName(allowMissingColumns) — the
     // CDC schema-evolution merge of an old and a new message shape.
     "f22_union_by_name" -> ((s, d) => {
@@ -487,6 +501,17 @@ object Relational {
          FROM (SELECT *, date_diff('day', DATE '1990-01-01', o_orderdate) AS day_num FROM orders)
          WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey, o_orderkey""",
+    "k6_pipeline_fact" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) AS fact_id,
+                o_orderkey AS source_order_key,
+                o_custkey AS customer_id,
+                CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_id,
+                ABS(COALESCE(CAST(o_totalprice AS DOUBLE), 0.0)) AS amount,
+                CAST(NULLIF(regexp_extract(o_orderpriority, '^\s*(\d+)', 1), '') AS INT) AS priority_num,
+                CASE WHEN length(trim(o_orderstatus)) = 0 THEN NULL ELSE o_orderstatus END AS status,
+                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS load_year
+         FROM orders WHERE o_orderkey IS NOT NULL
+         ORDER BY source_order_key""",
     "f22_union_by_name" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
          FROM orders WHERE o_orderkey % 2 = 0
