@@ -3,12 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Two passes: an untimed warmup (Catalyst planning, whole-stage codegen
-  * compilation, JIT) and a timed pass. Caches are cleared between passes
-  * so the timed pass re-does all real work (including rebuilding any
-  * DataFrame caches a query uses) — it measures steady-state execution,
-  * not first-plan janino compile time, which a long-lived cluster
-  * amortizes to zero.
+  * Per query: one untimed warmup run (Catalyst planning, whole-stage
+  * codegen compilation, JIT), a cache clear, then the timed run. Warming
+  * immediately before timing matters: Spark's generated-class cache
+  * holds ~100 entries, so with 60+ multi-stage queries a single global
+  * warmup pass gets evicted before the timed pass returns — per-query
+  * warmup measures steady-state execution (what a long-lived cluster
+  * amortizes to), while the cache clear makes the timed run re-do all
+  * real work including rebuilding any DataFrame caches.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,12 +23,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => }
-    }
-    spark.catalog.clearCache()
     val results = names.map { n =>
+      try { SparkEntry.queries(n)(spark, sfDir).count() }
+      catch { case _: Throwable => }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
