@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
 object Cleaning {
 
   /** F2 (`spark_etl.py:29-36`): string/double → double, NULL/NaN → 0.
+    * `try_cast`, not `cast`: under ANSI mode (Spark 4 default) a plain
+    * cast *throws* on malformed strings; the reference's pre-ANSI
+    * semantics (malformed → NULL → fill) are what the pipeline needs.
     * `nanvl` first so NaN behaves like NULL, then coalesce-fill. */
   def numericFill(c: Column, fill: Double = 0.0): Column =
-    coalesce(nanvl(c.cast("double"), lit(null)), lit(fill))
+    coalesce(nanvl(c.try_cast("double"), lit(null)), lit(fill))
 
   /** F3 (`spark_etl.py:47-54`): negative amounts → positive. */
   def toPositive(c: Column): Column = abs(c)

@@ -170,6 +170,14 @@ object TrainingData {
       Similarity.annTopK(Tables.embeddings(s, d), 64, 5)
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")),
 
+    // IVF-ANN top-k: relational k-means index (fixed-point exact) +
+    // probe-limited exact re-rank. Approximate by construction → rows.
+    "x16_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5, nlist = 16, nprobe = 4)
+        .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
+    }),
+
     // ---------------- multimodal ----------------
 
     // Binary media columns + typed metadata + frame sampling — pure
@@ -194,7 +202,7 @@ object TrainingData {
 
   def oracles: Map[String, String] = Map(
     "x1_dedup_exact" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                 min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY fp ORDER BY fp""",
     "x2_jaccard_pairs" ->

@@ -119,6 +119,66 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ---------------- IVF (inverted file index) ----------------
+
+  /** Assign every vector to its max-inner-product centroid.
+    * `centroids`: (cluster, pos, cq) long-format fixed-point vectors.
+    * Ties break to the lowest cluster id — fully deterministic. */
+  private def assign(el: DataFrame, centroids: DataFrame): DataFrame = {
+    val dots = el.join(centroids, Seq("pos"))
+      .groupBy("vec_id", "cluster").agg(sum(col("qv") * col("cq")).as("dot"))
+    dots.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("dot"), col("cluster"))))
+      .filter(col("rn") === 1).select("vec_id", "cluster")
+  }
+
+  /** Build an IVF index: deterministic seeding (the nlist lowest vec_ids
+    * are the initial centroids), then `iters` rounds of relational
+    * k-means — assignment is an element join + argmax, the update is a
+    * per-(cluster, pos) mean. All distances are exact fixed-point
+    * integer dots, so the index is identical on every run/partitioning.
+    * Returns (centroids, assignments). */
+  def ivfIndex(emb: DataFrame, nlist: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val el = elements(emb).cache()
+    val seedIds = emb.select("vec_id").orderBy("vec_id").limit(nlist)
+      .withColumn("cluster", row_number().over(Window.orderBy("vec_id")) - 1)
+    var centroids = el.join(seedIds, Seq("vec_id"))
+      .select(col("cluster"), col("pos"), col("qv").as("cq"))
+    var assignments = assign(el, centroids)
+    for (_ <- 1 to iters) {
+      centroids = el.join(assignments, Seq("vec_id"))
+        .groupBy("cluster", "pos")
+        .agg(round(avg(col("qv"))).cast("long").as("cq"))
+      assignments = assign(el, centroids)
+    }
+    (centroids.cache(), assignments.cache())
+  }
+
+  /** IVF-ANN top-k: probe the `nprobe` best centroids per query, score
+    * exact cosine only against vectors in the probed clusters. With
+    * nprobe = nlist this degenerates to exact brute force (spec-checked);
+    * at scale, cost drops by ~nprobe/nlist with the usual recall trade.
+    * The cluster equi-join is the shuffle — no all-pairs anywhere. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val (centroids, assignments) = ivfIndex(emb, nlist, iters)
+    val qel = elements(queries)
+    val qDots = qel.join(centroids, Seq("pos"))
+      .groupBy("vec_id", "cluster").agg(sum(col("qv") * col("cq")).as("dot"))
+    val probes = qDots.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("dot"), col("cluster"))))
+      .filter(col("rn") <= nprobe).select(col("vec_id").as("qid"), col("cluster"))
+    val cand = probes.join(assignments.select(col("vec_id").as("vb"), col("cluster")), Seq("cluster"))
+      .filter(col("qid") =!= col("vb")).select("qid", "vb").distinct()
+    val scored = pairDots(cand, queries, emb, "qid", "vb")
+      .join(norms(queries).select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(norms(emb).select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------- LSH (random hyperplanes) ----------------
 
   val NumPlanes = 16

@@ -35,10 +35,12 @@ object TextFunctions {
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
 
-  /** Canonical form for exact-dedup fingerprinting: lower, trim, collapse
-    * runs of whitespace. */
+  /** Canonical form for exact-dedup fingerprinting: lower, collapse runs
+    * of whitespace, trim. Collapse-then-trim, not the reverse: `trim`
+    * strips only spaces, so a trailing tab would survive it, collapse to
+    * a trailing space, and break idempotence (property-tested). */
   def normalized(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** 128-bit content fingerprint of the canonical form (md5 is available
     * verbatim in the DuckDB oracle; for pure speed xxhash64 is the

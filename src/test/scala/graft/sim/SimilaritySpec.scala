@@ -35,6 +35,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits > 0, s"ANN recall should be non-zero (got $hits/${ann.size})")
   }
 
+  test("ivfTopK with nprobe = nlist is exactly brute force; fewer probes keep recall") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200).cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.topK(emb, queries, 3)
+      .select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet
+    // probing every cluster must reproduce brute force bit-for-bit
+    val full = Similarity.ivfTopK(emb, queries, 3, nlist = 8, nprobe = 8)
+      .select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+    // partial probing returns k results per query with non-zero recall
+    val part = Similarity.ivfTopK(emb, queries, 3, nlist = 8, nprobe = 2)
+      .select("qid", "vb", "rank").as[(Long, Long, Int)].collect()
+    assert(part.groupBy(_._1).forall(_._2.length == 3))
+    assert(part.toSet.intersect(exact).nonEmpty)
+  }
+
+  test("ivfIndex assigns every vector to exactly one of nlist clusters") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    val (_, assignments) = Similarity.ivfIndex(emb, nlist = 4, iters = 1)
+    assert(assignments.count() === 100)
+    assert(assignments.select("vec_id").distinct().count() === 100)
+    assert(assignments.select("cluster").distinct().count() <= 4)
+  }
+
   test("blockedCosinePairs only pairs rows sharing the blocking key") {
     val emb = Tables.embeddings(spark, sfDir)
     val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
