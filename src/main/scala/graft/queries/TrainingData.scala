@@ -71,6 +71,39 @@ object TrainingData {
             FROM embeddings),
        norms AS (SELECT vec_id, CAST(SUM(q * q) AS DOUBLE) AS nsq FROM e GROUP BY vec_id)"""
 
+  // the full LSH-ANN pipeline in SQL: the ±1 plane weights are the same
+  // driver-side literals the Spark plan folds in, so signatures, buckets,
+  // candidate set and exact re-rank all reproduce bit-for-bit
+  private def annOracleSql: String = {
+    val w = Similarity.planeWeights(64)
+    val rows = (0 until Similarity.NumPlanes).map { p =>
+      s"($p, ${(0 until 64).map(d => w(p)(d).toLong).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH $embCte,
+       planes AS (SELECT p, unnest(wts) AS wt, unnest(generate_series(1, 64)) AS pos
+                  FROM (VALUES $rows) AS t(p, wts)),
+       pd AS (SELECT e.vec_id, p, SUM(e.q * wt) AS dot
+              FROM e JOIN planes USING (pos) GROUP BY 1, 2),
+       sigs AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS sig
+                FROM pd GROUP BY 1),
+       chunks AS (SELECT vec_id, ci,
+                         CASE WHEN ci = 0 THEN sig & 255 ELSE sig >> 8 END AS chunk
+                  FROM sigs CROSS JOIN generate_series(0, 1) AS g(ci)),
+       cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vb
+                FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+                                            AND a.vec_id <> b.vec_id),
+       dots AS (SELECT c.qid, c.vb, SUM(x.q * y.q) AS dot
+                FROM cand c JOIN e x ON x.vec_id = c.qid
+                            JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
+                GROUP BY 1, 2),
+       scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                  FROM dots JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = vb)
+       SELECT qid, vb, cos, rank FROM
+         (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
+          FROM scored)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
   private def langIdSql: String = {
     val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -165,7 +198,9 @@ object TrainingData {
         .orderBy("va", "vb")),
 
     // LSH-ANN top-k (random hyperplanes → chunk-bucket join → exact
-    // re-rank). Approximate by construction → rows-only check.
+    // re-rank). The plane weights are driver-side literals shared with
+    // the generated oracle SQL, so even the approximate pipeline is
+    // hash-checked end to end.
     "x13_ann_topk" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), 64, 5)
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")),
@@ -243,6 +278,7 @@ object TrainingData {
                 FROM shp)
           SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
     "x7_lang_id" -> langIdSql,
+    "x13_ann_topk" -> annOracleSql,
     "x8_quality_score" ->
       s"""WITH $tokCte,
           m AS (SELECT doc_id, t, text,

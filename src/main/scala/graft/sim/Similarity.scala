@@ -183,23 +183,28 @@ object Similarity {
 
   val NumPlanes = 16
 
-  /** Deterministic pseudo-random ±1 hyperplane weights (seed 42). */
-  private[sim] def planeWeights(dim: Int): Array[Array[Double]] = {
+  /** Deterministic pseudo-random ±1 hyperplane weights (seed 42).
+    * Driver-side literals — the oracle-SQL generator embeds them. */
+  private[graft] def planeWeights(dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(NumPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** 16-bit signature: bit p = sign(w_p · v). Pure expressions — the
-    * weights are literals folded into codegen. */
+  /** 16-bit signature: bit p = sign(w_p · v), computed as exact integer
+    * dots of the quantized elements against a broadcast ±1 weight table
+    * — one codegen'd join+aggregate, bit-reproducible on any engine
+    * given the same weight literals (the oracle embeds them). */
   def signatures(emb: DataFrame, dim: Int): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
     val w = planeWeights(dim)
-    val bits = (0 until NumPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(col("embedding"), typedLit(w(p).toSeq), (x, wc) => x.cast("double") * wc),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << p)).otherwise(lit(0))
-    }
-    emb.select(col("vec_id"), col("embedding"), bits.reduce(_ + _).as("sig"))
+    val wDf = (for { p <- 0 until NumPlanes; d <- 0 until dim }
+      yield (p, d, w(p)(d).toLong)).toDF("p", "pos", "wt")
+    val pd = elements(emb).join(broadcast(wDf), Seq("pos"))
+      .groupBy("vec_id", "p").agg(sum(col("qv") * col("wt")).as("dot"))
+    pd.groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(1, p)")).otherwise(0))
+        .cast("int").as("sig"))
   }
 
   /** ANN: candidates share a signature half (hamming ≤ 1 pigeonhole on two
