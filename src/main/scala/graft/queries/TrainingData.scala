@@ -104,6 +104,49 @@ object TrainingData {
        WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
+  // the IVF pipeline in SQL: k-means unrolled (same deterministic seeds,
+  // exact integer assignment dots, round(avg) centroid updates), then
+  // probe-limited exact re-rank — hash-identical to Similarity.ivfTopK
+  private def ivfOracleSql(nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, k: Int = 5): String = {
+    def assignCte(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY SUM(e.q * c.cq) DESC, c.cluster) AS rn
+            FROM e JOIN $cent c USING (pos) GROUP BY e.vec_id, c.cluster)
+          WHERE rn = 1)"""
+    def updateCte(name: String, assign: String) =
+      s"""$name AS (SELECT a.cluster, e.pos, CAST(round(avg(e.q)) AS BIGINT) AS cq
+                    FROM e JOIN $assign a USING (vec_id) GROUP BY 1, 2)"""
+    val iterCtes = (1 to iters).map(i =>
+      s"${updateCte(s"cent$i", s"a${i - 1}")}, ${assignCte(s"a$i", s"cent$i")}").mkString(",\n       ")
+    s"""WITH $embCte,
+       seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+                 FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       cent0 AS (SELECT s.cluster, e.pos, e.q AS cq FROM e JOIN seeds s USING (vec_id)),
+       ${assignCte("a0", "cent0")},
+       $iterCtes,
+       probes AS (SELECT vec_id AS qid, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY SUM(e.q * c.cq) DESC, c.cluster) AS rn
+            FROM e JOIN cent$iters c USING (pos)
+            WHERE e.vec_id < 10 GROUP BY e.vec_id, c.cluster)
+          WHERE rn <= $nprobe),
+       cand AS (SELECT DISTINCT p.qid, a.vec_id AS vb
+                FROM probes p JOIN a$iters a USING (cluster) WHERE a.vec_id <> p.qid),
+       dots AS (SELECT c.qid, c.vb, SUM(x.q * y.q) AS dot
+                FROM cand c JOIN e x ON x.vec_id = c.qid
+                            JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
+                GROUP BY 1, 2),
+       scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                  FROM dots JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = vb)
+       SELECT qid, vb, cos, rank FROM
+         (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
+          FROM scored)
+       WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   private def langIdSql: String = {
     val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -279,6 +322,7 @@ object TrainingData {
           SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
     "x7_lang_id" -> langIdSql,
     "x13_ann_topk" -> annOracleSql,
+    "x16_ivf_topk" -> ivfOracleSql(),
     "x8_quality_score" ->
       s"""WITH $tokCte,
           m AS (SELECT doc_id, t, text,
