@@ -84,7 +84,13 @@ object Dedup {
       col("sh") +: (0 until NumHashes).map(i =>
         md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
     val aggs = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
-    shingleTab.join(dict, Seq("sh")).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // repartition on doc_id BEFORE the broadcast dict join: only the
+    // narrow (doc_id, sh) rows cross the wire; the 32 hash columns
+    // (~1 KB/row) materialize map-side after the shuffle, and the
+    // aggregation reuses the doc_id partitioning — no wide shuffle.
+    shingleTab.repartition(col("doc_id"))
+      .join(broadcast(dict), Seq("sh"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Unpivot a wide signature row to (doc_id, h_idx, mh) — the long form
