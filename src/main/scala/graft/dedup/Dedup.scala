@@ -51,10 +51,22 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("t"), n)).as("sh"))
       .distinct()
 
+  /** Drop "stop-shingles" — shingles appearing in more than `maxDocFreq`
+    * documents. In the inverted-index self-join a shingle shared by k
+    * docs contributes k² candidate rows, so df-capping bounds the join's
+    * worst key. Candidate *generation* only loses pairs whose every
+    * shared shingle is a stop-shingle — near-dups share many rare
+    * shingles, so recall loss is negligible at sane caps. */
+  def dropStopShingles(shingleTab: DataFrame, maxDocFreq: Int): DataFrame = {
+    val df = shingleTab.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select("sh")
+    shingleTab.join(df, Seq("sh"), "left_semi")
+  }
+
   /** Exact all-pairs jaccard via inverted-index join (no LSH): pairs that
-    * share at least one shingle, with |∩|/|∪| ≥ threshold. At scale the
-    * `sh` join key needs stop-shingle removal for skew (a shingle shared
-    * by k docs contributes k² candidate rows). */
+    * share at least one shingle, with |∩|/|∪| ≥ threshold. At scale,
+    * pre-filter the join side with [[dropStopShingles]] (keep `sizes` and
+    * the intersection on the full table if exactness matters). */
   def jaccardPairs(shingleTab: DataFrame, threshold: Double): DataFrame = {
     val sizes = shingleTab.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shingleTab.as("a"); val b = shingleTab.as("b")

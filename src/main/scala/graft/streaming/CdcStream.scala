@@ -70,6 +70,32 @@ object CdcStream {
       .withColumn("processed_at", current_timestamp())
   }
 
+  /** F22/§7.1 (the reference's per-message inference, batch-granular):
+    * infer the payload schema from the micro-batch's own JSON, flatten/
+    * normalize/key as usual. Called inside `foreachBatch`, where the
+    * schema may differ batch to batch; [[evolution]] computes the ALTER
+    * columns against the sink's known schema. The reference crashed on
+    * new fields (SURVEY §8.10) — here they become ADD COLUMNs. */
+  def transformInferred(raw: DataFrame, topic: String): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val inferred = spark.read.json(raw.select(col("json")).as[String])
+    val parsed = raw.withColumn("payload",
+        from_json(col("json"), inferred.schema))
+      .select(col("json").as("__graft_raw"), col("payload.*"))
+    val flat = JsonFlatten.flatten(parsed)
+    val normalized = NameNormalizer(flat)
+    PkExtractor.withPrimaryKey(normalized)
+      .withColumnRenamed("__graft_raw", "raw_data")
+      .withColumn("kafka_topic", lit(topic))
+      .withColumn("processed_at", current_timestamp())
+  }
+
+  /** Columns this batch carries that the sink table does not yet have —
+    * the input to `JdbcSql.alterAddColumnsSql`. */
+  def evolution(batch: DataFrame, knownColumns: Set[String]): Seq[org.apache.spark.sql.types.StructField] =
+    batch.schema.fields.toSeq.filterNot(f => knownColumns.contains(f.name))
+
   /** Wire the full stream: dedup within watermark, then merge per batch.
     * `AvailableNow` drains a backlog and stops (catch-up mode, T1). */
   def run(source: DataFrame, payloadSchema: DataType, topic: String,

@@ -44,6 +44,18 @@ class DedupSpec extends SparkSpecBase {
     assert(recalled * 2 >= exact.size, s"recall $recalled/${exact.size} below 50%")
   }
 
+  test("df-capped candidate generation keeps the planted near-dup pairs") {
+    val sh = Dedup.docShingles(docs).cache()
+    val full = Dedup.jaccardPairs(sh, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(Dedup.dropStopShingles(sh, 20), 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    // near-dups share many rare shingles: dropping high-df shingles
+    // shrinks intersection and union together, so every true pair survives
+    assert(full.subsetOf(capped), s"capped lost ${full.diff(capped)}")
+  }
+
   test("winnowing emits at most one fingerprint per shingle and is deterministic") {
     val fp1 = Dedup.winnowFingerprints(docs).count()
     val fp2 = Dedup.winnowFingerprints(docs).count()

@@ -43,6 +43,21 @@ class CdcStreamSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("per-batch schema inference + evolution: new fields become ADD COLUMNs") {
+    import spark.implicits._
+    val batch1 = CdcStream.transformInferred(
+      Seq("""{"id": 1, "name": "a"}""").toDF("json"), "t")
+    assert(batch1.columns.contains("id") && batch1.columns.contains("name"))
+
+    // a later batch carries a new field the sink has never seen
+    val batch2 = CdcStream.transformInferred(
+      Seq("""{"id": 2, "name": "b", "credit_score": 710}""").toDF("json"), "t")
+    val newCols = CdcStream.evolution(batch2, batch1.columns.toSet)
+    assert(newCols.map(_.name) === Seq("credit_score"))
+    val ddl = graft.sources.JdbcSql.alterAddColumnsSql("t", newCols)
+    assert(ddl === Seq("ALTER TABLE t ADD COLUMN IF NOT EXISTS credit_score BIGINT"))
+  }
+
   test("topic routing matches reference substring rules") {
     assert(CdcStream.routeTable("mongo.loan_applications") == "loan_events")
     assert(CdcStream.routeTable("bank-statements") == "transaction_events")
