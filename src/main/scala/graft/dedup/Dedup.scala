@@ -198,6 +198,29 @@ object Dedup {
     sh.select(col("doc_id"), min(md5(col("sh"))).over(win).as("fp")).distinct()
   }
 
+  /** Near-dup clustering: one-`iters`-hop min-label propagation over the
+    * symmetric pair graph, then keeper = the minimum doc of each
+    * component. Near-dup groups at sane thresholds are cliques, where a
+    * single hop reaches the group minimum; short chains converge within
+    * `iters` hops (each hop is one shuffle — at 100 TB this is the
+    * standard large-graph CC loop, run to fixpoint). Deterministic for
+    * any graph given fixed `iters`. */
+  def nearDupComponents(pairs: DataFrame, docs: DataFrame, iters: Int = 2): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+    for (_ <- 1 to iters) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min("component").as("nc"))
+      labels = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+    }
+    labels.withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+  }
+
   /** Near-dup pairs within `maxHamming` via the pigeonhole chunk join:
     * split the `sigBits`-bit signature into maxHamming+1 chunks; any pair
     * within the distance must agree on at least one chunk. */

@@ -40,16 +40,46 @@ object TrainingData {
        mh AS (SELECT doc_id, i AS h_idx, min(md5(i || '|' || sh)) AS mh
               FROM sh CROSS JOIN generate_series(0, ${Dedup.NumHashes - 1}) AS g(i)
               GROUP BY doc_id, i)"""
-  private val jaccardTail = // cand(doc_a, doc_b) → verified pairs ≥ threshold
+  private val jaccardVerifyCte = // cand(doc_a, doc_b) → verified(doc_a, doc_b, jaccard)
     """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
                  FROM cand c JOIN sh p ON p.doc_id = c.doc_a
                              JOIN sh q ON q.doc_id = c.doc_b AND q.sh = p.sh
-                 GROUP BY 1, 2)
-       SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
-       FROM inter JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
-       WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
-       ORDER BY doc_a, doc_b"""
+                 GROUP BY 1, 2),
+       verified AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+                    FROM inter JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5)"""
+  private val jaccardTail =
+    s"""$jaccardVerifyCte
+       SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"""
+  private val minhashCandCte = // LSH bands → cand(doc_a, doc_b)
+    s"""bands AS (SELECT doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands} AS band_idx,
+                         md5(string_agg(mh, '|' ORDER BY h_idx)) AS band_hash
+                  FROM mh GROUP BY doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands}),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id)"""
+
+  // min-label propagation unrolled to `iters` hops over the verified
+  // near-dup pair graph — mirrors Dedup.nearDupComponents exactly
+  private def clusterOracleSql(iters: Int = 2): String = {
+    val hops = (1 to iters).map { i =>
+      s"""n$i AS (SELECT e.src AS doc_id, min(l.component) AS nc
+                  FROM edges e JOIN l${i - 1} l ON l.doc_id = e.dst GROUP BY 1),
+          l$i AS (SELECT l.doc_id, least(l.component, COALESCE(n$i.nc, l.component)) AS component
+                  FROM l${i - 1} l LEFT JOIN n$i USING (doc_id))"""
+    }.mkString(", ")
+    s"""WITH $minhashCte,
+       $minhashCandCte,
+       $jaccardVerifyCte,
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                 UNION ALL SELECT doc_b, doc_a FROM verified),
+       l0 AS (SELECT doc_id, doc_id AS component FROM documents),
+       $hops
+       SELECT doc_id, component, CAST(doc_id = component AS INT) AS is_keeper
+       FROM l$iters ORDER BY doc_id"""
+  }
 
   // md5-parity simhash, generated from the same bit count as Dedup.simhashMd5
   private val simhashSelect: String = {
@@ -200,6 +230,19 @@ object TrainingData {
     "x10_winnow_fp" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d)).orderBy("doc_id", "fp")),
 
+    // Near-dup clusters: LSH pairs → min-label components → keeper flag.
+    "x17_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupComponents(Dedup.minhashNearDups(docs, 0.5), docs).orderBy("doc_id")
+    }),
+
+    // Corpus token-frequency profile (top 20, count-desc).
+    "x18_token_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(20)),
+
     // ---------------- text analysis ----------------
 
     // Language-ID heuristic vs the declared label.
@@ -293,14 +336,13 @@ object TrainingData {
           SELECT doc_id, h_idx, mh FROM mh ORDER BY doc_id, h_idx""",
     "x4_minhash_neardups" ->
       s"""WITH $minhashCte,
-          bands AS (SELECT doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands} AS band_idx,
-                           md5(string_agg(mh, '|' ORDER BY h_idx)) AS band_hash
-                    FROM mh GROUP BY doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands}),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-                        AND a.doc_id < b.doc_id),
+          $minhashCandCte,
           $jaccardTail""",
+    "x17_dedup_clusters" -> clusterOracleSql(),
+    "x18_token_freq" ->
+      """SELECT tok, count(*) AS n FROM
+           (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     "x5_simhash" ->
       s"""WITH $simhashSelect
           SELECT doc_id, simhash FROM sims ORDER BY doc_id""",
