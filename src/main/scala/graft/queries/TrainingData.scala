@@ -269,6 +269,20 @@ object TrainingData {
         TextFunctions.punctCount(col("text")).as("n_punct"))
         .orderBy("doc_id")),
 
+    // The end-of-pipeline keep/drop decision: language allow-list +
+    // quality floor + length band — the filter a curation run materializes.
+    "x19_quality_filter" -> ((s, d) => {
+      val t = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .withColumn("lang_detected", TextFunctions.langId(TextFunctions.tokens(col("text"))))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("n_tokens", size(t))
+        .filter(col("lang_detected").isin("en", "es", "de", "fr") &&
+          col("quality") >= 0.5 && col("n_tokens").between(20, 200))
+        .select("doc_id", "lang_detected", "quality", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- similarity search ----------------
 
     // Brute-force exact cosine top-5 for a small query set.
@@ -363,6 +377,31 @@ object TrainingData {
                 FROM shp)
           SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
     "x7_lang_id" -> langIdSql,
+    "x19_quality_filter" -> {
+      val markers = TextFunctions.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
+      val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(t, x -> list_contains($lst, x))) AS h_$lang"
+      }.mkString(", ")
+      val best = TextFunctions.LangMarkers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val cases = TextFunctions.LangMarkers.map { case (l, _) =>
+        s"WHEN h_$l > 0 AND h_$l = $best THEN '$l'"
+      }.mkString(" ")
+      s"""WITH $tokCte,
+         hits AS (SELECT doc_id, t, $hitCols FROM tok),
+         m AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_detected,
+                      CAST(len(h.t) AS INT) AS n_tokens,
+                      round(0.4 * least(CAST(len(h.t) AS DOUBLE) / 100.0, 1.0)
+                          + 0.4 * (1.0 - CAST(length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                         / greatest(length(d.text), 1))
+                          + 0.2 * (CAST(len(list_filter(h.t, x -> list_contains($markers, x))) AS DOUBLE)
+                                   / greatest(len(h.t), 1)), 6) AS quality
+               FROM hits h JOIN documents d USING (doc_id))
+         SELECT doc_id, lang_detected, quality, n_tokens FROM m
+         WHERE lang_detected IN ('en', 'es', 'de', 'fr')
+           AND quality >= 0.5 AND n_tokens BETWEEN 20 AND 200
+         ORDER BY doc_id"""
+    },
     "x13_ann_topk" -> annOracleSql,
     "x16_ivf_topk" -> ivfOracleSql(),
     "x8_quality_score" ->
