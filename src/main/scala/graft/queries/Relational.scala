@@ -333,6 +333,26 @@ object Relational {
         .orderBy("source_order_key")
     }),
 
+    // A16: PIVOT — status × year crosstab (the dashboard slicer as a
+    // matrix). Pivot values are declared, so the plan stays one pass.
+    "a16_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot(yr("o_orderdate"), Seq(1996, 1997, 1998))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("1996" -> "y1996", "1997" -> "y1997", "1998" -> "y1998"))
+        .orderBy("o_orderstatus")),
+
+    // J7: entity-resolution fuzzy matching — blocked levenshtein join
+    // over customer names (the dim-dedup problem of the reference's
+    // star schema).
+    "j7_fuzzy_names" -> ((s, d) =>
+      graft.dedup.FuzzyMatch.blockedNamePairs(
+        Tables.customer(s, d).filter(col("c_custkey") <= 2000),
+        "c_custkey", "c_name", maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
     // F-evolution (SURVEY §7.1): unionByName(allowMissingColumns) — the
     // CDC schema-evolution merge of an old and a new message shape.
     "f22_union_by_name" -> ((s, d) => {
@@ -512,6 +532,24 @@ object Relational {
                 CAST(EXTRACT(year FROM o_orderdate) AS INT) AS load_year
          FROM orders WHERE o_orderkey IS NOT NULL
          ORDER BY source_order_key""",
+    "a16_pivot" ->
+      """SELECT o_orderstatus,
+                CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 END), 0) AS BIGINT) AS y1996,
+                CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN 1 END), 0) AS BIGINT) AS y1997,
+                CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998 THEN 1 END), 0) AS BIGINT) AS y1998
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "j7_fuzzy_names" ->
+      """WITH k AS (SELECT c_custkey AS id, lower(trim(c_name)) AS name,
+                           substring(lower(trim(c_name)), 1, 1) AS blk_c,
+                           substring(lower(trim(c_name)), -1, 1) AS blk_e,
+                           CAST(length(lower(trim(c_name))) // 4 AS INT) AS blk_l
+                    FROM customer WHERE c_custkey <= 2000)
+         SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+                levenshtein(a.name, b.name) AS dist
+         FROM k a JOIN k b ON a.blk_c = b.blk_c AND a.blk_e = b.blk_e
+                          AND a.blk_l = b.blk_l AND a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 1
+         ORDER BY id_a, id_b""",
     "f22_union_by_name" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
          FROM orders WHERE o_orderkey % 2 = 0
