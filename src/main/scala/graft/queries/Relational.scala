@@ -353,6 +353,33 @@ object Relational {
         "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")),
 
+    // J8: as-of join — each event picks up the customer's latest order
+    // on or before the event date (point-in-time lookup, composed as a
+    // union + running last-value window: no range-join explosion).
+    "j8_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate").cast("date"))
+        .orderBy(desc("o_orderkey"))
+      val latestPerDay = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_orderkey"), col("o_totalprice"))
+      val evts = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").cast("date").as("event_date"))
+      graft.operators.AsofJoin.asofLeft(
+        evts, latestPerDay, "user_id", "event_date", "odate",
+        Seq("o_orderkey", "o_totalprice"))
+        .orderBy("event_id")
+    }),
+
+    // D5: SCD Type 2 — the events stream as a per-user status change
+    // log, versioned with validity intervals.
+    "d5_scd2_history" -> ((s, d) =>
+      graft.dims.Scd2.fromChangeLog(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", Seq("event_type"))
+        .orderBy(asc_nulls_first("user_id"), col("version"))),
+
     // F-evolution (SURVEY §7.1): unionByName(allowMissingColumns) — the
     // CDC schema-evolution merge of an old and a new message shape.
     "f22_union_by_name" -> ((s, d) => {
@@ -550,6 +577,27 @@ object Relational {
                           AND a.blk_l = b.blk_l AND a.id < b.id
          WHERE levenshtein(a.name, b.name) <= 1
          ORDER BY id_a, id_b""",
+    "j8_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS odate,
+                           o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                              ORDER BY o_orderkey DESC) AS rn
+                    FROM orders),
+           r1 AS (SELECT user_id, odate, o_orderkey, o_totalprice FROM r WHERE rn = 1),
+           l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events)
+         SELECT l.event_id, l.user_id, l.event_date,
+                r1.o_orderkey AS asof_o_orderkey, r1.o_totalprice AS asof_o_totalprice
+         FROM l ASOF LEFT JOIN r1 ON l.user_id = r1.user_id AND l.event_date >= r1.odate
+         ORDER BY event_id""",
+    "d5_scd2_history" ->
+      """SELECT user_id, event_type,
+                ts AS effective_from,
+                lead(ts) OVER w AS effective_to,
+                CAST(lead(ts) OVER w IS NULL AS INT) AS is_current,
+                CAST(row_number() OVER w AS INT) AS version
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id ASC NULLS FIRST, version""",
     "f22_union_by_name" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
          FROM orders WHERE o_orderkey % 2 = 0
