@@ -104,18 +104,25 @@ object PipelineRunner {
       year(col("order_date")).as("load_year"))
     fact.write.mode(SaveMode.Append).partitionBy("load_year").parquet(factPath)
 
-    // QC gate (`Airflow.py:66-73`): volumes, key nullability, FK orphans
+    // QC gate (`Airflow.py:66-73`): volumes, key nullability, key
+    // uniqueness and FK orphans — two jobs total (one aggregate pass,
+    // one combined orphan summary), not one job per metric
     val loadedFact = spark.read.parquet(factPath)
-    val loaded = loadedFact.count()
-    val dupKeys = loadedFact.groupBy("fact_id").count().filter(col("count") > 1).count()
-    val nullKeys = loadedFact.filter(col("fact_id").isNull || col("customer_id").isNull).count()
-    val orphans = QualityChecks.fkOrphans(
-      loadedFact, spark.read.parquet(s"$warehouseDir/customer_dim"),
-      "customer_id", "customer_id").count()
-    val dateOrphans = QualityChecks.fkOrphans(
-      loadedFact, spark.read.parquet(datePath), "date_id", "date_id").count()
+    val vitals = loadedFact.agg(
+      count(lit(1)).as("loaded"),
+      countDistinct(col("fact_id")).as("distinct_keys"),
+      sum(when(col("fact_id").isNull || col("customer_id").isNull, 1).otherwise(0))
+        .cast("long").as("null_keys")).first()
+    val (loaded, distinctKeys, nullKeys) =
+      (vitals.getLong(0), vitals.getLong(1), vitals.getLong(2))
+    val orphanRow = QualityChecks.orphanSummary(Seq(
+      ("cust_orphans", loadedFact,
+        spark.read.parquet(s"$warehouseDir/customer_dim"), "customer_id", "customer_id"),
+      ("date_orphans", loadedFact,
+        spark.read.parquet(datePath), "date_id", "date_id"))).first()
     cleaned.unpersist()
     RunReport(hwm, factHwm, extracted, loaded,
-      qcPassed = dupKeys == 0 && nullKeys == 0 && orphans == 0 && dateOrphans == 0)
+      qcPassed = distinctKeys == loaded && nullKeys == 0 &&
+        orphanRow.getLong(0) == 0 && orphanRow.getLong(1) == 0)
   }
 }

@@ -353,6 +353,18 @@ object Relational {
         "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")),
 
+    // A17: exact percentile profile per group (sorted-interpolation
+    // semantics match quantile_cont bit-for-bit) — the winsorization /
+    // outlier-threshold primitive. At 100 TB switch to
+    // approx_percentile's t-digest (rows-only check, like a15).
+    "a17_percentiles" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus").agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // J8: as-of join — each event picks up the customer's latest order
     // on or before the event date (point-in-time lookup, composed as a
     // union + running last-value window: no range-join explosion).
@@ -577,6 +589,13 @@ object Relational {
                           AND a.blk_l = b.blk_l AND a.id < b.id
          WHERE levenshtein(a.name, b.name) <= 1
          ORDER BY id_a, id_b""",
+    "a17_percentiles" ->
+      """SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.5) AS p50,
+                quantile_cont(o_totalprice, 0.95) AS p95,
+                quantile_cont(o_totalprice, 0.99) AS p99,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "j8_asof_join" ->
       """WITH r AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS odate,
                            o_orderkey, o_totalprice,
