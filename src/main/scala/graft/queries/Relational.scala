@@ -353,6 +353,16 @@ object Relational {
         "c_custkey", "c_name", maxDist = 1)
         .orderBy("id_a", "id_b")),
 
+    // A18: grouped array aggregation — collect_set made deterministic by
+    // sorting (collect order is partition-dependent; the sort is what
+    // makes the result reproducible at any parallelism).
+    "a18_group_arrays" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // A17: exact percentile profile per group (sorted-interpolation
     // semantics match quantile_cont bit-for-bit) — the winsorization /
     // outlier-threshold primitive. At 100 TB switch to
@@ -589,6 +599,10 @@ object Relational {
                           AND a.blk_l = b.blk_l AND a.id < b.id
          WHERE levenshtein(a.name, b.name) <= 1
          ORDER BY id_a, id_b""",
+    "a18_group_arrays" ->
+      """SELECT o_orderstatus, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "a17_percentiles" ->
       """SELECT o_orderstatus,
                 quantile_cont(o_totalprice, 0.5) AS p50,

@@ -283,6 +283,28 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // Markup stripping — web-corpus cleaning pass. The documents table
+    // has no HTML, so the query wraps text in deterministic markup and
+    // strips it back off (round-trip proves the op; plumbing is real).
+    "x20_strip_markup" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.stripMarkup(
+          concat(lit("<html><p class=\"x\">"), col("text"),
+            lit(" &amp; tail</p>&nbsp;</html>"))).as("clean"))
+        .orderBy("doc_id")),
+
+    // URL canonicalization — web-dedup key derivation; URLs are derived
+    // deterministically from source/doc_id columns.
+    "x21_url_canon" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.canonicalUrl(
+          concat(lit("HTTPS://Example.COM/"), col("source"), lit("/doc/"),
+            col("doc_id"), lit("/?utm_source=feed&id="), col("doc_id"),
+            lit("#section"))).as("canon_url"))
+        .orderBy("doc_id")),
+
     // ---------------- similarity search ----------------
 
     // Brute-force exact cosine top-5 for a small query set.
@@ -403,6 +425,38 @@ object TrainingData {
          ORDER BY doc_id"""
     },
     "x13_ann_topk" -> annOracleSql,
+    "x20_strip_markup" ->
+      """WITH unescaped AS (SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            '<html><p class="x">' || text || ' &amp; tail</p>&nbsp;</html>',
+                            '<[^>]*>', ' ', 'g'),
+                          '&amp;', '&', 'g'),
+                        '&lt;', '<', 'g'),
+                      '&gt;', '>', 'g'),
+                    '&quot;', '"', 'g'),
+                  '&nbsp;', ' ', 'g') AS x
+              FROM documents)
+         SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean
+         FROM unescaped ORDER BY doc_id""",
+    "x21_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+                  'HTTPS://Example.COM/' || source || '/doc/' || doc_id
+                  || '/?utm_source=feed&id=' || doc_id || '#section' AS url
+                FROM documents),
+           s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
+           s2 AS (SELECT doc_id, regexp_replace(x, '([?&])(utm_[a-z]+|ref|fbclid)=[^&]*', '\1', 'g') AS x FROM s1),
+           s3 AS (SELECT doc_id, regexp_replace(regexp_replace(x, '[?&]+$', ''), '\?&', '?') AS x FROM s2)
+         SELECT doc_id,
+                regexp_replace(
+                  lower(regexp_extract(x, '^([A-Za-z]+://[^/]*)', 1))
+                    || regexp_replace(x, '^[A-Za-z]+://[^/]*', ''),
+                  '/$', '') AS canon_url
+         FROM s3 ORDER BY doc_id""",
     "x16_ivf_topk" -> ivfOracleSql(),
     "x8_quality_score" ->
       s"""WITH $tokCte,

@@ -66,6 +66,30 @@ object TextFunctions {
     }
   }
 
+  /** Markup stripping for web-corpus cleaning: drop tags, then unescape
+    * the common entities. Regex tag-stripping is the standard first pass
+    * (a full HTML parser is a UDF-shaped cost — this stays codegen'd). */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val unescaped = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** URL canonicalization for web-scale dedup: lower-case scheme+host,
+    * drop the fragment and tracking query parameters, trim dangling
+    * separators and a trailing slash. Pure regex passes — one projection
+    * per billion URLs. */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "([?&])(utm_[a-z]+|ref|fbclid)=[^&]*", "$1")
+    val clean = regexp_replace(regexp_replace(noUtm, "[?&]+$", ""), "\\?&", "?")
+    val prefix = lower(regexp_extract(clean, "^([A-Za-z]+://[^/]*)", 1))
+    val rest = regexp_replace(clean, "^[A-Za-z]+://[^/]*", "")
+    regexp_replace(concat(prefix, rest), "/$", "")
+  }
+
   /** Heuristic quality score in [0,1]: rewards length (up to 100 tokens),
     * penalizes punctuation density, rewards stopword naturalness. */
   def qualityScore(text: Column): Column = {
