@@ -41,6 +41,23 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(got === Seq("ab", "12", ",", "cd"))
   }
 
+  test("stripMarkup removes tags, unescapes entities, collapses whitespace") {
+    val got = one("""<div><p class="big">Hello &amp; <b>world</b></p>&nbsp;  </div>""")
+      .select(stripMarkup(col("text"))).first().getString(0)
+    assert(got === "Hello & world")
+  }
+
+  test("canonicalUrl lowers host, strips fragment/tracking, trims slash") {
+    val cases = Seq(
+      "HTTPS://Example.COM/Path/?utm_source=x&id=7#frag" -> "https://example.com/Path/?id=7",
+      "http://A.b/x/" -> "http://a.b/x",
+      "https://h.io/p?utm_campaign=z" -> "https://h.io/p")
+    cases.foreach { case (in, want) =>
+      val got = one(in).select(canonicalUrl(col("text"))).first().getString(0)
+      assert(got === want, s"for: $in")
+    }
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val fps = Seq("Hello  World", "hello world", " HELLO\tWORLD ")
       .toDF("text").select(fingerprint(col("text"))).distinct()
