@@ -335,6 +335,21 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Deterministic stratified sampling — downsample the majority
+    // language, keep the rest (class rebalancing with zero RNG state).
+    "x22_stratified_sample" -> ((s, d) =>
+      graft.util.Sampling.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "lang", Map("en" -> 0.25))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Deterministic training-order shuffle: content-hash sort key.
+    "x23_det_shuffle" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.util.Sampling.shuffleKey(col("doc_id")).as("shuffle_key"))
+        .orderBy("shuffle_key")),
+
     // ---------------- multimodal ----------------
 
     // Binary media columns + typed metadata + frame sampling — pure
@@ -499,6 +514,17 @@ object TrainingData {
           FROM dots JOIN norms x ON x.vec_id = va JOIN norms y ON y.vec_id = vb
           WHERE CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) >= 0.3
           ORDER BY va, vb""",
+    "x22_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+                  (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+              FROM documents)
+         SELECT doc_id, lang FROM b
+         WHERE bucket < (CASE WHEN lang = 'en' THEN 64 ELSE 256 END)
+         ORDER BY doc_id""",
+    "x23_det_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents ORDER BY shuffle_key""",
     "x14_mm_features" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS n_bytes,
