@@ -177,9 +177,15 @@ object Dedup {
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val h = md5(col("tok"))
-    val votes = (0 until 32).map(j =>
-      sum(when(substring(h, j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"b$j"))
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    // same dictionary trick as minhashSignatures: hash each distinct
+    // token once, broadcast the ±1 vote table, shuffle only the narrow
+    // (doc_id, tok) rows
+    val dict = tok.select("tok").distinct().select(
+      col("tok") +: (0 until 32).map(j =>
+        when(substring(h, j + 1, 1).isin(oddHex: _*), 1).otherwise(-1).as(s"v$j")): _*)
+    val votes = (0 until 32).map(j => sum(col(s"v$j")).as(s"b$j"))
+    val agg = tok.repartition(col("doc_id")).join(broadcast(dict), Seq("tok"))
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val sig = (0 until 32).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sig.as("simhash"))
