@@ -86,20 +86,33 @@ object Dedup {
   val NumHashes = 32
   val NumBands = 16 // × 2 rows: P(candidate | j=0.5) ≈ 0.99
 
-  /** 32 md5-family minhash signatures per doc. The hash family is
-    * evaluated once per *distinct shingle* (the dictionary) and joined
-    * back to occurrences — corpora repeat shingles heavily, so this cuts
-    * md5 work by the occurrence/dictionary ratio before the one shuffle
-    * on doc_id. */
+  /** 32 md5-family minhash signatures per doc, computed inline per
+    * occurrence row: a single codegen'd projection evaluates the hash
+    * family, then one shuffle on doc_id with map-side combine reduces
+    * each partition to ≤1 row per doc before anything crosses the wire.
+    * Nothing here is corpus-sized — no dictionary, no broadcast — so the
+    * plan is identical at 100 TB (the earlier distinct-shingle-dictionary
+    * variant saved md5 work on repetitive corpora but broadcast a
+    * vocabulary-sized relation: a driver-OOM at scale; see
+    * [[minhashSignaturesDict]] for the documented small-corpus form). */
   def minhashSignatures(shingleTab: DataFrame): DataFrame = {
+    val hashCols = (0 until NumHashes).map(i =>
+      md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i"))
+    val aggs = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
+    shingleTab.select(col("doc_id") +: hashCols: _*)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Small-corpus variant of [[minhashSignatures]]: hash each *distinct*
+    * shingle once and broadcast the dictionary. Cuts md5 work by the
+    * occurrence/vocabulary ratio, but ONLY safe when the vocabulary fits
+    * a broadcast (e.g. a bounded key domain) — never the default for
+    * open-vocabulary text. */
+  def minhashSignaturesDict(shingleTab: DataFrame): DataFrame = {
     val dict = shingleTab.select("sh").distinct().select(
       col("sh") +: (0 until NumHashes).map(i =>
         md5(concat(lit(s"$i|"), col("sh"))).as(s"h$i")): _*)
     val aggs = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"mh$i"))
-    // repartition on doc_id BEFORE the broadcast dict join: only the
-    // narrow (doc_id, sh) rows cross the wire; the 32 hash columns
-    // (~1 KB/row) materialize map-side after the shuffle, and the
-    // aggregation reuses the doc_id partitioning — no wide shuffle.
     shingleTab.repartition(col("doc_id"))
       .join(broadcast(dict), Seq("sh"))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -176,15 +189,16 @@ object Dedup {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val h = md5(col("tok"))
-    // same dictionary trick as minhashSignatures: hash each distinct
-    // token once, broadcast the ±1 vote table, shuffle only the narrow
-    // (doc_id, tok) rows
-    val dict = tok.select("tok").distinct().select(
-      col("tok") +: (0 until 32).map(j =>
-        when(substring(h, j + 1, 1).isin(oddHex: _*), 1).otherwise(-1).as(s"v$j")): _*)
+    // md5 materializes once per occurrence in its own projection (a
+    // named multi-reference non-cheap column stays un-inlined, so the 32
+    // parity votes each read a cached hex digit, not re-run md5); the
+    // groupBy's map-side combine then shuffles ≤1 vote row per doc per
+    // partition — nothing corpus-sized, no broadcast, scale-safe.
+    val hashed = tok.select(col("doc_id"), md5(col("tok")).as("h"))
+    val voteCols = (0 until 32).map(j =>
+      when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1).as(s"v$j"))
     val votes = (0 until 32).map(j => sum(col(s"v$j")).as(s"b$j"))
-    val agg = tok.repartition(col("doc_id")).join(broadcast(dict), Seq("tok"))
+    val agg = hashed.select(col("doc_id") +: voteCols: _*)
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val sig = (0 until 32).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))

@@ -250,12 +250,19 @@ object Relational {
     }),
 
     // SURVEY §2.6 note: set operations (needed by CDC schema evolution
-    // and replay reconciliation) — INTERSECT + EXCEPT over key sets.
+    // and replay reconciliation) — INTERSECT + EXCEPT over key sets,
+    // computed as ONE scan + one groupBy(custkey) flags pass instead of
+    // four scan+filter+distinct subtrees (intersect = in both years,
+    // except = in 1997 only; same result, a quarter of the work).
     "p9_set_ops" -> ((s, d) => {
-      def custs(y: Int) = Tables.orders(s, d)
-        .filter(yr("o_orderdate") === y).select(col("o_custkey").as("custkey")).distinct()
-      custs(1997).intersect(custs(1998)).withColumn("set_op", lit("both"))
-        .unionByName(custs(1997).except(custs(1998)).withColumn("set_op", lit("only_1997")))
+      val flags = Tables.orders(s, d)
+        .filter(yr("o_orderdate").isin(1997, 1998))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(when(yr("o_orderdate") === 1997, 1).otherwise(0)).as("in97"),
+          max(when(yr("o_orderdate") === 1998, 1).otherwise(0)).as("in98"))
+      flags.filter(col("in97") === 1)
+        .select(col("custkey"),
+          when(col("in98") === 1, "both").otherwise("only_1997").as("set_op"))
         .orderBy("set_op", "custkey")
     }),
 
@@ -323,8 +330,14 @@ object Relational {
     // (watermark → extract → clean → dims → replay-safe surrogate keys →
     // partitioned append → QC) into a scratch warehouse, fact read back.
     "k6_pipeline_fact" -> ((s, d) => {
-      val wh = sys.props("java.io.tmpdir") + "/graft_pipeline_wh"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      // unique per-invocation scratch dir: bench, correctness gate and
+      // tests can all run k6 concurrently without racing on one path;
+      // cleaned up at JVM exit (the returned DataFrame reads it lazily,
+      // so it must outlive this call).
+      val whDir = java.nio.file.Files.createTempDirectory("graft_pipeline_wh_")
+      val wh = whDir.toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(whDir.toFile): Unit))
       val report = graft.app.PipelineRunner.run(s, d, wh)
       require(report.qcPassed, s"pipeline QC gate failed: $report")
       s.read.parquet(s"$wh/loan_fact")
@@ -355,11 +368,13 @@ object Relational {
 
     // A18: grouped array aggregation — collect_set made deterministic by
     // sorting (collect order is partition-dependent; the sort is what
-    // makes the result reproducible at any parallelism).
+    // makes the result reproducible at any parallelism). The array is
+    // projected to a pipe-joined string so the result row is hashable by
+    // any harness (array cells aren't).
     "a18_group_arrays" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
@@ -600,7 +615,8 @@ object Relational {
          WHERE levenshtein(a.name, b.name) <= 1
          ORDER BY id_a, id_b""",
     "a18_group_arrays" ->
-      """SELECT o_orderstatus, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      """SELECT o_orderstatus,
+                array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
                 count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "a17_percentiles" ->

@@ -367,10 +367,16 @@ object TrainingData {
     }),
 
     // mapPartitions decode stub (per-partition codec-init shape) —
-    // deterministic fake features; rows-only check.
+    // deterministic fake features. The feat vector explodes to one
+    // scalar row per element so every column is hashable, and the
+    // DuckDB oracle recomputes the per-frame byte statistics from the
+    // hex encoding of the same payload — the "decode" is fully gated.
     "x15_mm_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.asMedia(Tables.documents(s, d)))
-        .toDF().select("doc_id", "n_bytes", "n_frames", "feat").orderBy("doc_id")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+          posexplode_outer(col("feat")).as(Seq("feat_idx", "val")))
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("feat_idx"))))
 
   def oracles: Map[String, String] = Map(
     "x1_dedup_exact" ->
@@ -525,6 +531,31 @@ object TrainingData {
     "x23_det_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key""",
+    // hex-arithmetic decode oracle: byte k of frame i is read out of the
+    // payload's hex string (two nibbles → 0-255), then the per-frame
+    // (mean, min, max) statistics reproduce the stub decode exactly —
+    // mean = sum/64 divides by a power of two, so the double is exact.
+    "x15_mm_decode" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+                    FROM documents),
+          fr AS (SELECT doc_id, n, unnest(generate_series(0, (n - 64) // 48)) AS i
+                 FROM b WHERE n >= 64),
+          byt AS (SELECT f.doc_id, f.i,
+                    (strpos('0123456789ABCDEF', substring(b.hx, (f.i*48 + k.k - 1)*2 + 1, 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substring(b.hx, (f.i*48 + k.k - 1)*2 + 2, 1)) - 1) AS v
+                  FROM fr f JOIN b USING (doc_id) CROSS JOIN generate_series(1, 64) AS k(k)),
+          agg AS (SELECT doc_id, i, SUM(v) / 64.0 AS fmean,
+                         CAST(MIN(v) AS DOUBLE) AS fmin, CAST(MAX(v) AS DOUBLE) AS fmax
+                  FROM byt GROUP BY 1, 2),
+          flat AS (SELECT doc_id, CAST(i*3 + j.j AS INT) AS feat_idx,
+                          CASE j.j WHEN 0 THEN fmean WHEN 1 THEN fmin ELSE fmax END AS val
+                   FROM agg CROSS JOIN generate_series(0, 2) AS j(j)),
+          hdr AS (SELECT doc_id, CAST(n AS INT) AS n_bytes,
+                         CAST(CASE WHEN n >= 64 THEN (n - 64) // 48 + 1 ELSE 0 END AS INT) AS n_frames
+                  FROM b)
+         SELECT h.doc_id, h.n_bytes, h.n_frames, f.feat_idx, f.val
+         FROM hdr h LEFT JOIN flat f USING (doc_id)
+         ORDER BY doc_id, feat_idx""",
     "x14_mm_features" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS n_bytes,

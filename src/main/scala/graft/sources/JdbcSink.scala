@@ -25,9 +25,26 @@ object JdbcSink {
     df.write.mode(SaveMode.Append).format("jdbc")
       .option("url", url).option("dbtable", table).options(props).save()
 
-  /** K2: idempotent per-row upsert, batched per partition. */
-  def upsert(df: DataFrame, url: String, table: String, pk: String): Unit = {
+  /** Identifier allow-list: table/column names reach the SQL text by
+    * interpolation (JDBC can't parameterize identifiers), so anything
+    * outside `[A-Za-z_][A-Za-z0-9_]*` (dot-qualified for tables) is
+    * rejected before a statement is built — CDC-derived names (topic →
+    * table) go through NameNormalizer first; this is the backstop. */
+  private[sources] def checkIdent(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"unsafe SQL identifier: $name")
+    name
+  }
+
+  /** K2: idempotent upsert — UPDATE-first, INSERT the misses — executed
+    * in JDBC batches per partition (one round trip per `batchSize` rows,
+    * not per row). `executeBatch` update counts identify the misses;
+    * drivers that return SUCCESS_NO_INFO re-run those rows one by one. */
+  def upsert(df: DataFrame, url: String, table: String, pk: String,
+             batchSize: Int = 500): Unit = {
     val cols = df.columns.toSeq
+    (table +: cols).foreach(checkIdent)
+    require(cols.contains(pk), s"pk column $pk not in ${cols.mkString(",")}")
     val nonPk = cols.filterNot(_ == pk)
     val updateSql = s"UPDATE $table SET ${nonPk.map(c => s"$c = ?").mkString(", ")} WHERE $pk = ?"
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
@@ -38,15 +55,28 @@ object JdbcSink {
           conn.setAutoCommit(false)
           val up = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
-          rows.foreach { r =>
-            nonPk.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[AnyRef](c)) }
-            up.setObject(nonPk.size + 1, r.getAs[AnyRef](pk))
-            if (up.executeUpdate() == 0) {
-              cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[AnyRef](c)) }
-              ins.executeUpdate()
+          try {
+            def bindUpdate(r: Row): Unit = {
+              nonPk.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[AnyRef](c)) }
+              up.setObject(nonPk.size + 1, r.getAs[AnyRef](pk))
             }
-          }
-          conn.commit()
+            def bindInsert(r: Row): Unit =
+              cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[AnyRef](c)) }
+            rows.grouped(batchSize).foreach { chunk =>
+              chunk.foreach { r => bindUpdate(r); up.addBatch() }
+              val counts = up.executeBatch()
+              var anyInsert = false
+              chunk.iterator.zip(counts.iterator).foreach {
+                case (r, 0) => bindInsert(r); ins.addBatch(); anyInsert = true
+                case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
+                  bindUpdate(r)
+                  if (up.executeUpdate() == 0) { bindInsert(r); ins.addBatch(); anyInsert = true }
+                case _ => ()
+              }
+              if (anyInsert) ins.executeBatch()
+            }
+            conn.commit()
+          } finally { up.close(); ins.close() }
         } finally conn.close()
       }
     }
