@@ -101,12 +101,17 @@ object TrainingData {
             FROM embeddings),
        norms AS (SELECT vec_id, CAST(SUM(q * q) AS DOUBLE) AS nsq FROM e GROUP BY vec_id)"""
 
-  // the full LSH-ANN pipeline in SQL: the ±1 plane weights are the same
-  // driver-side literals the Spark plan folds in, so signatures, buckets,
-  // candidate set and exact re-rank all reproduce bit-for-bit
+  // the full LSH-ANN pipeline in SQL: the ±1 plane weights, plane count
+  // and band geometry are the same driver-side constants the Spark plan
+  // folds in, so signatures, buckets, candidate set and exact re-rank
+  // all reproduce bit-for-bit
   private def annOracleSql: String = {
-    val w = Similarity.planeWeights(64)
-    val rows = (0 until Similarity.NumPlanes).map { p =>
+    val numPlanes = Similarity.NumPlanes
+    val numBands = Similarity.NumBands
+    val bandW = numPlanes / numBands
+    val mask = (1L << bandW) - 1
+    val w = Similarity.planeWeights(64, numPlanes)
+    val rows = (0 until numPlanes).map { p =>
       s"($p, ${(0 until 64).map(d => w(p)(d).toLong).mkString("[", ", ", "]")})"
     }.mkString(", ")
     s"""WITH $embCte,
@@ -114,11 +119,11 @@ object TrainingData {
                   FROM (VALUES $rows) AS t(p, wts)),
        pd AS (SELECT e.vec_id, p, SUM(e.q * wt) AS dot
               FROM e JOIN planes USING (pos) GROUP BY 1, 2),
-       sigs AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS sig
+       sigs AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
                 FROM pd GROUP BY 1),
-       chunks AS (SELECT vec_id, ci,
-                         CASE WHEN ci = 0 THEN sig & 255 ELSE sig >> 8 END AS chunk
-                  FROM sigs CROSS JOIN generate_series(0, 1) AS g(ci)),
+       chunks AS (SELECT vec_id, ci, (sig >> (ci * $bandW)) & $mask AS chunk
+                  FROM sigs CROSS JOIN generate_series(0, ${numBands - 1}) AS g(ci)),
        cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vb
                 FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
                                             AND a.vec_id <> b.vec_id),

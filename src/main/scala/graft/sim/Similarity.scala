@@ -181,44 +181,75 @@ object Similarity {
 
   // ---------------- LSH (random hyperplanes) ----------------
 
-  val NumPlanes = 16
+  /** Default signature geometry: 32 hyperplanes split into 4 bands of
+    * 8 bits (Charikar signatures bucketed MinHash-style). Candidates
+    * must agree on at least one full band, so per-band bucket count is
+    * 2^(numPlanes/numBands) — widen the bands as the corpus grows (see
+    * [[adaptivePlanes]]) to keep bucket size, and therefore the bucket
+    * self-join, bounded. The earlier fixed 16-bit/2-chunk geometry
+    * capped buckets at 256 per chunk: candidate volume grew ~n²/256. */
+  val NumPlanes = 32
+  val NumBands = 4
 
-  /** Deterministic pseudo-random ±1 hyperplane weights (seed 42).
-    * Driver-side literals — the oracle-SQL generator embeds them. */
-  private[graft] def planeWeights(dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  /** Signature width that scales with corpus size: per-band bucket
+    * count 2^w ≈ n / targetBucket, so expected bucket size stays
+    * ~targetBucket as n grows (w capped at 15 so numBands·w fits a
+    * long; beyond that raise numBands too). Returns total planes =
+    * numBands · w. */
+  def adaptivePlanes(n: Long, numBands: Int = NumBands, targetBucket: Int = 16): Int = {
+    val w = math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    numBands * math.min(15, math.max(8, w))
   }
 
-  /** 16-bit signature: bit p = sign(w_p · v), computed as exact integer
-    * dots of the quantized elements against a broadcast ±1 weight table
-    * — one codegen'd join+aggregate, bit-reproducible on any engine
-    * given the same weight literals (the oracle embeds them). */
-  def signatures(emb: DataFrame, dim: Int): DataFrame = {
+  /** Deterministic pseudo-random ±1 hyperplane weights (seed 42).
+    * Driver-side literals — the oracle-SQL generator embeds them. A
+    * wider family shares its prefix with a narrower one (same stream). */
+  private[graft] def planeWeights(dim: Int, numPlanes: Int = NumPlanes): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** numPlanes-bit signature (a long): bit p = sign(w_p · v), computed
+    * as exact integer dots of the quantized elements against a broadcast
+    * ±1 weight table — one codegen'd join+aggregate, bit-reproducible on
+    * any engine given the same weight literals (the oracle embeds them).
+    * The weight table is numPlanes × dim literals — bounded, never
+    * corpus-sized, so the broadcast is safe at any scale. */
+  def signatures(emb: DataFrame, dim: Int, numPlanes: Int = NumPlanes): DataFrame = {
     val sp = emb.sparkSession
     import sp.implicits._
-    val w = planeWeights(dim)
-    val wDf = (for { p <- 0 until NumPlanes; d <- 0 until dim }
+    val w = planeWeights(dim, numPlanes)
+    val wDf = (for { p <- 0 until numPlanes; d <- 0 until dim }
       yield (p, d, w(p)(d).toLong)).toDF("p", "pos", "wt")
     val pd = elements(emb).join(broadcast(wDf), Seq("pos"))
       .groupBy("vec_id", "p").agg(sum(col("qv") * col("wt")).as("dot"))
     pd.groupBy("vec_id")
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(1, p)")).otherwise(0))
-        .cast("int").as("sig"))
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        .otherwise(0L)).as("sig"))
   }
 
-  /** ANN: candidates share a signature half (hamming ≤ 1 pigeonhole on two
-    * 8-bit chunks), then exact cosine + top-k within candidates only.
-    * Candidate generation carries only ids (never the vectors) through
-    * the bucket join and distinct; dots and norms join in afterwards. */
-  def annTopK(emb: DataFrame, dim: Int, k: Int): DataFrame = {
-    val sig = signatures(emb, dim)
-    val chunked = sig.select(col("vec_id"),
-      posexplode(array(col("sig").bitwiseAND(255), shiftright(col("sig"), 8)))
-        .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("vec_id").as("qid"), col("chunk_idx"), col("chunk"))
-    val b = chunked.select(col("vec_id").as("vb"), col("chunk_idx"), col("chunk"))
-    val cand = a.join(b, Seq("chunk_idx", "chunk")).filter(col("qid") =!= col("vb"))
+  /** (vec_id, band_idx, band): the LSH bucket table — numBands bands of
+    * numPlanes/numBands bits each. */
+  def sigBands(sig: DataFrame, numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
+    val w = numPlanes / numBands
+    val mask = (1L << w) - 1
+    sig.select(col("vec_id"),
+      posexplode(array((0 until numBands).map(b =>
+        shiftrightunsigned(col("sig"), b * w).bitwiseAND(mask)): _*))
+        .as(Seq("band_idx", "band")))
+  }
+
+  /** ANN: candidates share at least one signature band, then exact
+    * cosine + top-k within candidates only. Candidate generation carries
+    * only ids (never the vectors) through the bucket join and distinct;
+    * dots and norms join in afterwards. Geometry is parameterized —
+    * pass `adaptivePlanes(n)` to keep bucket sizes bounded at scale. */
+  def annTopK(emb: DataFrame, dim: Int, k: Int,
+              numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
+    val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)
+    val a = banded.select(col("vec_id").as("qid"), col("band_idx"), col("band"))
+    val b = banded.select(col("vec_id").as("vb"), col("band_idx"), col("band"))
+    val cand = a.join(b, Seq("band_idx", "band")).filter(col("qid") =!= col("vb"))
       .select("qid", "vb").distinct()
     val n = norms(emb)
     val scored = pairDots(cand, emb, emb, "qid", "vb")

@@ -35,6 +35,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits > 0, s"ANN recall should be non-zero (got $hits/${ann.size})")
   }
 
+  test("wider LSH bands create more buckets and prune candidates harder") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200).cache()
+    def stats(planes: Int, bands: Int): (Long, Long) = {
+      val banded = Similarity.sigBands(
+        Similarity.signatures(emb, 64, planes), planes, bands).cache()
+      val buckets = banded.select("band_idx", "band").distinct().count()
+      val a = banded.select(col("vec_id").as("qid"), col("band_idx"), col("band"))
+      val b = banded.select(col("vec_id").as("vb"), col("band_idx"), col("band"))
+      val cands = a.join(b, Seq("band_idx", "band"))
+        .filter(col("qid") < col("vb")).select("qid", "vb").distinct().count()
+      (buckets, cands)
+    }
+    val (narrowBuckets, narrowCands) = stats(16, 2) // two 8-bit bands
+    val (wideBuckets, wideCands) = stats(32, 2)     // two 16-bit bands
+    // bucket cardinality must grow with signature width — that is what
+    // keeps bucket size (and the bucket self-join) bounded as n scales
+    assert(wideBuckets > narrowBuckets,
+      s"wide=$wideBuckets narrow=$narrowBuckets")
+    assert(wideCands <= narrowCands,
+      s"wide=$wideCands narrow=$narrowCands")
+  }
+
   test("ivfTopK with nprobe = nlist is exactly brute force; fewer probes keep recall") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200).cache()
     val queries = emb.filter(col("vec_id") < 5)
