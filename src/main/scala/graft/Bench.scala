@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
   * Per query: one untimed warmup run (Catalyst planning, whole-stage
-  * codegen compilation, JIT), a cache clear, then the timed run. Warming
-  * immediately before timing matters: Spark's generated-class cache
-  * holds ~100 entries, so with 60+ multi-stage queries a single global
-  * warmup pass gets evicted before the timed pass returns — per-query
-  * warmup measures steady-state execution (what a long-lived cluster
-  * amortizes to), while the cache clear makes the timed run re-do all
-  * real work including rebuilding any DataFrame caches.
+  * codegen compilation, JIT), then THREE timed runs — the reported
+  * number is the median. Warming immediately before timing matters:
+  * Spark's generated-class cache holds ~100 entries, so with 60+
+  * multi-stage queries a single global warmup pass gets evicted before
+  * the timed pass returns. The median absorbs single-run JVM noise
+  * (GC, metaspace growth, JIT recompiles) that made trivially-planned
+  * queries swing 5-10× between earlier rounds; each timed run starts
+  * from a cleared cache so it re-does all real work including
+  * rebuilding any DataFrame caches.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,11 +28,14 @@ object Bench {
     val results = names.map { n =>
       try { SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => }
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      n -> (System.nanoTime() - t0) / 1e9
+      def timedRun(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      n -> Seq.fill(3)(timedRun()).sorted.apply(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

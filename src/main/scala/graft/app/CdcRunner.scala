@@ -48,9 +48,23 @@ object CdcRunner {
       .getOrCreate()
     val source = CdcStream.kafkaSource(spark, bootstrap, topic)
     val table = CdcStream.routeTable(topic)
+    // T7: poison rows land in <table>_quarantine instead of failing the
+    // micro-batch; counters surface merged/quarantined totals.
+    val counters = CdcStream.newCounters(spark)
     val query = CdcStream.run(
       source, StructType.fromDDL(schemaDdl), topic,
-      new JdbcUpsertSink(jdbcUrl, table), checkpointDir).start()
+      new JdbcUpsertSink(jdbcUrl, table), checkpointDir,
+      deadLetter = Some(new JdbcUpsertSink(jdbcUrl, s"${table}_quarantine")),
+      counters = Some(counters)).start()
+    // T6 (`mongo_postgres_cdc.py:403-412` intent): SIGTERM/SIGINT stop
+    // the query cleanly — the in-flight micro-batch finishes and offsets
+    // commit, so restart resumes exactly after the last completed batch.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try query.stop()
+      catch { case _: Exception => () }
+      System.err.println(
+        s"[graft-cdc] stopped: merged=${counters.merged.value} quarantined=${counters.quarantined.value}")
+    }))
     query.awaitTermination()
   }
 }

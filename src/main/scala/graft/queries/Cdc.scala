@@ -83,7 +83,7 @@ object Cdc {
         to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("json"))
       CdcStream.transform(raw, org.apache.spark.sql.types.StructType.fromDDL(
           "event_id BIGINT, user_id BIGINT, event_type STRING"), "events")
-        .drop("processed_at")
+        .drop("processed_at", CdcStream.ParseErrorCol)
         .orderBy("event_id")
     }))
 

@@ -32,6 +32,22 @@ object CdcStream {
       batch.collect().foreach(r => state.put(r.getAs[String](pkCol), r))
   }
 
+  /** Source-order metadata carried through the transform so the
+    * within-batch last-write-wins dedup has a deterministic tiebreak
+    * (Kafka partition/offset = arrival order, as the reference's
+    * sequential consumer implied). Names are pre-normalized (lowercase,
+    * underscores) so NameNormalizer passes them through unchanged. */
+  val SrcPartitionCol = "__graft_src_partition"
+  val SrcOffsetCol = "__graft_src_offset"
+
+  /** Marker set by [[transform]] when `from_json` could not parse the
+    * payload — the T7 dead-letter routing criterion. PERMISSIVE-mode
+    * `from_json` never yields a null struct in Spark 3+ (malformed ⇒
+    * all-null fields), so detection goes through a corrupt-record
+    * column appended to the parse schema. */
+  val ParseErrorCol = "__graft_parse_error"
+  private val CorruptCol = "__graft_corrupt"
+
   /** S4 (`mongo_postgres_cdc.py:382-401`): Kafka source with earliest reset.
     * maxOffsetsPerTrigger bounds batch size like the reference's
     * max_poll_records, but per-trigger across all partitions. */
@@ -43,7 +59,8 @@ object CdcStream {
       .option("startingOffsets", "earliest")
       .option("maxOffsetsPerTrigger", maxPerTrigger)
       .load()
-      .select(col("topic"), col("value").cast("string").as("json"))
+      .select(col("topic"), col("value").cast("string").as("json"),
+        col("partition").as(SrcPartitionCol), col("offset").as(SrcOffsetCol))
 
   /** P7 (`mongo_postgres_cdc.py:76-88`): substring topic→table routing. */
   def routeTable(topic: String): String = {
@@ -54,14 +71,28 @@ object CdcStream {
     else NameNormalizer.normalize(topic)
   }
 
+  private def orderingCols(df: DataFrame): Seq[String] =
+    Seq(SrcPartitionCol, SrcOffsetCol).filter(df.columns.contains)
+
   /** The batch-shape transform (pure, reused by tests and the stream):
-    * json string + topic → flattened, normalized, keyed, metadata-stamped. */
+    * json string + topic → flattened, normalized, keyed, metadata-stamped.
+    * Source-order columns ([[SrcPartitionCol]]/[[SrcOffsetCol]]), when the
+    * source carries them, pass through for the LWW tiebreak. */
   def transform(raw: DataFrame, payloadSchema: DataType, topic: String): DataFrame = {
     // the raw payload travels under an internal name so the reserved-name
     // policy (F20) can't rename the real metadata column
+    val keep = col("json").as("__graft_raw") +: orderingCols(raw).map(col)
+    val (parseSchema, parseError) = payloadSchema match {
+      case st: StructType =>
+        (st.add(CorruptCol, org.apache.spark.sql.types.StringType),
+          col(s"payload.$CorruptCol").isNotNull)
+      case dt => (dt, col("payload").isNull)
+    }
     val parsed = raw
-      .withColumn("payload", from_json(col("json"), payloadSchema))
-      .select(col("json").as("__graft_raw"), col("payload.*"))
+      .withColumn("payload", from_json(col("json"), parseSchema,
+        Map("columnNameOfCorruptRecord" -> CorruptCol)))
+      .select(keep :+ parseError.as(ParseErrorCol) :+ col("payload.*"): _*)
+      .drop(CorruptCol)
     val flat = JsonFlatten.flatten(parsed)
     val normalized = NameNormalizer(flat)
     PkExtractor.withPrimaryKey(normalized)
@@ -79,10 +110,15 @@ object CdcStream {
   def transformInferred(raw: DataFrame, topic: String): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
+    // empty micro-batches are routine in streaming: inference over zero
+    // rows yields a fieldless schema and `payload.*` expands to nothing,
+    // so short-circuit — the caller's merge has nothing to do anyway
+    if (raw.isEmpty) return raw
     val inferred = spark.read.json(raw.select(col("json")).as[String])
+    val keep = col("json").as("__graft_raw") +: orderingCols(raw).map(col)
     val parsed = raw.withColumn("payload",
         from_json(col("json"), inferred.schema))
-      .select(col("json").as("__graft_raw"), col("payload.*"))
+      .select(keep :+ col("payload.*"): _*)
     val flat = JsonFlatten.flatten(parsed)
     val normalized = NameNormalizer(flat)
     PkExtractor.withPrimaryKey(normalized)
@@ -96,22 +132,87 @@ object CdcStream {
   def evolution(batch: DataFrame, knownColumns: Set[String]): Seq[org.apache.spark.sql.types.StructField] =
     batch.schema.fields.toSeq.filterNot(f => knownColumns.contains(f.name))
 
+  /** Within-batch last-write-wins dedup. "Last" = highest source
+    * (offset, partition) when the source carries them ([[kafkaSource]]
+    * does) — that is arrival order, as the reference's sequential
+    * consumer upsert implied (`mongo_postgres_cdc.py:359-380`), and it
+    * is stable under ANY repartitioning of the batch. Sources without
+    * offsets (test MemoryStreams, files) fall back to
+    * `monotonically_increasing_id` — best-effort arrival order, only
+    * deterministic for a single-partition batch. */
+  def dedupLastWrite(batch: DataFrame, pk: String = "kafka_primary_key"): DataFrame = {
+    val present = Seq(SrcOffsetCol, SrcPartitionCol).filter(batch.columns.contains)
+    val ord =
+      if (present.nonEmpty) present.map(col(_).desc)
+      else Seq(monotonically_increasing_id().desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk).orderBy(ord: _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** T7 error counters: rows merged vs rows quarantined — the Spark
+    * shape of the reference's per-message error/backoff counters
+    * (`mongo_postgres_cdc.py:439-453,462-464`), visible in the UI and
+    * queryable after/while the stream runs. */
+  case class Counters(merged: org.apache.spark.util.LongAccumulator,
+                      quarantined: org.apache.spark.util.LongAccumulator)
+
+  def newCounters(spark: SparkSession): Counters = Counters(
+    spark.sparkContext.longAccumulator("cdc_rows_merged"),
+    spark.sparkContext.longAccumulator("cdc_rows_quarantined"))
+
+  private def quarantineFrame(rows: DataFrame, pk: String, reason: String): DataFrame =
+    rows.select(col(pk), col("raw_data"), col("kafka_topic"),
+      lit(reason).as("error"), current_timestamp().as("failed_at"))
+
   /** Wire the full stream: dedup within watermark, then merge per batch.
-    * `AvailableNow` drains a backlog and stops (catch-up mode, T1). */
+    * `AvailableNow` drains a backlog and stops (catch-up mode, T1).
+    *
+    * T7 dead-letter (`mongo_postgres_cdc.py:439-453` intent): with a
+    * `deadLetter` sink, rows whose payload failed to parse are routed to
+    * quarantine (pk + raw payload + reason) instead of landing as
+    * all-null rows, and a merge failure quarantines the failed batch and
+    * lets the stream continue — one poison message no longer fails the
+    * micro-batch, matching the reference's count-and-continue loop.
+    * Without a `deadLetter` sink, behavior is strict: merge errors
+    * propagate and stop the stream. */
   def run(source: DataFrame, payloadSchema: DataType, topic: String,
           sink: UpsertSink, checkpointDir: String,
-          availableNow: Boolean = false): DataStreamWriter[Row] = {
+          availableNow: Boolean = false,
+          deadLetter: Option[UpsertSink] = None,
+          counters: Option[Counters] = None): DataStreamWriter[Row] = {
     val shaped = transform(source, payloadSchema, topic)
     val writer = shaped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // last-write-wins inside the batch, then idempotent merge (D2/T2)
         val pk = "kafka_primary_key"
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(pk).orderBy(monotonically_increasing_id().desc)
-        val deduped = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        sink.merge(deduped, pk)
+        val deduped = dedupLastWrite(batch, pk)
+        val hasMarker = deduped.columns.contains(ParseErrorCol)
+        val good = (if (hasMarker && deadLetter.isDefined)
+            deduped.filter(!col(ParseErrorCol)) else deduped)
+          .drop(ParseErrorCol, SrcPartitionCol, SrcOffsetCol)
+        deadLetter.foreach { dl =>
+          if (hasMarker) {
+            val bad = deduped.filter(col(ParseErrorCol))
+            val n = bad.count()
+            if (n > 0) {
+              dl.merge(quarantineFrame(bad, pk, "parse_error"), pk)
+              counters.foreach(_.quarantined.add(n))
+            }
+          }
+        }
+        try {
+          sink.merge(good, pk)
+          counters.foreach(_.merged.add(good.count()))
+        } catch {
+          case e: Exception if deadLetter.isDefined =>
+            val dl = deadLetter.get
+            val reason = s"merge_failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(500)}"
+            dl.merge(quarantineFrame(good, pk, reason), pk)
+            counters.foreach(_.quarantined.add(good.count()))
+        }
       }
     if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer
   }

@@ -61,4 +61,58 @@ class CdcJdbcEndToEndSpec extends SparkSpecBase {
       assert(topic === "mongo.loan_applications")
     } finally q.stop()
   }
+
+  test("T7 dead-letter: poison rows quarantine, good rows land, stream survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      for (ddl <- Seq(
+        """CREATE TABLE dlq_events (
+             raw_data VARCHAR(1024), id BIGINT, name VARCHAR(16), amount DOUBLE,
+             kafka_primary_key VARCHAR(64) PRIMARY KEY, kafka_topic VARCHAR(128),
+             processed_at TIMESTAMP)""",
+        """CREATE TABLE dlq_events_quarantine (
+             kafka_primary_key VARCHAR(64) PRIMARY KEY, raw_data VARCHAR(1024),
+             kafka_topic VARCHAR(128), error VARCHAR(600), failed_at TIMESTAMP)"""))
+        try conn.createStatement().execute(ddl)
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => }
+    } finally conn.close()
+
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_dlq").toString
+    val counters = CdcStream.newCounters(spark)
+    val q = CdcStream.run(
+      input.toDF().withColumnRenamed("value", "json"),
+      payloadSchema, "dlq.events",
+      new CdcRunner.JdbcUpsertSink(url, "dlq_events"), ckpt,
+      deadLetter = Some(new CdcRunner.JdbcUpsertSink(url, "dlq_events_quarantine")),
+      counters = Some(counters)).start()
+    try {
+      // batch 1: one good row + one malformed-JSON poison row (fully
+      // unparseable — a merely-truncated object can still yield a
+      // partial result under spark.sql.json.enablePartialResults)
+      input.addData(
+        """{"id": 10, "name": "ok", "amount": 1.0}""",
+        """not json at all {{{""")
+      q.processAllAvailable()
+      assert(query("SELECT count(*) FROM dlq_events")(r => { r.next(); r.getLong(1) }) === 1L)
+      assert(query("SELECT error FROM dlq_events_quarantine")(r => { r.next(); r.getString(1) })
+        === "parse_error")
+
+      // batch 2: a row the SINK rejects (name wider than VARCHAR(16)) —
+      // the merge failure quarantines the batch and the stream survives
+      input.addData(s"""{"id": 12, "name": "${"x" * 64}", "amount": 2.0}""")
+      q.processAllAvailable()
+      assert(query("SELECT count(*) FROM dlq_events_quarantine WHERE error LIKE 'merge_failed%'")(
+        r => { r.next(); r.getLong(1) }) === 1L)
+
+      // batch 3: the stream is still alive and still lands good rows
+      input.addData("""{"id": 13, "name": "alive", "amount": 3.0}""")
+      q.processAllAvailable()
+      assert(query("SELECT count(*) FROM dlq_events")(r => { r.next(); r.getLong(1) }) === 2L)
+      assert(counters.merged.value === 2L)
+      assert(counters.quarantined.value === 2L)
+    } finally q.stop()
+  }
 }

@@ -43,6 +43,31 @@ class CdcStreamSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("LWW tiebreak by source offset is stable under any repartitioning") {
+    import spark.implicits._
+    // same pk three times, landed across two source partitions; the
+    // winner must be the highest (offset, partition) regardless of how
+    // the batch is physically partitioned at dedup time
+    val rows = Seq(
+      ("k1", "stale", 0, 7L), ("k1", "winner", 1, 9L), ("k1", "old", 1, 3L),
+      ("k2", "only", 0, 1L))
+      .toDF("kafka_primary_key", "name", CdcStream.SrcPartitionCol, CdcStream.SrcOffsetCol)
+    def winners(parts: Int): Map[String, String] =
+      CdcStream.dedupLastWrite(rows.repartition(parts))
+        .select("kafka_primary_key", "name").as[(String, String)].collect().toMap
+    val expected = Map("k1" -> "winner", "k2" -> "only")
+    assert(winners(1) === expected)
+    assert(winners(4) === expected)
+    assert(winners(32) === expected)
+  }
+
+  test("transformInferred short-circuits an empty micro-batch") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("json")
+    val out = CdcStream.transformInferred(empty, "t")
+    assert(out.count() === 0) // no payload.* explosion, no PkExtractor failure
+  }
+
   test("per-batch schema inference + evolution: new fields become ADD COLUMNs") {
     import spark.implicits._
     val batch1 = CdcStream.transformInferred(
