@@ -310,6 +310,86 @@ object TrainingData {
             lit("#section"))).as("canon_url"))
         .orderBy("doc_id")),
 
+    // PII redaction — scrub emails / IPv4s / phone numbers before a
+    // corpus ships. The documents table carries no PII, so the query
+    // plants deterministic PII derived from doc_id and scrubs it back
+    // out (round-trip proves the op; the regexes are the real thing).
+    "x24_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.redactPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))).as("clean"))
+        .orderBy("doc_id")),
+
+    // Within-document repetition ratio — duplicate 3-gram fraction, the
+    // boilerplate/looping-text signal of curation rule sets.
+    "x25_repetition" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.repetitionRatio(TextFunctions.tokens(col("text")), 3).as("rep_ratio"))
+        .orderBy("doc_id")),
+
+    // Rule-based document statistics + keep/drop flag (mean token
+    // length, numeric-token fraction, symbols per token, length floor) —
+    // the heuristic-rules companion to the x8 score, all per-row math.
+    "x26_quality_rules" -> ((s, d) => {
+      val t = TextFunctions.tokens(col("text"))
+      val n = size(t)
+      val nD = greatest(n, lit(1)).cast("double")
+      val meanLen = aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / nD
+      val numFrac = size(filter(t, x => x.rlike("^[0-9]+$"))).cast("double") / nD
+      val symPerTok = TextFunctions.punctCount(col("text")).cast("double") / nD
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(meanLen, 6).as("mean_tok_len"),
+        round(numFrac, 6).as("numeric_frac"),
+        round(symPerTok, 6).as("symbol_per_tok"),
+        n.as("n_tokens"),
+        (meanLen.between(3.0, 10.0) && symPerTok < 1.0 &&
+          numFrac < 0.3 && n >= 10).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing — concat-and-split batch assembly for training:
+    // documents stream in deterministic shuffle order, each starts at
+    // its running token offset, bin = offset / budget. The global-order
+    // prefix sum is one range-partitioned window (Spark sorts by range
+    // at scale — no single-task funnel until the final ordered write).
+    "x27_seq_pack" -> ((s, d) => {
+      val budget = 512
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+        graft.util.Sampling.shuffleKey(col("doc_id")).as("sk"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("sk")
+      base
+        .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          floor(col("start_offset") / budget).as("bin_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination — flag training documents sharing any
+    // 5-gram with the benchmark set (stand-in: every 20th document).
+    // Candidate generation is a semi-join on the shingle — one shuffle
+    // keyed by n-gram, never an all-pairs comparison.
+    "x28_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh5 = Dedup.docShingles(docs, n = 5)
+      val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+      val train = sh5.filter(col("doc_id") % 20 =!= 0)
+      val hits = train.join(bench, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("h"))
+      docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          (coalesce(col("h"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- similarity search ----------------
 
     // Brute-force exact cosine top-5 for a small query set.
@@ -536,6 +616,72 @@ object TrainingData {
     "x23_det_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key""",
+    "x24_pii_redact" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
+    "x25_repetition" ->
+      s"""WITH $posShingleCte,
+          agg AS (SELECT doc_id, count(*) AS total, count(DISTINCT sh) AS dn
+                  FROM shp GROUP BY doc_id)
+         SELECT d.doc_id,
+                round(CASE WHEN a.total > 0
+                           THEN CAST(a.total - a.dn AS DOUBLE) / CAST(a.total AS DOUBLE)
+                           ELSE 0.0 END, 6) AS rep_ratio
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+    "x26_quality_rules" ->
+      s"""WITH $tokCte,
+          m AS (SELECT doc_id,
+                  CAST(len(t) AS INT) AS n_tokens,
+                  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                    / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_len,
+                  CAST(len(list_filter(t, x -> regexp_full_match(x, '[0-9]+'))) AS DOUBLE)
+                    / CAST(greatest(len(t), 1) AS DOUBLE) AS num_frac
+                FROM tok),
+          p AS (SELECT doc_id,
+                  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS np
+                FROM documents)
+         SELECT m.doc_id,
+                round(mean_len, 6) AS mean_tok_len,
+                round(num_frac, 6) AS numeric_frac,
+                round(np / CAST(greatest(m.n_tokens, 1) AS DOUBLE), 6) AS symbol_per_tok,
+                m.n_tokens AS n_tokens,
+                CAST(mean_len BETWEEN 3.0 AND 10.0
+                     AND np / CAST(greatest(m.n_tokens, 1) AS DOUBLE) < 1.0
+                     AND num_frac < 0.3 AND m.n_tokens >= 10 AS INT) AS keep
+         FROM m JOIN p USING (doc_id) ORDER BY m.doc_id""",
+    "x27_seq_pack" ->
+      """WITH b AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS sk
+                FROM documents),
+          s AS (SELECT doc_id, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY sk ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+                FROM b)
+         SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+                CAST(start_offset // 512 AS BIGINT) AS bin_id
+         FROM s ORDER BY doc_id""",
+    "x28_decontam" ->
+      s"""WITH $tokCte,
+          xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+                 FROM tok WHERE len(t) >= 5),
+          sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM xg),
+          bench AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 20 = 0),
+          hits AS (SELECT doc_id, count(*) AS n_hits FROM sh5
+                   WHERE doc_id % 20 <> 0 AND sh IN (SELECT sh FROM bench)
+                   GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS is_contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""",
     // hex-arithmetic decode oracle: byte k of frame i is read out of the
     // payload's hex string (two nibbles → 0-255), then the per-frame
     // (mean, min, max) statistics reproduce the stub decode exactly —

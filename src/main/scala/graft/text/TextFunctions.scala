@@ -90,6 +90,33 @@ object TextFunctions {
     regexp_replace(concat(prefix, rest), "/$", "")
   }
 
+  /** PII redaction for training-corpus scrubbing: emails, IPv4 addresses
+    * and +-prefixed phone numbers replaced by typed placeholders. Pure
+    * regex passes (RE2-compatible, so the oracle reproduces them); order
+    * matters — emails first (their local part may contain digits), then
+    * IPs, then phones (anchored on the leading '+' so they cannot eat
+    * IP octets). */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noIp = regexp_replace(noEmail,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(noIp, "\\+\\d[\\d-]{6,}\\d", "<PHONE>")
+  }
+
+  /** Within-document repetition: fraction of positional n-gram shingles
+    * that are duplicates (1 - distinct/total) — the repetition signal
+    * boilerplate-heavy documents trip in curation rule sets. 0 for
+    * documents too short to shingle. Pure per-row expressions: no
+    * cross-row work at all, so it costs one projection at any scale. */
+  def repetitionRatio(tok: Column, n: Int = 3): Column = {
+    val sh = shingles(tok, n)
+    val total = size(sh)
+    round(when(total > 0,
+      (total - size(array_distinct(sh))).cast("double") / total.cast("double"))
+      .otherwise(0.0), 6)
+  }
+
   /** Heuristic quality score in [0,1]: rewards length (up to 100 tokens),
     * penalizes punctuation density, rewards stopword naturalness. */
   def qualityScore(text: Column): Column = {

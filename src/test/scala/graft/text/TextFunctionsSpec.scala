@@ -58,6 +58,21 @@ class TextFunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("redactPii masks emails, IPs and phones, leaves prose intact") {
+    val got = one("mail a.b+c@x-corp.io or +1-555-0101 from 10.0.3.7, keep v1.2 and 2024")
+      .select(redactPii(col("text"))).first().getString(0)
+    assert(got === "mail <EMAIL> or <PHONE> from <IP>, keep v1.2 and 2024")
+  }
+
+  test("repetitionRatio: 0 for short/unique text, rises with duplicate shingles") {
+    def ratio(s: String): Double =
+      one(s).select(repetitionRatio(tokens(col("text")))).first().getDouble(0)
+    assert(ratio("too short") === 0.0)
+    assert(ratio("all tokens here are unique today") === 0.0)
+    // "a b c a b c a b c": 7 shingles, 3 distinct -> 4/7
+    assert(math.abs(ratio("a b c a b c a b c") - 4.0 / 7.0) < 1e-6)
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val fps = Seq("Hello  World", "hello world", " HELLO\tWORLD ")
       .toDF("text").select(fingerprint(col("text"))).distinct()
