@@ -435,6 +435,31 @@ object TrainingData {
           graft.util.Sampling.shuffleKey(col("doc_id")).as("shuffle_key"))
         .orderBy("shuffle_key")),
 
+    // Random projection (Johnson-Lindenstrauss) — reduce 64-dim
+    // embeddings to 8 exact fixed-point coordinates; the storage/compute
+    // reduction step before indexing a 100 TB embedding corpus.
+    "x29_rand_proj" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d), 64, 8)
+        .orderBy("vec_id", "proj_dim")),
+
+    // Token-rarity profile — per document, how common its vocabulary is
+    // across the corpus (mean/min document frequency of its distinct
+    // tokens). The rarity signal curation uses to spot gibberish (df→1)
+    // and boilerplate (df→n). One shuffle keyed by token, then one by
+    // doc — integer math throughout.
+    "x30_token_rarity" -> ((s, d) => {
+      val dtok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      val dfTab = dtok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      dtok.join(dfTab, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          round(sum(col("df")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_df"),
+          min(col("df")).as("min_df"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- multimodal ----------------
 
     // Binary media columns + typed metadata + frame sampling — pure
@@ -616,6 +641,27 @@ object TrainingData {
     "x23_det_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key""",
+    "x29_rand_proj" -> {
+      val outDim = 8
+      val w = Similarity.planeWeights(64, outDim)
+      val rows = (0 until outDim).map { p =>
+        s"($p, ${(0 until 64).map(d => w(p)(d).toLong).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      s"""WITH $embCte,
+          planes AS (SELECT p, unnest(wts) AS wt, unnest(generate_series(1, 64)) AS pos
+                     FROM (VALUES $rows) AS t(p, wts))
+         SELECT e.vec_id, p AS proj_dim, CAST(SUM(e.q * wt) AS BIGINT) AS v
+         FROM e JOIN planes USING (pos) GROUP BY 1, 2 ORDER BY vec_id, proj_dim"""
+    },
+    "x30_token_rarity" ->
+      """WITH dtok AS (SELECT DISTINCT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                       FROM documents),
+          dfv AS (SELECT tok, count(DISTINCT doc_id) AS df FROM dtok GROUP BY tok)
+         SELECT doc_id, count(*) AS n_distinct_tokens,
+                round(CAST(SUM(df) AS DOUBLE) / count(*), 6) AS mean_df,
+                min(df) AS min_df
+         FROM dtok JOIN dfv USING (tok) GROUP BY doc_id ORDER BY doc_id""",
     "x24_pii_redact" ->
       """SELECT doc_id,
                 regexp_replace(

@@ -228,6 +228,25 @@ object Similarity {
         .otherwise(0L)).as("sig"))
   }
 
+  /** Johnson-Lindenstrauss-style random projection to `outDim`
+    * dimensions with deterministic ±1 weights (the dense Achlioptas
+    * variant): long-form output (vec_id, proj_dim, v) where v is the
+    * EXACT fixed-point integer dot of the quantized vector against the
+    * weight row — no floats anywhere, so the reduced representation is
+    * bit-identical on every engine and partitioning. The weight table
+    * is outDim × dim literals (bounded broadcast); the reduce is one
+    * codegen'd join + map-side-combined aggregate. */
+  def randomProjection(emb: DataFrame, dim: Int, outDim: Int): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val w = planeWeights(dim, outDim)
+    val wDf = (for { p <- 0 until outDim; d <- 0 until dim }
+      yield (p, d, w(p)(d).toLong)).toDF("p", "pos", "wt")
+    elements(emb).join(broadcast(wDf), Seq("pos"))
+      .groupBy(col("vec_id"), col("p").as("proj_dim"))
+      .agg(sum(col("qv") * col("wt")).as("v"))
+  }
+
   /** (vec_id, band_idx, band): the LSH bucket table — numBands bands of
     * numPlanes/numBands bits each. */
   def sigBands(sig: DataFrame, numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {

@@ -73,6 +73,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(part.toSet.intersect(exact).nonEmpty)
   }
 
+  test("randomProjection: outDim exact coords per vector, partition-invariant") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
+    def proj(parts: Int): Map[(Long, Int), Long] =
+      Similarity.randomProjection(emb.repartition(parts), 64, 8)
+        .as[(Long, Int, Long)].collect().map { case (v, p, x) => (v, p) -> x }.toMap
+    val p1 = proj(1)
+    assert(p1.size === 50 * 8)
+    assert(proj(16) === p1) // integer dots: bit-identical at any parallelism
+  }
+
   test("ivfIndex assigns every vector to exactly one of nlist clusters") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
     val (_, assignments) = Similarity.ivfIndex(emb, nlist = 4, iters = 1)
