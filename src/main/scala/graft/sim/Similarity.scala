@@ -123,9 +123,14 @@ object Similarity {
 
   /** Assign every vector to its max-inner-product centroid.
     * `centroids`: (cluster, pos, cq) long-format fixed-point vectors.
-    * Ties break to the lowest cluster id — fully deterministic. */
+    * Ties break to the lowest cluster id — fully deterministic.
+    * The join key `pos` has only `dim` distinct values — as a shuffle
+    * join it would funnel the whole element table through ≤dim skewed
+    * partitions. Centroids are bounded (nlist × dim ≈ √n·dim rows at
+    * the recommended nlist), so they broadcast and the elements never
+    * move. */
   private def assign(el: DataFrame, centroids: DataFrame): DataFrame = {
-    val dots = el.join(centroids, Seq("pos"))
+    val dots = el.join(broadcast(centroids), Seq("pos"))
       .groupBy("vec_id", "cluster").agg(sum(col("qv") * col("cq")).as("dot"))
     dots.withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("dot"), col("cluster"))))
@@ -142,7 +147,7 @@ object Similarity {
     val el = elements(emb).cache()
     val seedIds = emb.select("vec_id").orderBy("vec_id").limit(nlist)
       .withColumn("cluster", row_number().over(Window.orderBy("vec_id")) - 1)
-    var centroids = el.join(seedIds, Seq("vec_id"))
+    var centroids = el.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("cluster"), col("pos"), col("qv").as("cq"))
     var assignments = assign(el, centroids)
     for (_ <- 1 to iters) {
@@ -163,7 +168,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val (centroids, assignments) = ivfIndex(emb, nlist, iters)
     val qel = elements(queries)
-    val qDots = qel.join(centroids, Seq("pos"))
+    val qDots = qel.join(broadcast(centroids), Seq("pos"))
       .groupBy("vec_id", "cluster").agg(sum(col("qv") * col("cq")).as("dot"))
     val probes = qDots.withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("dot"), col("cluster"))))
