@@ -435,6 +435,26 @@ object TrainingData {
           graft.util.Sampling.shuffleKey(col("doc_id")).as("shuffle_key"))
         .orderBy("shuffle_key")),
 
+    // Document chunking — fixed-token sliding windows (32 tokens,
+    // stride 24 ⇒ 8-token overlap), the pre-tokenization split a long
+    // document goes through before packing. Pure per-row explode: the
+    // chunk table is born partitioned by whatever partitioning the
+    // corpus already has.
+    "x31_doc_chunks" -> ((s, d) => {
+      val (chunkTok, stride) = (32, 24)
+      val t = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("t")) - 1) / stride).cast("int")),
+            i => i)).as(Seq("chunk_idx", "i")))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(chunkTok), size(col("t")) - col("i") * stride).as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("t"), col("i") * stride + 1, lit(chunkTok))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Random projection (Johnson-Lindenstrauss) — reduce 64-dim
     // embeddings to 8 exact fixed-point coordinates; the storage/compute
     // reduction step before indexing a 100 TB embedding corpus.
@@ -641,6 +661,14 @@ object TrainingData {
     "x23_det_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
          FROM documents ORDER BY shuffle_key""",
+    "x31_doc_chunks" ->
+      s"""WITH $tokCte,
+          c AS (SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 24)) AS i
+                FROM tok)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                CAST(least(32, len(t) - i * 24) AS INT) AS n_chunk_tokens,
+                array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
     "x29_rand_proj" -> {
       val outDim = 8
       val w = Similarity.planeWeights(64, outDim)
