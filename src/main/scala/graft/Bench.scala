@@ -24,7 +24,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local iteration aid: SPARK_GRAFT_ONLY=q1,q2 times a subset (the
+    // driver leaves it unset and always times the full surface)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       try { SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => }

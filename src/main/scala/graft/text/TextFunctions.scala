@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the training-data pipeline extensions
@@ -57,13 +57,67 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "不", "了", "在"))
 
   /** Language-ID: argmax of marker hits with fixed priority-order
-    * tie-breaking; 'und' when nothing matches. */
-  def langId(tok: Column): Column = {
-    val hits = LangMarkers.map { case (lang, words) => lang -> hitCount(tok, words) }
+    * tie-breaking; 'und' when nothing matches.
+    *
+    * Composition form only — the `when`-chain duplicates every hit-count
+    * subtree (HOFs get no codegen and no cross-expression CSE), so over
+    * an *unmaterialized* token expression the tokenizer re-runs dozens
+    * of times per row. For anything hot, use [[withTextSignals]], which
+    * names the token array and the hit counts first; this form is fine
+    * when `tok` is already a plain column reference AND the result is
+    * consumed once. */
+  def langId(tok: Column): Column =
+    langIdOver(LangMarkers.map { case (lang, words) => lang -> hitCount(tok, words) })
+
+  /** Argmax of pre-computed (lang, hitCount) columns — cheap when the
+    * hit counts are named columns (the `when`-chain then duplicates only
+    * bound references). */
+  private def langIdOver(hits: Seq[(String, Column)]): Column = {
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
       when(h > 0 && h === best, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** One-pass DataFrame form of [[langId]] / [[qualityScore]] /
+    * token counting: tokenize ONCE into a named column, compute each
+    * per-language hit count as its own named column, then argmax/score
+    * over the named columns. Named non-cheap columns are multi-referenced,
+    * so CollapseProject keeps them un-inlined — each HOF runs once per
+    * row instead of once per `when`-arm (the same lesson as
+    * `Dedup.docShingles`; without it the x19 curation filter was a 10×
+    * per-row CPU regression). Pass None to skip an output. */
+  def withTextSignals(df: DataFrame, textCol: String = "text",
+                      langCol: Option[String] = Some("lang_detected"),
+                      qualityCol: Option[String] = Some("quality"),
+                      nTokensCol: Option[String] = Some("n_tokens")): DataFrame = {
+    val T = "__graft_tok"
+    val hitName = LangMarkers.map { case (lang, _) => lang -> s"__graft_h_$lang" }.toMap
+    val AllHits = "__graft_h_all"
+    var out = df.withColumn(T, tokens(col(textCol)))
+    val tok = col(T)
+    if (langCol.isDefined)
+      LangMarkers.foreach { case (lang, words) =>
+        out = out.withColumn(hitName(lang), hitCount(tok, words))
+      }
+    langCol.foreach { c =>
+      out = out.withColumn(c,
+        langIdOver(LangMarkers.map { case (lang, _) => lang -> col(hitName(lang)) }))
+    }
+    qualityCol.foreach { c =>
+      // the combined marker list overlaps across languages ("la" ∈ es∩fr),
+      // so the stopword count is its own membership test, not Σ h_lang
+      out = out.withColumn(AllHits, hitCount(tok, LangMarkers.flatMap(_._2)))
+      val nTok = size(tok).cast("double")
+      val lenScore = least(nTok / 100.0, lit(1.0))
+      val punctRatio = punctCount(col(textCol)).cast("double") /
+        greatest(length(col(textCol)), lit(1)).cast("double")
+      val stopRatio = col(AllHits).cast("double") / greatest(size(tok), lit(1)).cast("double")
+      out = out.withColumn(c,
+        round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 6))
+    }
+    nTokensCol.foreach(c => out = out.withColumn(c, size(tok)))
+    out.drop(T +: AllHits +: LangMarkers.map(m => hitName(m._1)): _*)
   }
 
   /** Markup stripping for web-corpus cleaning: drop tags, then unescape
@@ -118,7 +172,9 @@ object TextFunctions {
   }
 
   /** Heuristic quality score in [0,1]: rewards length (up to 100 tokens),
-    * penalizes punctuation density, rewards stopword naturalness. */
+    * penalizes punctuation density, rewards stopword naturalness.
+    * Composition form — tokenizes `text` inline (3× per row); hot paths
+    * use [[withTextSignals]], which shares one named token column. */
   def qualityScore(text: Column): Column = {
     val tok = tokens(text)
     val nTok = size(tok).cast("double")
