@@ -277,14 +277,28 @@ object TrainingData {
     // The end-of-pipeline keep/drop decision: language allow-list +
     // quality floor + length band — the filter a curation run
     // materializes. All three signals share ONE tokenization pass
-    // (withTextSignals) — inlining them re-ran the tokenizer dozens of
-    // times per row and was the r3 bench's slowest query by 10×.
-    "x19_quality_filter" -> ((s, d) =>
+    // (withTextSignals); the keep/drop predicate is a TYPED filter, not
+    // a Column filter, deliberately: Catalyst's PushPredicateThroughNonJoin
+    // substitutes Project aliases into a pushed predicate with no cost
+    // model, re-inlining every hit-count/tokenizer subtree into the
+    // Filter node (~30 tokenizer runs per row — measured 6× the cost of
+    // computing the signals themselves), and it defeats the usual
+    // barriers (splits conjuncts around nondeterministic guards, prunes
+    // unreferenced barrier columns). The lambda is opaque to the
+    // optimizer, so the signals evaluate once in the projection and the
+    // filter reads 4 narrow fields — measurably faster than the pushed
+    // plan and shape-stable at any scale.
+    "x19_quality_filter" -> ((s, d) => {
+      val allowed = Set("en", "es", "de", "fr")
       TextFunctions.withTextSignals(Tables.documents(s, d))
-        .filter(col("lang_detected").isin("en", "es", "de", "fr") &&
-          col("quality") >= 0.5 && col("n_tokens").between(20, 200))
         .select("doc_id", "lang_detected", "quality", "n_tokens")
-        .orderBy("doc_id")),
+        .filter((r: org.apache.spark.sql.Row) =>
+          allowed.contains(r.getAs[String]("lang_detected")) &&
+            r.getAs[Double]("quality") >= 0.5 && {
+              val n = r.getAs[Int]("n_tokens"); n >= 20 && n <= 200
+            })
+        .orderBy("doc_id")
+    }),
 
     // Markup stripping — web-corpus cleaning pass. The documents table
     // has no HTML, so the query wraps text in deterministic markup and

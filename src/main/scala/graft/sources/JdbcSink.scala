@@ -12,10 +12,12 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode}
   * [[upsert]] is the runtime half of the CDC merge (K2): the SQL-string
   * half lives in [[JdbcSql]] (Postgres `ON CONFLICT`); this executor is
   * the dialect-portable fallback — UPDATE first, INSERT when no row
-  * matched — used from `foreachBatch`. Callers must dedup the batch by
-  * pk first (CdcStream does, last-write-wins): rows within one batch
-  * race otherwise, and per-pk uniqueness is what makes replays
-  * idempotent (T2 effectively-once).
+  * matched — used from `foreachBatch`. Within-chunk duplicate pks
+  * collapse keep-last before batching, so the public K2 API is safe on
+  * un-deduped input; callers that care WHICH duplicate wins should
+  * still dedup deliberately first (CdcStream does, last-write-wins by
+  * source offset — partition-internal order here is plan-dependent),
+  * and per-pk uniqueness is what makes replays idempotent (T2).
   */
 object JdbcSink {
 
@@ -39,7 +41,13 @@ object JdbcSink {
   /** K2: idempotent upsert — UPDATE-first, INSERT the misses — executed
     * in JDBC batches per partition (one round trip per `batchSize` rows,
     * not per row). `executeBatch` update counts identify the misses;
-    * drivers that return SUCCESS_NO_INFO re-run those rows one by one. */
+    * drivers that return SUCCESS_NO_INFO re-run those rows one by one.
+    * Duplicate pks WITHIN one chunk collapse to the last occurrence
+    * first: two same-pk rows in a single batched UPDATE would both read
+    * update-count 0 against a missing row and both INSERT — a PK
+    * violation the old row-by-row path never hit. (Across chunks the
+    * statements execute in order, so a later chunk's UPDATE correctly
+    * hits the earlier chunk's INSERT.) */
   def upsert(df: DataFrame, url: String, table: String, pk: String,
              batchSize: Int = 500): Unit = {
     val cols = df.columns.toSeq
@@ -62,7 +70,13 @@ object JdbcSink {
             }
             def bindInsert(r: Row): Unit =
               cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[AnyRef](c)) }
-            rows.grouped(batchSize).foreach { chunk =>
+            rows.grouped(batchSize).foreach { rawChunk =>
+              // keep-last per pk within the chunk (insertion-ordered map:
+              // position of first occurrence, value of last — order is
+              // immaterial once pks are unique)
+              val byPk = scala.collection.mutable.LinkedHashMap.empty[AnyRef, Row]
+              rawChunk.foreach(r => byPk(r.getAs[AnyRef](pk)) = r)
+              val chunk = byPk.values.toSeq
               chunk.foreach { r => bindUpdate(r); up.addBatch() }
               val counts = up.executeBatch()
               var anyInsert = false

@@ -112,8 +112,18 @@ object CdcStream {
     import spark.implicits._
     // empty micro-batches are routine in streaming: inference over zero
     // rows yields a fieldless schema and `payload.*` expands to nothing,
-    // so short-circuit — the caller's merge has nothing to do anyway
-    if (raw.isEmpty) return raw
+    // so short-circuit with the stable METADATA core of the output
+    // schema (raw_data/pk/topic/processed_at + ordering cols) — payload
+    // columns are batch-dependent by design, but schema-dependent
+    // callers (evolution(), a sink selecting pk columns) must never see
+    // the raw json/topic shape on an empty batch, or they would emit
+    // bogus ADD COLUMNs / throw on a missing pk column
+    if (raw.isEmpty)
+      return raw
+        .select(col("json").cast("string").as("raw_data") +: orderingCols(raw).map(col): _*)
+        .withColumn("kafka_primary_key", lit(null).cast("string"))
+        .withColumn("kafka_topic", lit(topic))
+        .withColumn("processed_at", current_timestamp())
     val inferred = spark.read.json(raw.select(col("json")).as[String])
     val keep = col("json").as("__graft_raw") +: orderingCols(raw).map(col)
     val parsed = raw.withColumn("payload",
@@ -134,9 +144,18 @@ object CdcStream {
 
   /** Within-batch last-write-wins dedup. "Last" = highest source
     * (offset, partition) when the source carries them ([[kafkaSource]]
-    * does) — that is arrival order, as the reference's sequential
-    * consumer upsert implied (`mongo_postgres_cdc.py:359-380`), and it
-    * is stable under ANY repartitioning of the batch. Sources without
+    * does), stable under ANY repartitioning of the batch. Within one
+    * Kafka partition that is true arrival order, as the reference's
+    * sequential consumer upsert implied (`mongo_postgres_cdc.py:359-380`).
+    * ACROSS partitions it is a deterministic TIEBREAK, not arrival
+    * order — Kafka offsets are only comparable within a partition, so a
+    * pk whose updates span partitions resolves reproducibly but
+    * arbitrarily (partition 0 offset 10⁶ beats partition 1 offset 5
+    * regardless of wall-clock arrival). Keys that need cross-partition
+    * ordering must carry an event timestamp in the payload and order by
+    * that first, falling back to (offset, partition) — keyed topics
+    * (the reference's setup: pk = Kafka message key) never hit the
+    * case, since a key lives in exactly one partition. Sources without
     * offsets (test MemoryStreams, files) fall back to
     * `monotonically_increasing_id` — best-effort arrival order, only
     * deterministic for a single-partition batch. */
@@ -166,6 +185,34 @@ object CdcStream {
     rows.select(col(pk), col("raw_data"), col("kafka_topic"),
       lit(reason).as("error"), current_timestamp().as("failed_at"))
 
+  /** Recovery path for a failed whole-batch merge (T7): bisect the rows
+    * so only the rows the sink actually rejects are quarantined — the
+    * reference's per-message count-and-continue semantics
+    * (`mongo_postgres_cdc.py:439-453`) at O(log batch) merge attempts
+    * for one poison row, instead of diverting the entire good batch.
+    * Rows reach the driver ONLY on this path, and the batch is bounded
+    * by maxOffsetsPerTrigger — the happy path stays fully distributed. */
+  private def mergeBisect(rows: Array[Row], schema: StructType,
+                          spark: SparkSession, sink: UpsertSink, dl: UpsertSink,
+                          pk: String, counters: Option[Counters]): Unit = {
+    if (rows.isEmpty) return
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.toSeq.asJava, schema)
+    try {
+      sink.merge(df, pk)
+      counters.foreach(_.merged.add(rows.length))
+    } catch {
+      case e: Exception if rows.length == 1 =>
+        val reason = s"merge_failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(500)}"
+        dl.merge(quarantineFrame(df, pk, reason), pk)
+        counters.foreach(_.quarantined.add(1))
+      case _: Exception =>
+        val (l, r) = rows.splitAt(rows.length / 2)
+        mergeBisect(l, schema, spark, sink, dl, pk, counters)
+        mergeBisect(r, schema, spark, sink, dl, pk, counters)
+    }
+  }
+
   /** Wire the full stream: dedup within watermark, then merge per batch.
     * `AvailableNow` drains a backlog and stops (catch-up mode, T1).
     *
@@ -186,33 +233,38 @@ object CdcStream {
     val writer = shaped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // last-write-wins inside the batch, then idempotent merge (D2/T2)
+        // last-write-wins inside the batch, then idempotent merge (D2/T2).
+        // The batch persists across the quarantine-count / merge /
+        // merged-count actions — without it each action re-runs the
+        // dedup window AND the upstream transform (3× the batch cost).
         val pk = "kafka_primary_key"
-        val deduped = dedupLastWrite(batch, pk)
-        val hasMarker = deduped.columns.contains(ParseErrorCol)
-        val good = (if (hasMarker && deadLetter.isDefined)
-            deduped.filter(!col(ParseErrorCol)) else deduped)
-          .drop(ParseErrorCol, SrcPartitionCol, SrcOffsetCol)
-        deadLetter.foreach { dl =>
-          if (hasMarker) {
-            val bad = deduped.filter(col(ParseErrorCol))
-            val n = bad.count()
-            if (n > 0) {
-              dl.merge(quarantineFrame(bad, pk, "parse_error"), pk)
-              counters.foreach(_.quarantined.add(n))
+        val deduped = dedupLastWrite(batch, pk).persist()
+        try {
+          val hasMarker = deduped.columns.contains(ParseErrorCol)
+          val good = (if (hasMarker && deadLetter.isDefined)
+              deduped.filter(!col(ParseErrorCol)) else deduped)
+            .drop(ParseErrorCol, SrcPartitionCol, SrcOffsetCol)
+          deadLetter.foreach { dl =>
+            if (hasMarker) {
+              val bad = deduped.filter(col(ParseErrorCol))
+              val n = bad.count()
+              if (n > 0) {
+                dl.merge(quarantineFrame(bad, pk, "parse_error"), pk)
+                counters.foreach(_.quarantined.add(n))
+              }
             }
           }
-        }
-        try {
-          sink.merge(good, pk)
-          counters.foreach(_.merged.add(good.count()))
-        } catch {
-          case e: Exception if deadLetter.isDefined =>
-            val dl = deadLetter.get
-            val reason = s"merge_failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(500)}"
-            dl.merge(quarantineFrame(good, pk, reason), pk)
-            counters.foreach(_.quarantined.add(good.count()))
-        }
+          try {
+            sink.merge(good, pk)
+            counters.foreach(_.merged.add(good.count()))
+          } catch {
+            case _: Exception if deadLetter.isDefined =>
+              // whole-batch merge failed: isolate the poison rows so
+              // every healthy row still lands (see mergeBisect)
+              mergeBisect(good.collect(), good.schema, good.sparkSession,
+                sink, deadLetter.get, pk, counters)
+          }
+        } finally deduped.unpersist()
       }
     if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer
   }

@@ -57,6 +57,39 @@ class SimilaritySpec extends SparkSpecBase {
       s"wide=$wideCands narrow=$narrowCands")
   }
 
+  test("adaptivePlanes keeps expected bucket size bounded as the corpus grows") {
+    // pure geometry: per-band bucket count 2^w must cover n/targetBucket
+    // (until the 15-bit cap), and width is monotone in n
+    for (n <- Seq(100L, 1000L, 10000L, 1000000L)) {
+      val w = Similarity.adaptivePlanes(n) / Similarity.NumBands
+      if (w < 15) assert((1L << w) >= n / 16,
+        s"n=$n w=$w: expected bucket size exceeds target")
+    }
+    assert(Similarity.adaptivePlanes(100) <= Similarity.adaptivePlanes(10000))
+    assert(Similarity.adaptivePlanes(10000) <= Similarity.adaptivePlanes(10000000))
+
+    // empirical: on a 10× corpus with the adaptive width, bucket count
+    // grows and the max bucket (the self-join's worst key) stays small —
+    // the property that bounds candidate volume at 100 TB. Synthetic
+    // near-uniform embeddings, deterministic (hash-derived, no RNG).
+    def synth(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        ((xxhash64(concat(col("id"), lit("_"), d)) % 1000).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+    def bucketStats(n: Int): (Long, Long) = {
+      val planes = Similarity.adaptivePlanes(n)
+      val banded = Similarity.sigBands(
+        Similarity.signatures(synth(n), 64, planes), planes, Similarity.NumBands)
+      val sizes = banded.groupBy("band_idx", "band").count().cache()
+      (sizes.count(), sizes.agg(max("count")).first().getLong(0))
+    }
+    val (buckets1x, max1x) = bucketStats(300)
+    val (buckets10x, max10x) = bucketStats(3000)
+    assert(buckets10x > buckets1x, s"buckets: 10x=$buckets10x 1x=$buckets1x")
+    assert(max10x <= 4 * 16, s"max bucket $max10x exceeds 4x targetBucket")
+    assert(max1x <= 4 * 16, s"max bucket $max1x exceeds 4x targetBucket")
+  }
+
   test("ivfTopK with nprobe = nlist is exactly brute force; fewer probes keep recall") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200).cache()
     val queries = emb.filter(col("vec_id") < 5)

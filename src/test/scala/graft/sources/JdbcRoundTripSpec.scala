@@ -51,4 +51,17 @@ class JdbcRoundTripSpec extends SparkSpecBase {
       .orderBy("pk").as[(Long, String, Double)].collect().toSeq
     assert(got === Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
   }
+
+  test("K2 upsert survives duplicate pks within one chunk") {
+    exec("CREATE TABLE kv_dup (pk BIGINT PRIMARY KEY, name VARCHAR(128), val DOUBLE)")
+    // two fresh rows with the same pk in ONE partition and ONE JDBC
+    // chunk: both would read update-count 0 in the batched UPDATE and
+    // both INSERT — a PK violation without the within-chunk keep-last
+    val dup = Seq((7L, "first", 1.0), (7L, "last", 2.0), (8L, "x", 3.0))
+      .toDF("pk", "name", "val").coalesce(1)
+    JdbcSink.upsert(dup, url, "kv_dup", "pk")
+    val got = JdbcSource.read(spark, url, "kv_dup")
+      .orderBy("pk").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((7L, "last", 2.0), (8L, "x", 3.0)))
+  }
 }

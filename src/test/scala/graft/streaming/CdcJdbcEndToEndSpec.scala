@@ -100,18 +100,25 @@ class CdcJdbcEndToEndSpec extends SparkSpecBase {
       assert(query("SELECT error FROM dlq_events_quarantine")(r => { r.next(); r.getString(1) })
         === "parse_error")
 
-      // batch 2: a row the SINK rejects (name wider than VARCHAR(16)) —
-      // the merge failure quarantines the batch and the stream survives
-      input.addData(s"""{"id": 12, "name": "${"x" * 64}", "amount": 2.0}""")
+      // batch 2: one row the SINK rejects (name wider than VARCHAR(16))
+      // mixed with a healthy row — the bisecting fallback must land the
+      // healthy row and quarantine ONLY the poison one (the reference's
+      // per-message count-and-continue, not whole-batch diversion)
+      input.addData(
+        s"""{"id": 12, "name": "${"x" * 64}", "amount": 2.0}""",
+        """{"id": 14, "name": "good2", "amount": 4.0}""")
       q.processAllAvailable()
       assert(query("SELECT count(*) FROM dlq_events_quarantine WHERE error LIKE 'merge_failed%'")(
         r => { r.next(); r.getLong(1) }) === 1L)
+      assert(query("SELECT kafka_primary_key FROM dlq_events_quarantine WHERE error LIKE 'merge_failed%'")(
+        r => { r.next(); r.getString(1) }) === "12")
+      assert(query("SELECT count(*) FROM dlq_events")(r => { r.next(); r.getLong(1) }) === 2L)
 
       // batch 3: the stream is still alive and still lands good rows
       input.addData("""{"id": 13, "name": "alive", "amount": 3.0}""")
       q.processAllAvailable()
-      assert(query("SELECT count(*) FROM dlq_events")(r => { r.next(); r.getLong(1) }) === 2L)
-      assert(counters.merged.value === 2L)
+      assert(query("SELECT count(*) FROM dlq_events")(r => { r.next(); r.getLong(1) }) === 3L)
+      assert(counters.merged.value === 3L)
       assert(counters.quarantined.value === 2L)
     } finally q.stop()
   }

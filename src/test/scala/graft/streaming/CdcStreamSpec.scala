@@ -66,6 +66,39 @@ class CdcStreamSpec extends SparkSpecBase {
     val empty = Seq.empty[String].toDF("json")
     val out = CdcStream.transformInferred(empty, "t")
     assert(out.count() === 0) // no payload.* explosion, no PkExtractor failure
+    // the empty frame carries the stable metadata core of the output
+    // schema, so schema-dependent callers (evolution, pk-selecting
+    // sinks) behave identically on empty and non-empty batches
+    for (c <- Seq("raw_data", "kafka_primary_key", "kafka_topic", "processed_at"))
+      assert(out.columns.contains(c), s"missing $c on empty batch")
+    assert(CdcStream.evolution(out,
+      Set("raw_data", "kafka_primary_key", "kafka_topic", "processed_at")).isEmpty)
+  }
+
+  test("micro-batch transform evaluates once per batch, not once per action") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identity UDF on the payload column counts row evaluations: with the
+    // batch persisted, the quarantine-count / merge / merged-count actions
+    // share ONE evaluation of the transform (it was 3× before)
+    val evals = spark.sparkContext.longAccumulator("json_evals")
+    val track = udf((s: String) => { evals.add(1); s })
+    val input = MemoryStream[String]
+    val sink = new CdcStream.InMemorySink
+    val dlq = new CdcStream.InMemorySink
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_once").toString
+    val q = CdcStream.run(
+      input.toDF().select(track(col("value")).as("json")),
+      payloadSchema, "t", sink, ckpt,
+      deadLetter = Some(dlq), counters = Some(CdcStream.newCounters(spark))).start()
+    try {
+      input.addData(
+        """{"id": 1, "name": "a", "amount": 1.0}""",
+        """{"id": 2, "name": "b", "amount": 2.0}""")
+      q.processAllAvailable()
+      assert(sink.state.size() == 2)
+      assert(evals.value === 2L, s"transform ran ${evals.value / 2}x per row")
+    } finally q.stop()
   }
 
   test("per-batch schema inference + evolution: new fields become ADD COLUMNs") {
