@@ -182,6 +182,40 @@ object TrainingData {
        WHERE rank <= $k ORDER BY qid, rank"""
   }
 
+  // LSH near-dup pipeline in SQL: same plane/band constants as the Spark
+  // plan (annOracleSql's geometry), va < vb pairs, cosine threshold
+  private def annNearDupOracleSql(threshold: Double): String = {
+    val numPlanes = Similarity.NumPlanes
+    val numBands = Similarity.NumBands
+    val bandW = numPlanes / numBands
+    val mask = (1L << bandW) - 1
+    val w = Similarity.planeWeights(64, numPlanes)
+    val rows = (0 until numPlanes).map { p =>
+      s"($p, ${(0 until 64).map(d => w(p)(d).toLong).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH $embCte,
+       planes AS (SELECT p, unnest(wts) AS wt, unnest(generate_series(1, 64)) AS pos
+                  FROM (VALUES $rows) AS t(p, wts)),
+       pd AS (SELECT e.vec_id, p, SUM(e.q * wt) AS dot
+              FROM e JOIN planes USING (pos) GROUP BY 1, 2),
+       sigs AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+                FROM pd GROUP BY 1),
+       chunks AS (SELECT vec_id, ci, (sig >> (ci * $bandW)) & $mask AS chunk
+                  FROM sigs CROSS JOIN generate_series(0, ${numBands - 1}) AS g(ci)),
+       cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+                                            AND a.vec_id < b.vec_id),
+       dots AS (SELECT c.va, c.vb, SUM(x.q * y.q) AS dot
+                FROM cand c JOIN e x ON x.vec_id = c.va
+                            JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
+                GROUP BY 1, 2)
+       SELECT va, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+       FROM dots JOIN norms nx ON nx.vec_id = va JOIN norms ny ON ny.vec_id = vb
+       WHERE CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) >= $threshold
+       ORDER BY va, vb"""
+  }
+
   private def langIdSql: String = {
     val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -523,6 +557,38 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // Salient-term extraction — per document, the top-5 tokens by
+    // tf·N/df (a tf-idf-shaped salience with an exact fixed-point
+    // score, so ranking is bit-deterministic on any engine — ln() is
+    // not correctly rounded across libms and would flake the hash
+    // gate). Shuffle structure: one shuffle to (doc, tok) term counts,
+    // df shared off the token-keyed window, per-doc top-k window; the
+    // corpus size joins in as a broadcast single-row aggregate.
+    "x32_salient_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), col("tok"))
+      tf.withColumn("df", count(lit(1)).over(wTok)) // (doc,tok) rows are distinct → count = df
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("score", expr("tf * 1000000 * n_docs div df"))
+        .withColumn("rank", row_number().over(wDoc))
+        .filter(col("rank") <= 5)
+        .select("doc_id", "rank", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Embedding-space near-dup pairs — LSH band candidates + exact
+    // fixed-point cosine threshold: the dedup-by-embedding pass a
+    // multimodal corpus runs when no text fingerprint applies. Same
+    // generated-constant oracle discipline as x13.
+    "x33_emb_neardups" -> ((s, d) =>
+      Similarity.annNearDupPairs(Tables.embeddings(s, d), 64, 0.3)
+        .orderBy("va", "vb")),
+
     // ---------------- multimodal ----------------
 
     // Binary media columns + typed metadata + frame sampling — pure
@@ -733,6 +799,21 @@ object TrainingData {
                 round(CAST(SUM(df) AS DOUBLE) / count(*), 6) AS mean_df,
                 min(df) AS min_df
          FROM dtok JOIN dfv USING (tok) GROUP BY doc_id ORDER BY doc_id""",
+    "x32_salient_terms" ->
+      """WITH utok AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                       FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM utok GROUP BY 1, 2),
+          dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT doc_id, tok, tf, df, tf * 1000000 * n_docs // df AS score
+                     FROM tf JOIN dfv USING (tok) CROSS JOIN n),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rank
+                FROM scored)
+         SELECT doc_id, rank, tok, tf, df, score FROM r
+         WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "x33_emb_neardups" -> annNearDupOracleSql(0.3),
     "x24_pii_redact" ->
       """SELECT doc_id,
                 regexp_replace(

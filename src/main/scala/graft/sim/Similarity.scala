@@ -263,6 +263,27 @@ object Similarity {
         .as(Seq("band_idx", "band")))
   }
 
+  /** Embedding-space near-duplicate pairs: LSH band candidates (va < vb,
+    * each pair once), exact fixed-point cosine on candidates only, keep
+    * pairs at or above `threshold` — the dedup-by-embedding companion to
+    * [[annTopK]] (threshold semantics instead of top-k) and to
+    * [[blockedCosinePairs]] when no blocking key exists. Ids-only through
+    * the bucket join; one shuffle per stage, no all-pairs anywhere. */
+  def annNearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+                      numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
+    val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)
+    val a = banded.select(col("vec_id").as("va"), col("band_idx"), col("band"))
+    val b = banded.select(col("vec_id").as("vb"), col("band_idx"), col("band"))
+    val cand = a.join(b, Seq("band_idx", "band")).filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val n = norms(emb)
+    pairDots(cand, emb, emb, "va", "vb")
+      .join(n.select(col("vec_id").as("va"), col("nsq").as("na")), Seq("va"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
+      .select(col("va"), col("vb"), cosExpr.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** ANN: candidates share at least one signature band, then exact
     * cosine + top-k within candidates only. Candidate generation carries
     * only ids (never the vectors) through the bucket join and distinct;

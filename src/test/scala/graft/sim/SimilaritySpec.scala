@@ -57,6 +57,18 @@ class SimilaritySpec extends SparkSpecBase {
       s"wide=$wideCands narrow=$narrowCands")
   }
 
+  test("annNearDupPairs: subset of brute-force pairs at the threshold, each ordered and above it") {
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val ann = Similarity.annNearDupPairs(emb, 64, 0.3).cache()
+    assert(ann.filter(col("va") >= col("vb")).count() === 0)
+    assert(ann.filter(col("cos") < 0.3).count() === 0)
+    val annPairs = ann.select("va", "vb").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosinePairs(emb, 0.3)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(annPairs.subsetOf(brute), "LSH candidates must never invent pairs")
+    assert(annPairs.nonEmpty, "recall should be non-zero on this data")
+  }
+
   test("adaptivePlanes keeps expected bucket size bounded as the corpus grows") {
     // pure geometry: per-band bucket count 2^w must cover n/targetBucket
     // (until the 15-bit cap), and width is monotone in n
