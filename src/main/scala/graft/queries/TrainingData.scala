@@ -35,10 +35,21 @@ object TrainingData {
   private val shingleCte = // distinct (doc_id, shingle)
     s"""$posShingleCte,
        sh AS (SELECT DISTINCT doc_id, sh FROM shp)"""
-  private val minhashCte = // long-form 32-hash minhash signatures
+  // 40-bit integer from 10 hex digits of `e` starting at 1-based `start`
+  // (nibble arithmetic — DuckDB 1.0 has no hex-string → int cast)
+  private def hex40(e: String, start: Int): String =
+    (0 until 10).map { k =>
+      s"(strpos('0123456789abcdef', substring($e, ${start + k}, 1)) - 1) * ${1L << (4 * (9 - k))}"
+    }.mkString("(", " + ", ")")
+
+  private val minhashCte = // long-form 32-hash minhash signatures:
+    // Carter-Wegman derived family over two 40-bit md5 slices — the
+    // same ONE-md5-per-shingle arithmetic as Dedup.minhashSignatures
     s"""$shingleCte,
-       mh AS (SELECT doc_id, i AS h_idx, min(md5(i || '|' || sh)) AS mh
-              FROM sh CROSS JOIN generate_series(0, ${Dedup.NumHashes - 1}) AS g(i)
+       bh AS (SELECT doc_id, md5(sh) AS h FROM sh),
+       hh AS (SELECT doc_id, ${hex40("h", 1)} AS h1, ${hex40("h", 11)} AS h2 FROM bh),
+       mh AS (SELECT doc_id, i AS h_idx, min((h1 + i * h2) % ${Dedup.MinhashP}) AS mh
+              FROM hh CROSS JOIN generate_series(0, ${Dedup.NumHashes - 1}) AS g(i)
               GROUP BY doc_id, i)"""
   private val jaccardVerifyCte = // cand(doc_a, doc_b) → verified(doc_a, doc_b, jaccard)
     """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -54,7 +65,7 @@ object TrainingData {
        SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"""
   private val minhashCandCte = // LSH bands → cand(doc_a, doc_b)
     s"""bands AS (SELECT doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands} AS band_idx,
-                         md5(string_agg(mh, '|' ORDER BY h_idx)) AS band_hash
+                         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h_idx)) AS band_hash
                   FROM mh GROUP BY doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands}),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
