@@ -289,6 +289,16 @@ object Similarity {
     * only ids (never the vectors) through the bucket join and distinct;
     * dots and norms join in afterwards. Geometry is parameterized —
     * pass `adaptivePlanes(n)` to keep bucket sizes bounded at scale. */
+  /** [[annTopK]] with geometry resolved from the corpus size: one count
+    * job (an index build knows n anyway), then `adaptivePlanes(n)` picks
+    * the signature width that keeps expected bucket size ≈ targetBucket.
+    * Use this form when n is not known a priori; the fixed-geometry form
+    * stays for oracle-pinned/pre-sized runs. */
+  def annTopKAdaptive(emb: DataFrame, dim: Int, k: Int, targetBucket: Int = 16): DataFrame = {
+    val planes = adaptivePlanes(emb.count(), NumBands, targetBucket)
+    annTopK(emb, dim, k, planes, NumBands)
+  }
+
   def annTopK(emb: DataFrame, dim: Int, k: Int,
               numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
     val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)

@@ -57,6 +57,14 @@ class SimilaritySpec extends SparkSpecBase {
       s"wide=$wideCands narrow=$narrowCands")
   }
 
+  test("annTopKAdaptive resolves geometry from n and returns ranked neighbours") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = Similarity.annTopKAdaptive(emb, 64, 3).cache()
+    assert(res.count() > 0)
+    assert(res.filter(col("rank") > 3).count() === 0)
+    assert(res.filter(col("qid") === col("vb")).count() === 0)
+  }
+
   test("annNearDupPairs: subset of brute-force pairs at the threshold, each ordered and above it") {
     val emb = Tables.embeddings(spark, sfDir).cache()
     val ann = Similarity.annNearDupPairs(emb, 64, 0.3).cache()
