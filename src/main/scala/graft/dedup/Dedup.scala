@@ -46,12 +46,21 @@ object Dedup {
     * references the token array from inside a lambda, and inlining the
     * regex split there would re-run it once per shingle per row (a
     * ~100× blowup). A named column is a cheap bound reference, and
-    * CollapseProject keeps non-cheap expressions un-inlined. */
+    * CollapseProject keeps non-cheap expressions un-inlined.
+    *
+    * `distinct = false` skips the dedup shuffle and returns one row per
+    * OCCURRENCE — a purely narrow pipeline (scan → project → explode).
+    * Correct whenever the consumer is duplicate-insensitive: minhash
+    * `min` in particular yields identical signatures over occurrences
+    * and distinct shingles, so the x3 signature path runs with ZERO
+    * shuffles before its doc_id aggregation. Jaccard set sizes and the
+    * inverted-index join need the distinct form. */
   def docShingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                  n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+                  n: Int = 3, distinct: Boolean = true): DataFrame = {
+    val occ = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), explode(shingles(col("t"), n)).as("sh"))
-      .distinct()
+    if (distinct) occ.distinct() else occ
+  }
 
   /** Drop "stop-shingles" — shingles appearing in more than `maxDocFreq`
     * documents. In the inverted-index self-join a shingle shared by k

@@ -256,9 +256,13 @@ object TrainingData {
       Dedup.jaccardPairs(Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
         .orderBy("doc_a", "doc_b")),
 
-    // MinHash signatures (wide single-pass agg, unpivoted for the check).
+    // MinHash signatures (wide single-pass agg, unpivoted for the
+    // check). The shingle feed skips the distinct shuffle — min() is
+    // duplicate-insensitive, so signatures over occurrences are
+    // identical and the only exchange left is the doc_id aggregation.
     "x3_minhash_sigs" -> ((s, d) =>
-      Dedup.minhashLong(Dedup.minhashSignatures(Dedup.docShingles(Tables.documents(s, d))))
+      Dedup.minhashLong(Dedup.minhashSignatures(
+        Dedup.docShingles(Tables.documents(s, d), distinct = false)))
         .orderBy("doc_id", "h_idx")),
 
     // Full MinHash→band→bucket-join→Jaccard-verify near-dup pipeline.
@@ -461,7 +465,9 @@ object TrainingData {
     // keyed by n-gram, never an all-pairs comparison.
     "x28_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh5 = Dedup.docShingles(docs, n = 5)
+      // both the benchmark and training branches read the shingle
+      // table — cache it, or the tokenize+distinct pipeline runs twice
+      val sh5 = Dedup.docShingles(docs, n = 5).cache()
       val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
       val train = sh5.filter(col("doc_id") % 20 =!= 0)
       val hits = train.join(bench, Seq("sh"), "left_semi")
