@@ -26,15 +26,18 @@ object TrainingData {
 
   // ---- shared DuckDB CTE fragments (tokens → positional/distinct shingles) ----
 
-  private val tokCte =
-    """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)"""
-  private val posShingleCte = // positional 3-gram shingles, 1-based i
-    s"""$tokCte,
+  private def tokCteFor(src: String) =
+    s"""tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $src)"""
+  private val tokCte = tokCteFor("documents")
+  private def posShingleCteFor(src: String) = // positional 3-gram shingles, 1-based i
+    s"""${tokCteFor(src)},
        xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok WHERE len(t) >= 3),
        shp AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS sh FROM xg)"""
-  private val shingleCte = // distinct (doc_id, shingle)
-    s"""$posShingleCte,
+  private val posShingleCte = posShingleCteFor("documents")
+  private def shingleCteFor(src: String) = // distinct (doc_id, shingle)
+    s"""${posShingleCteFor(src)},
        sh AS (SELECT DISTINCT doc_id, sh FROM shp)"""
+  private val shingleCte = shingleCteFor("documents")
   // 40-bit integer from 10 hex digits of `e` starting at 1-based `start`
   // (nibble arithmetic — DuckDB 1.0 has no hex-string → int cast)
   private def hex40(e: String, start: Int): String =
@@ -42,15 +45,17 @@ object TrainingData {
       s"(strpos('0123456789abcdef', substring($e, ${start + k}, 1)) - 1) * ${1L << (4 * (9 - k))}"
     }.mkString("(", " + ", ")")
 
-  private val minhashCte = // long-form 32-hash minhash signatures:
-    // Carter-Wegman derived family over two 40-bit md5 slices — the
-    // same ONE-md5-per-shingle arithmetic as Dedup.minhashSignatures
-    s"""$shingleCte,
+  private def minhashCteFor(src: String) = // long-form 32-hash minhash
+    // signatures: Carter-Wegman derived family over two 40-bit md5
+    // slices — the same ONE-md5-per-shingle arithmetic as
+    // Dedup.minhashSignatures
+    s"""${shingleCteFor(src)},
        bh AS (SELECT doc_id, md5(sh) AS h FROM sh),
        hh AS (SELECT doc_id, ${hex40("h", 1)} AS h1, ${hex40("h", 11)} AS h2 FROM bh),
        mh AS (SELECT doc_id, i AS h_idx, min((h1 + i * h2) % ${Dedup.MinhashP}) AS mh
               FROM hh CROSS JOIN generate_series(0, ${Dedup.NumHashes - 1}) AS g(i)
               GROUP BY doc_id, i)"""
+  private val minhashCte = minhashCteFor("documents")
   private val jaccardVerifyCte = // cand(doc_a, doc_b) → verified(doc_a, doc_b, jaccard)
     """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
@@ -278,6 +283,14 @@ object TrainingData {
     "x6_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDups(Dedup.simhashMd5(Tables.documents(s, d)).cache(),
         maxHamming = 3, sigBits = 32)
+        .orderBy("doc_a", "doc_b")),
+
+    // The scale-ordered dedup pipeline: exact dedup collapses identical
+    // payloads first, MinHash near-dups run over keepers only — the
+    // composition that keeps duplication-heavy corpora linear (see
+    // Dedup.nearDupsAfterExact).
+    "x34_dedup_pipeline" -> ((s, d) =>
+      Dedup.nearDupsAfterExact(Tables.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // Winnowing document fingerprints (shingle-hash window minima).
@@ -652,6 +665,14 @@ object TrainingData {
           $minhashCandCte,
           $jaccardTail""",
     "x17_dedup_clusters" -> clusterOracleSql(),
+    "x34_dedup_pipeline" ->
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents) GROUP BY fp),
+          docs_kept AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+          ${minhashCteFor("docs_kept")},
+          $minhashCandCte,
+          $jaccardTail""",
     "x18_token_freq" ->
       """SELECT tok, count(*) AS n FROM
            (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)

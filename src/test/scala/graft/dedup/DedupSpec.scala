@@ -31,6 +31,19 @@ class DedupSpec extends SparkSpecBase {
     assert(exact.nonEmpty, "test data should contain planted near-dups")
   }
 
+  test("nearDupsAfterExact on a duplicated corpus equals minhashNearDups on the originals") {
+    // replicate every document under fresh ids: exact dedup must
+    // collapse the copies back to the original keepers, so the composed
+    // pipeline's near-dup pairs are EXACTLY the originals' pairs —
+    // duplication changes the cost, never the answer
+    val copies = docs.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val duplicated = docs.unionByName(copies)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.nearDupsAfterExact(duplicated, 0.5)) ===
+      pairs(Dedup.minhashNearDups(docs, 0.5)))
+  }
+
   test("simhash near-dups recall most jaccard near-dups and respect the hamming bound") {
     val simDf = Dedup.simhashNearDups(Dedup.simhashMd5(docs), maxHamming = 3, sigBits = 32).cache()
     assert(simDf.filter(col("hamming") > 3).count() === 0)
