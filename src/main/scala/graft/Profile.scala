@@ -22,7 +22,9 @@ object Profile {
     qs.foreach { n =>
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+        // full-plan execution (see Bench): df.count() would let Catalyst
+        // prune aggregate columns and eliminate joins under the count
+        val cnt = SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
         println(f"[profile] $n%-24s run$i ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($cnt rows)")
       }
     }

@@ -233,15 +233,20 @@ object Dedup {
   def simhashMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    // md5 materializes once per occurrence in its own projection (a
-    // named multi-reference non-cheap column stays un-inlined, so the 32
-    // parity votes each read a cached hex digit, not re-run md5); the
-    // groupBy's map-side combine then shuffles ≤1 vote row per doc per
-    // partition — nothing corpus-sized, no broadcast, scale-safe.
+    // md5 materializes once per occurrence in its own projection, then
+    // the 32 hex digits parse as FOUR 32-bit integers (conv) and vote j
+    // reads the low bit of nibble j by shift-and-mask — integer ops
+    // instead of 32 substring+isin string tests (the hex digit is odd
+    // exactly when its nibble's low bit is set, so values are identical
+    // to the substring-parity oracle). Map-side combine then shuffles
+    // ≤1 vote row per doc per partition — nothing corpus-sized.
     val hashed = tok.select(col("doc_id"), md5(col("tok")).as("h"))
-    val voteCols = (0 until 32).map(j =>
-      when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1).as(s"v$j"))
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        conv(substring(col("h"), 8 * c + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
+    val voteCols = (0 until 32).map { j =>
+      val nib = shiftrightunsigned(col(s"c${j / 8}"), 4 * (7 - j % 8)).bitwiseAND(1L)
+      when(nib === 1L, 1).otherwise(-1).as(s"v$j")
+    }
     val votes = (0 until 32).map(j => sum(col(s"v$j")).as(s"b$j"))
     val agg = hashed.select(col("doc_id") +: voteCols: _*)
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
@@ -277,8 +282,11 @@ object Dedup {
     * standard large-graph CC loop, run to fixpoint). Deterministic for
     * any graph given fixed `iters`. */
   def nearDupComponents(pairs: DataFrame, docs: DataFrame, iters: Int = 2): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the symmetrizing union reads `pairs` twice — cache it, or the
+    // whole upstream near-dup pipeline evaluates once per branch
+    val p = pairs.cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
     for (_ <- 1 to iters) {

@@ -399,12 +399,24 @@ object TrainingData {
         .orderBy("doc_id")),
 
     // Within-document repetition ratio — duplicate 3-gram fraction, the
-    // boilerplate/looping-text signal of curation rule sets.
-    "x25_repetition" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.repetitionRatio(TextFunctions.tokens(col("text")), 3).as("rep_ratio"))
-        .orderBy("doc_id")),
+    // boilerplate/looping-text signal of curation rule sets. Tokens and
+    // shingles materialize as named columns first: passing the raw
+    // tokens expression into the shingle transform re-ran the regex
+    // split once per shingle per row (the honest-bench methodology
+    // exposed this at 28 s — it was invisible while count() pruned the
+    // projection).
+    "x25_repetition" -> ((s, d) => {
+      val sh = col("sh")
+      val total = size(sh)
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), TextFunctions.shingles(col("t"), 3).as("sh"))
+        .select(col("doc_id"),
+          round(when(total > 0,
+            (total - size(array_distinct(sh))).cast("double") / total.cast("double"))
+            .otherwise(0.0), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
 
     // Rule-based document statistics + keep/drop flag (mean token
     // length, numeric-token fraction, symbols per token, length floor) —

@@ -161,8 +161,11 @@ object TextFunctions {
   /** Within-document repetition: fraction of positional n-gram shingles
     * that are duplicates (1 - distinct/total) — the repetition signal
     * boilerplate-heavy documents trip in curation rule sets. 0 for
-    * documents too short to shingle. Pure per-row expressions: no
-    * cross-row work at all, so it costs one projection at any scale. */
+    * documents too short to shingle. Pure per-row expressions — but
+    * composition-form only: pass a NAMED token column, never a raw
+    * `tokens(text)` expression (the shingle transform would re-run the
+    * regex split once per shingle per row; the x25 query materializes
+    * tokens and shingles as columns first). */
   def repetitionRatio(tok: Column, n: Int = 3): Column = {
     val sh = shingles(tok, n)
     val total = size(sh)
