@@ -80,34 +80,41 @@ object TextFunctions {
   }
 
   /** One-pass DataFrame form of [[langId]] / [[qualityScore]] /
-    * token counting: tokenize ONCE into a named column, compute each
-    * per-language hit count as its own named column, then argmax/score
-    * over the named columns. Named non-cheap columns are multi-referenced,
-    * so CollapseProject keeps them un-inlined — each HOF runs once per
-    * row instead of once per `when`-arm (the same lesson as
-    * `Dedup.docShingles`; without it the x19 curation filter was a 10×
-    * per-row CPU regression). Pass None to skip an output. */
+    * token counting: tokenize ONCE into a named column, compute ALL six
+    * marker hit counts (five languages + combined stopwords) in ONE
+    * codegen'd array traversal ([[graft.functions.MarkerHits]] — the
+    * HOF form walked the array six times, interpreted), then argmax/
+    * score over the named counts. Named non-cheap columns are
+    * multi-referenced, so CollapseProject keeps them un-inlined — each
+    * stage runs once per row instead of once per `when`-arm (the same
+    * lesson as `Dedup.docShingles`; without it the x19 curation filter
+    * was a 10× per-row CPU regression). Pass None to skip an output. */
   def withTextSignals(df: DataFrame, textCol: String = "text",
                       langCol: Option[String] = Some("lang_detected"),
                       qualityCol: Option[String] = Some("quality"),
                       nTokensCol: Option[String] = Some("n_tokens")): DataFrame = {
     val T = "__graft_tok"
+    val H = "__graft_hits"
     val hitName = LangMarkers.map { case (lang, _) => lang -> s"__graft_h_$lang" }.toMap
     val AllHits = "__graft_h_all"
     var out = df.withColumn(T, tokens(col(textCol)))
     val tok = col(T)
-    if (langCol.isDefined)
-      LangMarkers.foreach { case (lang, words) =>
-        out = out.withColumn(hitName(lang), hitCount(tok, words))
+    if (langCol.isDefined || qualityCol.isDefined) {
+      // the combined marker list overlaps across languages ("la" ∈ es∩fr),
+      // so the stopword count is its own membership test, not Σ h_lang —
+      // it rides the same single traversal as a sixth set
+      val allLists = LangMarkers.map(_._2) :+ LangMarkers.flatMap(_._2)
+      out = out.withColumn(H, graft.functions.MarkerHits.marker_hits(tok, allLists))
+      LangMarkers.zipWithIndex.foreach { case ((lang, _), i) =>
+        out = out.withColumn(hitName(lang), col(H).getItem(i))
       }
+      out = out.withColumn(AllHits, col(H).getItem(LangMarkers.size))
+    }
     langCol.foreach { c =>
       out = out.withColumn(c,
         langIdOver(LangMarkers.map { case (lang, _) => lang -> col(hitName(lang)) }))
     }
     qualityCol.foreach { c =>
-      // the combined marker list overlaps across languages ("la" ∈ es∩fr),
-      // so the stopword count is its own membership test, not Σ h_lang
-      out = out.withColumn(AllHits, hitCount(tok, LangMarkers.flatMap(_._2)))
       val nTok = size(tok).cast("double")
       val lenScore = least(nTok / 100.0, lit(1.0))
       val punctRatio = punctCount(col(textCol)).cast("double") /
@@ -117,7 +124,7 @@ object TextFunctions {
         round(lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 6))
     }
     nTokensCol.foreach(c => out = out.withColumn(c, size(tok)))
-    out.drop(T +: AllHits +: LangMarkers.map(m => hitName(m._1)): _*)
+    out.drop(T +: H +: AllHits +: LangMarkers.map(m => hitName(m._1)): _*)
   }
 
   /** Markup stripping for web-corpus cleaning: drop tags, then unescape
