@@ -144,19 +144,30 @@ object Similarity {
     * integer dots, so the index is identical on every run/partitioning.
     * Returns (centroids, assignments). */
   def ivfIndex(emb: DataFrame, nlist: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    require(iters >= 1, "ivfIndex needs at least one k-means iteration")
     val el = elements(emb).cache()
     val seedIds = emb.select("vec_id").orderBy("vec_id").limit(nlist)
       .withColumn("cluster", row_number().over(Window.orderBy("vec_id")) - 1)
     var centroids = el.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("cluster"), col("pos"), col("qv").as("cq"))
     var assignments = assign(el, centroids)
-    for (_ <- 1 to iters) {
-      centroids = el.join(assignments, Seq("vec_id"))
+    def update(a: DataFrame): DataFrame =
+      el.join(a, Seq("vec_id"))
         .groupBy("cluster", "pos")
         .agg(round(avg(col("qv"))).cast("long").as("cq"))
+    for (_ <- 1 until iters) {
+      centroids = update(assignments)
       assignments = assign(el, centroids)
     }
-    (centroids.cache(), assignments.cache())
+    // cache the FINAL centroids before building the final assignment so
+    // the assignment plan references the cached relation directly.
+    // (CacheManager also substitutes matching subtrees at planning
+    // time, so this is shape-clarity rather than a saved evaluation —
+    // measured equal; the remaining x16 cost is the k-means iterations
+    // themselves.)
+    centroids = update(assignments).cache()
+    assignments = assign(el, centroids)
+    (centroids, assignments.cache())
   }
 
   /** IVF-ANN top-k: probe the `nprobe` best centroids per query, score
