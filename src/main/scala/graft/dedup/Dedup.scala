@@ -293,9 +293,16 @@ object Dedup {
       val neigh = edges
         .join(labels.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min("component").as("nc"))
+      // each hop references the previous labels TWICE (neighbour build +
+      // left join), so the lineage doubles per hop — 2^iters plan
+      // copies, the classic iterative-algorithm failure mode once the
+      // loop runs deep (fixpoint at scale). Cache per hop on deep loops;
+      // at the shallow default (2 hops = 4 copies) recomputation is
+      // cheaper than materialization.
       labels = labels.join(neigh, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+      if (iters > 2) labels = labels.cache()
     }
     labels.withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
   }
