@@ -33,6 +33,20 @@ class MarkerHitsSpec extends SparkSpecBase {
     assert(eNull.eval(null) == null)
   }
 
+  test("property: equals a naive Scala count on generated token arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Seq("the", "a", "la", "el", "und", "zzz", "", "der", "不")
+    val tokGen = Gen.listOf(Gen.oneOf(vocab))
+    val samples: Seq[Seq[String]] = (0 until 200).flatMap(i =>
+      tokGen.apply(Gen.Parameters.default, Seed(7L + i))).map(_.toSeq)
+    val got = samples.toDF("t")
+      .select(MarkerHits.marker_hits(col("t"), lists).as("h"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    val want = samples.map(ts => lists.map(ws => ts.count(ws.contains)))
+    assert(got.toSeq === want)
+  }
+
   test("agrees with the HOF hitCount form on real data") {
     val docs = graft.Tables.documents(spark, sfDir)
     val markers = TextFunctions.LangMarkers.map(_._2)
