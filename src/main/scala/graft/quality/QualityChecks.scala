@@ -50,9 +50,34 @@ object QualityChecks {
 
   /** One-row orphan-count summary across a set of FK edges.
     * Each count is a distributed anti-join; the single-row results are
-    * cross-joined (driver never sees per-row data). */
+    * cross-joined (driver never sees per-row data).
+    *
+    * When several edges share ONE fact table, use [[orphanSummaryOnePass]]
+    * instead — this form rescans the fact once per edge, which at 100 TB
+    * multiplies the dominant cost (the fact scan) by the edge count. */
   def orphanSummary(edges: Seq[(String, DataFrame, DataFrame, String, String)]): DataFrame =
     edges.map { case (name, fact, dim, fk, pk) =>
       fkOrphans(fact, dim, fk, pk).agg(count(lit(1)).as(name))
     }.reduce(_ crossJoin _)
+
+  /** Orphan counts for MULTIPLE FK edges of the SAME fact table in a SINGLE
+    * fact scan: each dim contributes only its distinct key column (8-16 B per
+    * key — the boundedness argument for the broadcast), left-joined onto the
+    * fact, and every edge's orphan count is `sum(when(key is null))` inside
+    * ONE aggregate. Anti-join null semantics are preserved: a NULL fk never
+    * matches, so it counts as an orphan in both forms.
+    *
+    * For a fact-sized "dim" (a fact-fact FK edge whose key set cannot
+    * broadcast) keep that edge on the anti-join path ([[orphanSummary]]) —
+    * Catalyst turns it into one SMJ instead of an unbounded broadcast. */
+  def orphanSummaryOnePass(fact: DataFrame, edges: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    val joined = edges.foldLeft(fact) { case (acc, (name, dim, fk, _pk)) =>
+      acc.join(broadcast(dim.select(col(_pk).as(s"__pk_$name")).distinct()),
+        col(fk) === col(s"__pk_$name"), "left")
+    }
+    val aggs = edges.map { case (name, _, _, _) =>
+      coalesce(sum(when(col(s"__pk_$name").isNull, 1).otherwise(0)), lit(0)).cast("long").as(name)
+    }
+    joined.agg(aggs.head, aggs.tail: _*)
+  }
 }

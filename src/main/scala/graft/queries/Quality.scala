@@ -30,12 +30,18 @@ object Quality {
         .orderBy("n_name")),
 
     // §5.5: FK-orphan summary over the star's declared join edges (J3).
-    "q_fk_orphan_summary" -> ((s, d) =>
-      QualityChecks.orphanSummary(Seq(
-        ("li_orphan_orders", Tables.lineitem(s, d), Tables.orders(s, d), "l_orderkey", "o_orderkey"),
-        ("li_orphan_part", Tables.lineitem(s, d), Tables.part(s, d), "l_partkey", "p_partkey"),
-        ("li_orphan_supp", Tables.lineitem(s, d), Tables.supplier(s, d), "l_suppkey", "s_suppkey"),
-        ("ord_orphan_cust", Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey")))))
+    // The three lineitem edges fold into ONE lineitem scan (broadcast key
+    // sets + a single aggregate); the orders→customer edge is a separate
+    // single-scan pass, cross-joined as a 1-row frame.
+    "q_fk_orphan_summary" -> ((s, d) => {
+      val li = QualityChecks.orphanSummaryOnePass(Tables.lineitem(s, d), Seq(
+        ("li_orphan_orders", Tables.orders(s, d), "l_orderkey", "o_orderkey"),
+        ("li_orphan_part", Tables.part(s, d), "l_partkey", "p_partkey"),
+        ("li_orphan_supp", Tables.supplier(s, d), "l_suppkey", "s_suppkey")))
+      val ord = QualityChecks.orphanSummary(Seq(
+        ("ord_orphan_cust", Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey")))
+      li.crossJoin(ord)
+    }))
 
   def oracles: Map[String, String] = Map(
     "a5_null_profile" -> {

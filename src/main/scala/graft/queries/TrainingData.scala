@@ -155,6 +155,55 @@ object TrainingData {
        WHERE rank <= 5 ORDER BY qid, rank"""
   }
 
+  /** Doc-frequency cap for the x36 capped-Jaccard query — shared by the
+    * Spark plan and the generated oracle so the two cannot drift. */
+  val JaccardDfCap = 25
+
+  // the adaptive-geometry LSH-ANN pipeline in SQL: the signature width
+  // resolves from count(*) with the SAME float-free arithmetic as
+  // Similarity.adaptivePlanes (smallest w with targetBucket·2^w ≥ n,
+  // clamped to [8, 15]), and the embedded weight table is the full
+  // 60-plane prefix of the shared Random(42) stream — a narrower
+  // resolved family is its prefix, so any resolved width reproduces
+  // the Spark signatures bit-for-bit.
+  private def annAdaptiveOracleSql(k: Int = 5, targetBucket: Int = 16): String = {
+    val numBands = Similarity.NumBands
+    val maxPlanes = numBands * 15
+    val w = Similarity.planeWeights(64, maxPlanes)
+    val rows = (0 until maxPlanes).map { p =>
+      s"($p, ${(0 until 64).map(d => w(p)(d).toLong).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH $embCte,
+       cnt AS (SELECT count(*) AS n FROM embeddings),
+       geo AS (SELECT greatest(8, min(w)) AS bandw
+               FROM generate_series(1, 15) AS g(w), cnt
+               WHERE ($targetBucket * (CAST(1 AS BIGINT) << w)) >= n OR w = 15),
+       pl AS (SELECT p, unnest(wts) AS wt, unnest(generate_series(1, 64)) AS pos
+              FROM (VALUES $rows) AS t(p, wts), geo
+              WHERE p < $numBands * bandw),
+       pd AS (SELECT e.vec_id, p, SUM(e.q * wt) AS dot
+              FROM e JOIN pl USING (pos) GROUP BY 1, 2),
+       sigs AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+                FROM pd GROUP BY 1),
+       chunks AS (SELECT vec_id, ci,
+                         (sig >> (ci * bandw)) & ((CAST(1 AS BIGINT) << bandw) - 1) AS chunk
+                  FROM sigs CROSS JOIN generate_series(0, ${numBands - 1}) AS g(ci), geo),
+       cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vb
+                FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+                                            AND a.vec_id <> b.vec_id),
+       dots AS (SELECT c.qid, c.vb, SUM(x.q * y.q) AS dot
+                FROM cand c JOIN e x ON x.vec_id = c.qid
+                            JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
+                GROUP BY 1, 2),
+       scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                  FROM dots JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = vb)
+       SELECT qid, vb, cos, rank FROM
+         (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
+          FROM scored)
+       WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   // the IVF pipeline in SQL: k-means unrolled (same deterministic seeds,
   // exact integer assignment dots, round(avg) centroid updates), then
   // probe-limited exact re-rank — hash-identical to Similarity.ivfTopK
@@ -259,6 +308,17 @@ object TrainingData {
     // correct baseline the LSH variants are measured against.
     "x2_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // The df-capped production form of x2: stop-shingles (df > cap) are
+    // dropped BEFORE the inverted-index self-join, bounding its worst
+    // key at k² candidate rows — the knob that makes exact Jaccard
+    // usable when LSH is not wanted. Sizes and intersections run over
+    // the capped table (the oracle mirrors the same cap).
+    "x36_jaccard_capped" -> ((s, d) =>
+      Dedup.jaccardPairs(
+        Dedup.dropStopShingles(
+          Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap).cache(), 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // MinHash signatures (wide single-pass agg, unpivoted for the
@@ -422,16 +482,21 @@ object TrainingData {
     // length, numeric-token fraction, symbols per token, length floor) —
     // the heuristic-rules companion to the x8 score, all per-row math.
     "x26_quality_rules" -> ((s, d) => {
-      // tokenize once into a named column, then each ratio as a named
-      // column — the HOF lambdas (aggregate/filter) run once per row,
-      // and the keep-flag reuses the ratios as bound references
+      // tokenize once into a named column; each ratio is pure codegen —
+      // no HOF lambdas (aggregate/filter are interpreted per row and
+      // were 20× the cost of the rest of this plan): sum of token
+      // lengths is length(concat_ws('', t)) arithmetic, the numeric
+      // count is the native ArrayRegexCount expression (one compiled
+      // pattern, one array pass, inside WholeStageCodegen)
       val t = col("t")
       val nD = greatest(size(t), lit(1)).cast("double")
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("t"))
         .select(col("doc_id"),
-          (aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / nD).as("mean_len"),
-          (size(filter(t, x => x.rlike("^[0-9]+$"))).cast("double") / nD).as("num_frac"),
+          when(t.isNotNull,
+            length(concat_ws("", t)).cast("double") / nD).as("mean_len"),
+          (graft.functions.ArrayRegexCount.array_regex_count(t, "[0-9]+")
+            .cast("double") / nD).as("num_frac"),
           (TextFunctions.punctCount(col("text")).cast("double") / nD).as("sym_per_tok"),
           size(t).as("n_tokens"))
         .select(col("doc_id"),
@@ -524,6 +589,16 @@ object TrainingData {
     // hash-checked end to end.
     "x13_ann_topk" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), 64, 5)
+        .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")),
+
+    // LSH-ANN with geometry resolved from the corpus size at build time
+    // (adaptivePlanes: one count job, then signature width grows with n
+    // to keep expected bucket size bounded). The oracle resolves the
+    // SAME width with the SAME float-free arithmetic from its own
+    // count(*), and embeds the full 60-plane weight prefix — so the
+    // adaptive resolution itself is hash-checked, at every sf.
+    "x35_ann_adaptive" -> ((s, d) =>
+      Similarity.annTopKAdaptive(Tables.embeddings(s, d), 64, 5)
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")),
 
     // IVF-ANN top-k: relational k-means index (fixed-point exact) +
@@ -669,6 +744,19 @@ object TrainingData {
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
           $jaccardTail""",
+    "x36_jaccard_capped" ->
+      s"""WITH $shingleCte,
+          keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+                   WHERE df <= $JaccardDfCap),
+          shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+          FROM inter JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+          ORDER BY doc_a, doc_b""",
     "x3_minhash_sigs" ->
       s"""WITH $minhashCte
           SELECT doc_id, h_idx, mh FROM mh ORDER BY doc_id, h_idx""",
@@ -735,6 +823,7 @@ object TrainingData {
          ORDER BY doc_id"""
     },
     "x13_ann_topk" -> annOracleSql,
+    "x35_ann_adaptive" -> annAdaptiveOracleSql(),
     "x20_strip_markup" ->
       """WITH unescaped AS (SELECT doc_id,
                 regexp_replace(

@@ -121,20 +121,43 @@ object Similarity {
 
   // ---------------- IVF (inverted file index) ----------------
 
-  /** Assign every vector to its max-inner-product centroid.
-    * `centroids`: (cluster, pos, cq) long-format fixed-point vectors.
-    * Ties break to the lowest cluster id — fully deterministic.
-    * The join key `pos` has only `dim` distinct values — as a shuffle
-    * join it would funnel the whole element table through ≤dim skewed
-    * partitions. Centroids are bounded (nlist × dim ≈ √n·dim rows at
-    * the recommended nlist), so they broadcast and the elements never
+  /** Pivot long-form centroids (cluster, pos, cq) to one wide row per
+    * pos: (pos, c0..c{nlist-1}). nlist·dim cells — bounded, broadcast-
+    * friendly. A cluster that lost every member mid-k-means shows as
+    * NULL columns (skipped downstream, matching the long form where it
+    * simply had no rows). */
+  private def centroidsWide(centroids: DataFrame, nlist: Int): DataFrame = {
+    val cols = (0 until nlist).map(k =>
+      sum(when(col("cluster") === k, col("cq"))).as(s"c$k"))
+    centroids.groupBy("pos").agg(cols.head, cols.tail: _*)
+  }
+
+  /** (vec_id, d0..d{nlist-1}): exact integer dots of every vector
+    * against every centroid. ONE narrow broadcast join (the wide
+    * centroid row rides along each element — no nlist× row explosion)
+    * + ONE map-side-combined aggregate. The join key `pos` has only
+    * `dim` distinct values — as a shuffle join it would funnel the
+    * element table through ≤dim skewed partitions; the centroid table
+    * is bounded (nlist ≈ √n), so it broadcasts and the elements never
     * move. */
-  private def assign(el: DataFrame, centroids: DataFrame): DataFrame = {
-    val dots = el.join(broadcast(centroids), Seq("pos"))
-      .groupBy("vec_id", "cluster").agg(sum(col("qv") * col("cq")).as("dot"))
-    dots.withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("dot"), col("cluster"))))
-      .filter(col("rn") === 1).select("vec_id", "cluster")
+  private def clusterDots(el: DataFrame, centroids: DataFrame, nlist: Int): DataFrame = {
+    val aggs = (0 until nlist).map(k => sum(col("qv") * col(s"c$k")).as(s"d$k"))
+    el.join(broadcast(centroidsWide(centroids, nlist)), Seq("pos"))
+      .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Assign every vector to its max-inner-product centroid. Ties break
+    * to the lowest cluster id — fully deterministic: array_position
+    * returns the FIRST index holding the max, and nulls (empty
+    * clusters) are never the max. Argmax is a pure projection over the
+    * pivoted dots — no window, no sort, no second shuffle (the r4 form
+    * paid join-explosion × nlist, a (vec_id, cluster) aggregate AND a
+    * ranking window per k-means round). */
+  private def assign(el: DataFrame, centroids: DataFrame, nlist: Int): DataFrame = {
+    val ds = array((0 until nlist).map(k => col(s"d$k")): _*)
+    clusterDots(el, centroids, nlist)
+      .select(col("vec_id"),
+        (array_position(ds, array_max(ds)) - 1).cast("int").as("cluster"))
   }
 
   /** Build an IVF index: deterministic seeding (the nlist lowest vec_ids
@@ -142,46 +165,78 @@ object Similarity {
     * k-means — assignment is an element join + argmax, the update is a
     * per-(cluster, pos) mean. All distances are exact fixed-point
     * integer dots, so the index is identical on every run/partitioning.
-    * Returns (centroids, assignments). */
+    *
+    * An index build is a TERMINAL operation: the returned (centroids,
+    * assignments) frames are cached and materialized before this
+    * returns, and the internal element cache is released — after the
+    * call the only registered caches are the two returned frames, which
+    * the CALLER owns (release with [[ivfUnpersist]] once consumers have
+    * materialized; spec-checked against the session CacheManager). */
   def ivfIndex(emb: DataFrame, nlist: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     require(iters >= 1, "ivfIndex needs at least one k-means iteration")
+    val sp = emb.sparkSession
+    import sp.implicits._
     val el = elements(emb).cache()
     val seedIds = emb.select("vec_id").orderBy("vec_id").limit(nlist)
       .withColumn("cluster", row_number().over(Window.orderBy("vec_id")) - 1)
-    var centroids = el.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("cluster"), col("pos"), col("qv").as("cq"))
-    var assignments = assign(el, centroids)
     def update(a: DataFrame): DataFrame =
       el.join(a, Seq("vec_id"))
         .groupBy("cluster", "pos")
         .agg(round(avg(col("qv"))).cast("long").as("cq"))
-    for (_ <- 1 until iters) {
-      centroids = update(assignments)
-      assignments = assign(el, centroids)
+    // Each round ends in a driver-side collect of the NEW centroid table
+    // — nlist·dim rows (16 KB at the defaults), bounded index METADATA,
+    // never corpus-sized (the MLlib KMeans shape). Without it, round i's
+    // centroid broadcast re-executes rounds 1..i-1 nested inside its
+    // build (lineage grows multiplicatively with iters); with it, every
+    // round is exactly one job over the cached elements.
+    def collectCent(c: DataFrame): Seq[(Int, Int, Long)] =
+      c.select(col("cluster").cast("int"), col("pos").cast("int"), col("cq"))
+        .as[(Int, Int, Long)].collect().toSeq
+    def centDf(rows: Seq[(Int, Int, Long)]): DataFrame =
+      rows.toDF("cluster", "pos", "cq")
+    var cent = collectCent(el.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("cluster"), col("pos"), col("qv").as("cq")))
+    for (_ <- 1 to iters) {
+      cent = collectCent(update(assign(el, centDf(cent), nlist)))
     }
-    // cache the FINAL centroids before building the final assignment so
-    // the assignment plan references the cached relation directly.
-    // (CacheManager also substitutes matching subtrees at planning
-    // time, so this is shape-clarity rather than a saved evaluation —
-    // measured equal; the remaining x16 cost is the k-means iterations
-    // themselves.)
-    centroids = update(assignments).cache()
-    assignments = assign(el, centroids)
-    (centroids, assignments.cache())
+    val centroids = centDf(cent).cache()
+    val assignments = assign(el, centroids, nlist).cache()
+    // materialize the returned frames, then drop the element cache —
+    // no leaked intermediate storage (caller owns the rest; ivfUnpersist)
+    assignments.count()
+    centroids.count()
+    el.unpersist()
+    (centroids, assignments)
+  }
+
+  /** Release the caches a [[ivfIndex]] build registered. Call after all
+    * consumers of the index have materialized. */
+  def ivfUnpersist(centroids: DataFrame, assignments: DataFrame): Unit = {
+    centroids.unpersist()
+    assignments.unpersist()
   }
 
   /** IVF-ANN top-k: probe the `nprobe` best centroids per query, score
     * exact cosine only against vectors in the probed clusters. With
     * nprobe = nlist this degenerates to exact brute force (spec-checked);
     * at scale, cost drops by ~nprobe/nlist with the usual recall trade.
-    * The cluster equi-join is the shuffle — no all-pairs anywhere. */
+    * The cluster equi-join is the shuffle — no all-pairs anywhere.
+    *
+    * Convenience form: builds a transient index whose two cached frames
+    * back the returned plan and stay registered for reuse. A
+    * long-running service should call [[ivfIndex]] itself and
+    * [[ivfUnpersist]] when done with the index. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     val (centroids, assignments) = ivfIndex(emb, nlist, iters)
-    val qel = elements(queries)
-    val qDots = qel.join(broadcast(centroids), Seq("pos"))
-      .groupBy("vec_id", "cluster").agg(sum(col("qv") * col("cq")).as("dot"))
-    val probes = qDots.withColumn("rn", row_number().over(
+    // top-nprobe clusters per query off the pivoted dots: explode the
+    // nlist columns back to rows (query-set-sized — tiny) and rank;
+    // null dots are empty clusters and never probed
+    val probes = clusterDots(elements(queries), centroids, nlist)
+      .select(col("vec_id"),
+        posexplode(array((0 until nlist).map(k => col(s"d$k")): _*)).as(Seq("cluster", "dot")))
+      .filter(col("dot").isNotNull)
+      .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("dot"), col("cluster"))))
       .filter(col("rn") <= nprobe).select(col("vec_id").as("qid"), col("cluster"))
     val cand = probes.join(assignments.select(col("vec_id").as("vb"), col("cluster")), Seq("cluster"))
@@ -211,10 +266,16 @@ object Similarity {
     * count 2^w ≈ n / targetBucket, so expected bucket size stays
     * ~targetBucket as n grows (w capped at 15 so numBands·w fits a
     * long; beyond that raise numBands too). Returns total planes =
-    * numBands · w. */
+    * numBands · max(8, w).
+    *
+    * w = ceil(log2(n / targetBucket)) computed FLOAT-FREE — the
+    * smallest w with targetBucket·2^w ≥ n — so the generated oracle
+    * SQL reproduces the resolution exactly (a float log2 at a power-of
+    * -two boundary can round differently across libms). */
   def adaptivePlanes(n: Long, numBands: Int = NumBands, targetBucket: Int = 16): Int = {
-    val w = math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
-    numBands * math.min(15, math.max(8, w))
+    var w = 1
+    while ((targetBucket.toLong << w) < n && w < 15) w += 1
+    numBands * math.max(8, w)
   }
 
   /** Deterministic pseudo-random ±1 hyperplane weights (seed 42).

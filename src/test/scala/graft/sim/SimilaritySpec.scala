@@ -144,6 +144,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(assignments.select("cluster").distinct().count() <= 4)
   }
 
+  test("ivfIndex cache lifecycle: only the returned frames stay cached, ivfUnpersist clears them") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100)
+    spark.catalog.clearCache()
+    val (centroids, assignments) = Similarity.ivfIndex(emb, nlist = 4, iters = 2)
+    // the element cache is released inside the build; the two returned
+    // (already-materialized) frames are the only registered caches
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    Similarity.ivfUnpersist(centroids, assignments)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "index build must not leak storage beyond its returned frames")
+  }
+
   test("blockedCosinePairs only pairs rows sharing the blocking key") {
     val emb = Tables.embeddings(spark, sfDir)
     val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
