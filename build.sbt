@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g made GC pauses the dominant run-to-run bench noise at local[32]
+  // (±0.5 s absolute swings on ~1 s queries); the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // a full-surface run JIT-compiles thousands of generated classes; at
+  // the 240 MB default the code cache fills mid-run, the compiler shuts
+  // off, and later queries run partially interpreted — the bimodal 3-4×
+  // per-query swings between otherwise identical runs
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
   * Per query: one untimed warmup run (Catalyst planning, whole-stage
-  * codegen compilation, JIT), then THREE timed runs — the reported
-  * number is the median. Warming immediately before timing matters:
-  * Spark's generated-class cache holds ~100 entries, so with 60+
-  * multi-stage queries a single global warmup pass gets evicted before
-  * the timed pass returns. The median absorbs single-run JVM noise
-  * (GC, metaspace growth, JIT recompiles) that made trivially-planned
+  * codegen compilation, JIT), then FIVE timed runs — the reported
+  * number is the median. Warming immediately before timing matters,
+  * and the generated-class cache is sized for the whole surface (see
+  * the session config below) so the warmup actually survives to the
+  * timed passes. The median absorbs single-run JVM noise (GC,
+  * metaspace growth, JIT recompiles) that made trivially-planned
   * queries swing 5-10× between earlier rounds; each timed run starts
   * from a cleared cache so it re-does all real work including
   * rebuilding any DataFrame caches.
@@ -29,6 +29,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the generated-class cache defaults to 100 entries; a full-surface
+      // run compiles several hundred distinct WholeStageCodegen units, so
+      // at the default every query re-compiles (and re-JITs) its codegen
+      // on every timed run — measured 3-4× inflation on short multi-stage
+      // queries (x10: 4.3 s full-surface vs 1.2 s isolated). Any service
+      // running a wide query mix should raise it the same way.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +55,11 @@ object Bench {
         try execute(n) catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
-      n -> Seq.fill(3)(timedRun()).sorted.apply(1)
+      val samples = Seq.fill(5)(timedRun())
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+        System.err.println(f"[bench] $n%-26s " +
+          samples.map(s => f"$s%6.2f").mkString(" "))
+      n -> samples.sorted.apply(2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Build target/sf1: a 10x replica of /root/testdata/sf0.1 with consistent
+key offsets — the full-surface linearity probe (SURVEY paragraph 6).
+
+Replication preserves join structure: every fact/dim key is offset by
+i*OFF per replica i, so FK edges (orders->customer, lineitem->orders/
+part/supplier) keep ~constant fan-out and join cardinality scales
+linearly. region/nation stay as-is (bounded dims at any scale; nation
+FKs are untouched). The fixed query sets (vec_id < 10, etc.) stay
+replica-0-only — a fixed probe set against a 10x corpus, the realistic
+scale-up. events.ts is re-cast to TIMESTAMP_NS to keep the driver data's
+physical parquet type (graft.Tables.events reads nanos-as-long).
+
+Bench-only data: no oracle runs against it (hash correctness at 10x was
+separately proven at sf0.1 in round 4).
+"""
+import duckdb, os, sys
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
+REPLICAS = 10
+OFF = 100_000_000
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"CREATE VIEW r AS SELECT unnest(generate_series(0, {REPLICAS - 1})) AS i")
+
+def emit(name, select):
+    out = f"{DST}/{name}.parquet"
+    con.execute(f"COPY ({select}) TO '{out}' (FORMAT parquet)")
+    n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+    print(f"{name}: {n} rows")
+
+def src(name):
+    return f"'{SRC}/{name}.parquet'"
+
+for t in ("region", "nation"):
+    emit(t, f"SELECT * FROM {src(t)}")
+
+emit("customer", f"""
+  SELECT c_custkey + i*{OFF} AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM {src('customer')}, r""")
+emit("supplier", f"""
+  SELECT s_suppkey + i*{OFF} AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM {src('supplier')}, r""")
+emit("part", f"""
+  SELECT p_partkey + i*{OFF} AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+  FROM {src('part')}, r""")
+emit("orders", f"""
+  SELECT o_orderkey + i*{OFF} AS o_orderkey, o_custkey + i*{OFF} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM {src('orders')}, r""")
+emit("lineitem", f"""
+  SELECT l_orderkey + i*{OFF} AS l_orderkey, l_partkey + i*{OFF} AS l_partkey,
+         l_suppkey + i*{OFF} AS l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM {src('lineitem')}, r""")
+emit("events", f"""
+  SELECT event_id + i*{OFF} AS event_id, CAST(ts AS TIMESTAMP_NS) AS ts,
+         user_id + i*{OFF} AS user_id, event_type, value, props
+  FROM {src('events')}, r""")
+emit("documents", f"""
+  SELECT doc_id + i*{OFF} AS doc_id, text, lang, source, n_chars
+  FROM {src('documents')}, r""")
+emit("embeddings", f"""
+  SELECT vec_id + i*{OFF} AS vec_id, embedding, label
+  FROM {src('embeddings')}, r""")
+print("done ->", DST)
