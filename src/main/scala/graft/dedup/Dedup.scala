@@ -307,6 +307,28 @@ object Dedup {
     labels.withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
   }
 
+  /** Keeper selection by quality, not by accident: for each near-dup
+    * component pick the row maximizing `scoreCol` (ties → smallest
+    * doc_id) — "keep the longest/cleanest version of the page", the
+    * curation rule real pipelines apply, vs. the arbitrary min-id
+    * keeper of [[nearDupComponents]].
+    *
+    * The argmax is a map-side-combinable `max(struct(score, -id))`
+    * aggregate — one shuffle on the component key, no per-component
+    * sort, no window (a rank window would buffer whole components; at
+    * 100 TB a boilerplate cluster can hold millions of members). */
+  def componentKeepers(labels: DataFrame, scored: DataFrame,
+                       scoreCol: String): DataFrame = {
+    val withScore = labels.select(col("doc_id"), col("component"))
+      .join(scored.select(col("doc_id"), col(scoreCol).as("__score")), Seq("doc_id"))
+    val keepers = withScore.groupBy("component")
+      .agg(max(struct(col("__score"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("component"), (-col("m.nid")).as("keeper_id"))
+    withScore.join(keepers, Seq("component"))
+      .select(col("doc_id"), col("component"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("int").as("is_keeper"))
+  }
+
   /** Near-dup pairs within `maxHamming` via the pigeonhole chunk join:
     * split the `sigBits`-bit signature into maxHamming+1 chunks; any pair
     * within the distance must agree on at least one chunk. */

@@ -78,24 +78,44 @@ object TrainingData {
                      AND a.doc_id < b.doc_id)"""
 
   // min-label propagation unrolled to `iters` hops over the verified
-  // near-dup pair graph — mirrors Dedup.nearDupComponents exactly
-  private def clusterOracleSql(iters: Int = 2): String = {
+  // near-dup pair graph — mirrors Dedup.nearDupComponents exactly.
+  // The CTE chain is shared by the plain-cluster and keeper-by-quality
+  // oracles; the final labels live in l$iters.
+  private def clusterCtes(iters: Int): String = {
     val hops = (1 to iters).map { i =>
       s"""n$i AS (SELECT e.src AS doc_id, min(l.component) AS nc
                   FROM edges e JOIN l${i - 1} l ON l.doc_id = e.dst GROUP BY 1),
           l$i AS (SELECT l.doc_id, least(l.component, COALESCE(n$i.nc, l.component)) AS component
                   FROM l${i - 1} l LEFT JOIN n$i USING (doc_id))"""
     }.mkString(", ")
-    s"""WITH $minhashCte,
+    s"""$minhashCte,
        $minhashCandCte,
        $jaccardVerifyCte,
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
                  UNION ALL SELECT doc_b, doc_a FROM verified),
        l0 AS (SELECT doc_id, doc_id AS component FROM documents),
-       $hops
+       $hops"""
+  }
+
+  private def clusterOracleSql(iters: Int = 2): String =
+    s"""WITH ${clusterCtes(iters)}
        SELECT doc_id, component, CAST(doc_id = component AS INT) AS is_keeper
        FROM l$iters ORDER BY doc_id"""
-  }
+
+  // keeper-by-quality over the same components: argmax of
+  // (length(text), -doc_id) per component — mirrors Dedup.componentKeepers
+  private def clusterKeeperOracleSql(iters: Int = 2): String =
+    s"""WITH ${clusterCtes(iters)},
+       scored AS (SELECT l.doc_id, l.component, length(d.text) AS len
+                  FROM l$iters l JOIN documents d USING (doc_id)),
+       k AS (SELECT component, doc_id AS keeper_id
+             FROM (SELECT *, row_number() OVER (PARTITION BY component
+                                                ORDER BY len DESC, doc_id) AS rn
+                   FROM scored)
+             WHERE rn = 1)
+       SELECT s.doc_id, s.component, k.keeper_id,
+              CAST(s.doc_id = k.keeper_id AS INT) AS is_keeper
+       FROM scored s JOIN k USING (component) ORDER BY s.doc_id"""
 
   // md5-parity simhash, generated from the same bit count as Dedup.simhashMd5
   private val simhashSelect: String = {
@@ -363,6 +383,18 @@ object TrainingData {
       Dedup.nearDupComponents(Dedup.minhashNearDups(docs, 0.5), docs).orderBy("doc_id")
     }),
 
+    // Keeper-by-quality: same components, but each cluster keeps its
+    // LONGEST member (ties → min doc_id) — the curation rule real
+    // dedup applies ("keep the fullest version of the page"), via a
+    // map-side-combinable argmax, not a per-component rank window.
+    "x38_cluster_keeper" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = Dedup.nearDupComponents(Dedup.minhashNearDups(docs, 0.5), docs)
+      Dedup.componentKeepers(labels,
+          docs.select(col("doc_id"), length(col("text")).as("len")), "len")
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-frequency profile (top 20, count-desc).
     "x18_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
@@ -609,6 +641,16 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Per-domain quota: cap documents per source at 15, chosen by the
+    // deterministic md5 shuffle key — two-phase salted rank, so the
+    // biggest domain's sort is bounded by 16·quota rows per task (the
+    // skew-proof form of "no more than N docs per domain").
+    "x37_domain_quota" -> ((s, d) =>
+      graft.util.Sampling.domainQuota(
+          Tables.documents(s, d), "source", "doc_id", quota = 15)
+        .select("doc_id", "source", "rnk")
+        .orderBy("doc_id")),
+
     // Deterministic stratified sampling — downsample the majority
     // language, keep the rest (class rebalancing with zero RNG state).
     "x22_stratified_sample" -> ((s, d) =>
@@ -765,6 +807,14 @@ object TrainingData {
           $minhashCandCte,
           $jaccardTail""",
     "x17_dedup_clusters" -> clusterOracleSql(),
+    "x38_cluster_keeper" -> clusterKeeperOracleSql(),
+    "x37_domain_quota" ->
+      """WITH r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+              FROM documents)
+         SELECT doc_id, source, CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 15 ORDER BY doc_id""",
     "x34_dedup_pipeline" ->
       s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM (
               SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp

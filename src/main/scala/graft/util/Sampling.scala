@@ -35,4 +35,38 @@ object Sampling {
   /** Deterministic global shuffle order for training: sort by the id's
     * md5 — decorrelates neighbours without any RNG state. */
   def shuffleKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Per-key quota sampling: keep at most `quota` rows per `keyCol`,
+    * chosen deterministically by the id's md5 (web-corpus curation's
+    * "cap documents per domain" rule — a handful of giant domains must
+    * not dominate the training mix).
+    *
+    * Exactly equivalent to one rank-per-key window, but computed in TWO
+    * phases so a mega-key never sorts in a single task: phase 1 ranks
+    * within (key, salt) — the salt is the last hex nibble of the rank
+    * key itself, so it is deterministic and evenly splits every key 16
+    * ways — and keeps `quota` per salt slice. The global per-key top
+    * `quota` is contained in the union of per-slice top `quota`s, so
+    * phase 2 re-ranks at most 16·quota survivors per key and its window
+    * partitions are bounded by 16·quota rows REGARDLESS of key skew.
+    * At 100 TB a single domain can hold billions of rows; the biggest
+    * sort any one task does here is still 16·quota elements. */
+  def domainQuota(df: DataFrame, keyCol: String, idCol: String,
+                  quota: Int, salts: Int = 16): DataFrame = {
+    require(salts >= 1 && salts <= 16, "salt count derives from one hex nibble")
+    import org.apache.spark.sql.expressions.Window
+    val withRk = df.withColumn("__rk", shuffleKey(col(idCol)))
+      .withColumn("__salt",
+        conv(substring(col("__rk"), 32, 1), 16, 10).cast("int") % salts)
+    val slice = Window.partitionBy(col(keyCol), col("__salt"))
+      .orderBy(col("__rk"), col(idCol))
+    val survivors = withRk
+      .withColumn("__r1", row_number().over(slice))
+      .filter(col("__r1") <= quota)
+    val global = Window.partitionBy(col(keyCol)).orderBy(col("__rk"), col(idCol))
+    survivors
+      .withColumn("rnk", row_number().over(global).cast("int"))
+      .filter(col("rnk") <= quota)
+      .drop("__rk", "__salt", "__r1")
+  }
 }

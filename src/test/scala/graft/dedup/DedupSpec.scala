@@ -77,4 +77,21 @@ class DedupSpec extends SparkSpecBase {
     assert(fp1 <= nShingles)
     assert(fp1 > 0)
   }
+
+  test("componentKeepers picks the longest member per component, min id on ties") {
+    val labels = Dedup.nearDupComponents(Dedup.minhashNearDups(docs, 0.5), docs)
+    val scored = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val out = Dedup.componentKeepers(labels, scored, "len").cache()
+    // exactly one keeper per component, and the keeper is a member
+    val perComp = out.groupBy("component")
+      .agg(sum("is_keeper").as("nk"), countDistinct("keeper_id").as("nid"))
+    assert(perComp.filter(col("nk") =!= 1 || col("nid") =!= 1).count() === 0)
+    // no member outscores its keeper; equal-score members have larger ids
+    val joined = out.join(scored, "doc_id")
+      .join(scored.select(col("doc_id").as("keeper_id"), col("len").as("klen")), "keeper_id")
+    assert(joined.filter(col("len") > col("klen")).count() === 0)
+    assert(joined.filter(col("len") === col("klen") && col("doc_id") < col("keeper_id"))
+      .count() === 0)
+    assert(out.count() === docs.count())
+  }
 }
