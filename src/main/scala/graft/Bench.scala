@@ -55,11 +55,15 @@ object Bench {
         try execute(n) catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
-      val samples = Seq.fill(5)(timedRun())
+      // SPARK_GRAFT_BENCH_RUNS trims the timed-run count for long probes
+      // (the 10x linearity sweep uses 1 — a linear-vs-superlinear verdict
+      // doesn't need a 5-sample median at 10x the data cost)
+      val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
+      val samples = Seq.fill(nRuns)(timedRun())
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
         System.err.println(f"[bench] $n%-26s " +
           samples.map(s => f"$s%6.2f").mkString(" "))
-      n -> samples.sorted.apply(2)
+      n -> samples.sorted.apply(nRuns / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

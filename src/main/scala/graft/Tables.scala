@@ -30,11 +30,19 @@ object Tables {
   /** `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark's
     * vectorized reader rejects; read nanos as long and truncate to the
     * engine's microsecond precision (matches DuckDB's
-    * date_trunc('microseconds', ts) exactly for positive epochs). */
+    * date_trunc('microseconds', ts) exactly for positive epochs).
+    * Replica/third-party copies of the table may carry a standard
+    * micros/NTZ timestamp instead — detect the physical type from the
+    * loaded schema and convert only when the nanos path applies, so the
+    * same loader reads either physical layout. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df // already a timestamp type
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

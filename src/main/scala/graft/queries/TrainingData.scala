@@ -651,6 +651,19 @@ object TrainingData {
         .select("doc_id", "source", "rnk")
         .orderBy("doc_id")),
 
+    // Token-budget corpus mix — each language downsampled to ~4000
+    // tokens: the keep fraction is RESOLVED FROM THE DATA (integer
+    // division of the budget by the measured per-language token total,
+    // broadcast back), then applied as the deterministic md5-bucket
+    // cut. The static data-mix rebalancing step of corpus assembly.
+    "x39_token_budget" -> ((s, d) =>
+      graft.util.Sampling.tokenBudgetMix(
+          Tables.documents(s, d), "lang", "doc_id",
+          size(TextFunctions.tokens(col("text"))).cast("long"),
+          budgetTokens = 4000L)
+        .select("doc_id", "lang", "cut")
+        .orderBy("doc_id")),
+
     // Deterministic stratified sampling — downsample the majority
     // language, keep the rest (class rebalancing with zero RNG state).
     "x22_stratified_sample" -> ((s, d) =>
@@ -808,6 +821,16 @@ object TrainingData {
           $jaccardTail""",
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
+    "x39_token_budget" ->
+      s"""WITH $tokCte,
+          tot AS (SELECT lang, sum(len(t)) AS total
+                  FROM tok JOIN documents USING (doc_id) GROUP BY lang),
+          cuts AS (SELECT lang, CAST(least(256, ${256L * 4000L} // total) AS INT) AS cut FROM tot),
+          b AS (SELECT doc_id, d.lang, cut,
+                  (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+                FROM documents d JOIN cuts USING (lang))
+         SELECT doc_id, lang, cut FROM b WHERE bucket < cut ORDER BY doc_id""",
     "x37_domain_quota" ->
       """WITH r AS (SELECT doc_id, source,
                   row_number() OVER (PARTITION BY source

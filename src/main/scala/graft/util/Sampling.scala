@@ -36,6 +36,29 @@ object Sampling {
     * md5 — decorrelates neighbours without any RNG state. */
   def shuffleKey(id: Column): Column = md5(id.cast("string"))
 
+  /** Token-budget corpus mix: downsample each stratum (language/source)
+    * to ~`budgetTokens` tokens — the static data-mix rebalancing step a
+    * training corpus goes through ("no language exceeds its token
+    * share"). The keep fraction per stratum is resolved FROM the data
+    * (floor(256·budget / stratum_total) as an integer division — no
+    * float quotient, so the same cut resolves everywhere) and applied
+    * as a deterministic md5-bucket cut: the same document survives the
+    * same budget on every run of every cluster.
+    *
+    * Two passes, both single-shuffle: a map-side-combined per-stratum
+    * token total (tiny result, broadcast back), then a pruned
+    * id/stratum scan filtered by the bucket cut — the second pass never
+    * rereads `tokensCol`'s inputs. */
+  def tokenBudgetMix(df: DataFrame, strataCol: String, idCol: String,
+                     tokensCol: Column, budgetTokens: Long): DataFrame = {
+    val totals = df.select(col(strataCol), tokensCol.as("__nt"))
+      .groupBy(strataCol).agg(sum("__nt").as("__total"))
+    val cuts = totals.select(col(strataCol),
+      least(lit(256L), expr(s"${256L * budgetTokens} div __total")).cast("int").as("cut"))
+    df.join(broadcast(cuts), Seq(strataCol))
+      .filter(hashBucket(col(idCol)) < col("cut"))
+  }
+
   /** Per-key quota sampling: keep at most `quota` rows per `keyCol`,
     * chosen deterministically by the id's md5 (web-corpus curation's
     * "cap documents per domain" rule — a handful of giant domains must

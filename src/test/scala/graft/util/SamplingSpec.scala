@@ -30,6 +30,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(counts === Map("big" -> 15L, "edge" -> 15L, "small" -> 3L))
   }
 
+  test("tokenBudgetMix resolves per-stratum cuts from the data and applies them deterministically") {
+    // two strata: 'big' holds 10x the budget in tokens, 'small' fits inside it
+    val rows = (1L to 1000L).map(i => (i, "big", 10L)) ++
+      (2001L to 2050L).map(i => (i, "small", 4L))
+    val df = rows.toDF("id", "lang", "nt")
+    val kept = Sampling.tokenBudgetMix(df, "lang", "id", $"nt", budgetTokens = 1000L)
+      .cache()
+    // small stratum total (200) <= budget => cut 256 => all 50 rows kept
+    assert(kept.filter($"lang" === "small").count() === 50)
+    // big stratum: cut = floor(256*1000/10000) = 25 => ~25/256 of rows kept;
+    // md5 buckets are uniform, so the kept count lands near 1000*25/256 ~ 98
+    val bigKept = kept.filter($"lang" === "big").count()
+    assert(bigKept > 50 && bigKept < 160, s"kept $bigKept of 1000")
+    // deterministic: the same budget keeps the same rows on a rerun
+    val again = Sampling.tokenBudgetMix(df, "lang", "id", $"nt", budgetTokens = 1000L)
+    assert(kept.select("id").except(again.select("id")).count() === 0)
+    assert(again.select("id").except(kept.select("id")).count() === 0)
+  }
+
   test("domainQuota phase-1 slices bound every window partition by the salt split") {
     // with 16 salts, no (key, salt) slice of the mega-key holds more
     // than ~1/16 of it (md5 nibbles are uniform) — the property that
