@@ -395,6 +395,41 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // Line-level boilerplate removal (the CCNet/RefinedWeb-style
+    // cross-document line dedup): segment each doc into deterministic
+    // 8-token "lines", drop every segment that appears in more than 2
+    // documents (headers/footers/licence blocks — and here, the planted
+    // duplicate groups), then REASSEMBLE the surviving text in original
+    // order. The rebuild is an order-independent aggregate
+    // (array_sort(collect_list(struct(pos, seg)))), never a window:
+    // per-doc segment lists are bounded by doc length, and the df join
+    // shuffles on the segment key exactly once.
+    "x40_line_dedup" -> ((s, d) => {
+      val maxDf = 2
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((size(col("t")) - lit(1)) / 8).cast("int")),
+          i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " "))).as(Seq("i", "seg")))
+        .cache() // df count + totals + rebuild all read the segment table
+      val segDf = segs.select("doc_id", "seg").distinct()
+        .groupBy("seg").agg(count(lit(1)).as("df"))
+      val kept = segs.join(segDf, Seq("seg")).filter(col("df") <= maxDf)
+      val rebuilt = kept.groupBy("doc_id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      Tables.documents(s, d).select("doc_id")
+        .join(totals, Seq("doc_id"), "left")
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          (coalesce(col("n_segs"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+            .cast("int").as("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-frequency profile (top 20, count-desc).
     "x18_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
@@ -821,6 +856,19 @@ object TrainingData {
           $jaccardTail""",
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
+    "x40_line_dedup" ->
+      s"""WITH $tokCte,
+          seg2 AS (SELECT doc_id, i, array_to_string(t[i*8+1:i*8+8], ' ') AS seg
+                   FROM (SELECT doc_id, t, unnest(generate_series(0, (len(t)-1)//8)) AS i FROM tok)),
+          dfc AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg2 GROUP BY seg),
+          kept AS (SELECT doc_id, i, seg FROM seg2 JOIN dfc USING (seg) WHERE df <= 2),
+          reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+                         count(*) AS n_kept FROM kept GROUP BY doc_id),
+          tot AS (SELECT doc_id, count(*) AS n_segs FROM seg2 GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+                CAST(COALESCE(tot.n_segs, 0) - COALESCE(reb.n_kept, 0) AS INT) AS n_dropped
+         FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+         ORDER BY d.doc_id""",
     "x39_token_budget" ->
       s"""WITH $tokCte,
           tot AS (SELECT lang, sum(len(t)) AS total
