@@ -199,6 +199,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sketch-accuracy report: the MinHash Jaccard ESTIMATE (fraction of
+    * agreeing signature slots) next to the exact shingle Jaccard, for
+    * every LSH candidate pair. The monitoring op a production dedup
+    * stack runs continuously: at 100 TB nobody can verify the sketch
+    * globally, but est-vs-exact on the band-surfaced candidates is
+    * cheap — slot agreement is ONE codegen'd 32-way comparison on the
+    * wide signature rows (no unpivot, no extra shuffle beyond the
+    * candidate join), and the exact side reuses the candidate-bounded
+    * intersection join. `err` near ±1/32 quantization is healthy;
+    * drift beyond it means the hash family or shingle pipeline broke. */
+  def minhashAccuracy(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs).cache()
+    val sigs = minhashSignatures(sh).cache()
+    // candidates feed both the estimate and the exact-verify branches
+    val cand = candidatePairs(bandTable(sigs)).cache()
+    val renameA = sigs.columns.map(c => if (c == "doc_id") col(c).as("doc_a") else col(c).as(c + "_a"))
+    val renameB = sigs.columns.map(c => if (c == "doc_id") col(c).as("doc_b") else col(c).as(c + "_b"))
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(sigs.select(renameA.toSeq: _*), Seq("doc_a"))
+      .join(sigs.select(renameB.toSeq: _*), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / lit(NumHashes)).as("est_jaccard"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = cand.join(x, Seq("doc_a")).join(y, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L)))).as("jaccard"))
+      .withColumn("err", col("est_jaccard") - col("jaccard"))
+  }
+
   /** The scale-ordered dedup pipeline: EXACT dedup first, THEN MinHash
     * near-dups over the keepers only. Web-scale corpora are 30-50%
     * exact duplicates (mirrors, reposts, replicas), and every byte of

@@ -430,6 +430,13 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // MinHash sketch-accuracy report: estimated vs exact Jaccard for
+    // every LSH candidate pair — the continuous monitoring query of a
+    // production dedup stack (sketch drift = broken hash family).
+    "x41_minhash_est" -> ((s, d) =>
+      Dedup.minhashAccuracy(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
+
     // Corpus token-frequency profile (top 20, count-desc).
     "x18_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
@@ -856,6 +863,29 @@ object TrainingData {
           $jaccardTail""",
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
+    "x41_minhash_est" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          agree AS (SELECT c.doc_a, c.doc_b, SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS k
+                    FROM cand c
+                    JOIN mh x ON x.doc_id = c.doc_a
+                    JOIN mh y ON y.doc_id = c.doc_b AND y.h_idx = x.h_idx
+                    GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                    FROM cand c JOIN sh p ON p.doc_id = c.doc_a
+                                JOIN sh q ON q.doc_id = c.doc_b AND q.sh = p.sh
+                    GROUP BY 1, 2),
+          rep AS (SELECT a.doc_a, a.doc_b,
+                         CAST(a.k AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard,
+                         CAST(COALESCE(i.i, 0) AS DOUBLE)
+                           / (x.n + y.n - COALESCE(i.i, 0)) AS jaccard
+                  FROM agree a
+                  LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+                  JOIN sizes x ON x.doc_id = a.doc_a
+                  JOIN sizes y ON y.doc_id = a.doc_b)
+         SELECT doc_a, doc_b, est_jaccard, jaccard, est_jaccard - jaccard AS err
+         FROM rep ORDER BY doc_a, doc_b""",
     "x40_line_dedup" ->
       s"""WITH $tokCte,
           seg2 AS (SELECT doc_id, i, array_to_string(t[i*8+1:i*8+8], ' ') AS seg
