@@ -430,6 +430,24 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation pipeline (the documents-plane k6): every
+    // per-document signal + the near-dup keeper + the composite keep
+    // verdict, written partitioned-by-language, QC-gated, read back.
+    "k7_curation_pipeline" -> ((s, d) => {
+      // unique per-invocation scratch dir (the k6 discipline): bench,
+      // gate and tests may run concurrently; cleaned up at JVM exit
+      // because the returned DataFrame reads the files lazily.
+      val outDir = java.nio.file.Files.createTempDirectory("graft_curation_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(outDir.toFile): Unit))
+      val report = graft.app.CurationRunner.run(s, d, outDir.toString)
+      require(report.qcPassed, s"curation QC gate failed: $report")
+      s.read.parquet(s"${outDir.toString}/curation")
+        .select("doc_id", "lang_detected", "quality", "n_tokens",
+          "rep_ratio", "component", "is_keeper", "keep")
+        .orderBy("doc_id")
+    }),
+
     // MinHash sketch-accuracy report: estimated vs exact Jaccard for
     // every LSH candidate pair — the continuous monitoring query of a
     // production dedup stack (sketch drift = broken hash family).
@@ -831,7 +849,27 @@ object TrainingData {
           posexplode_outer(col("feat")).as(Seq("feat_idx", "val")))
         .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("feat_idx"))))
 
-  def oracles: Map[String, String] = Map(
+  /** The composite-pipeline oracles reuse the single-signal oracle SQL
+    * as subqueries, so k7 is definitionally consistent with x7/x8/x25/
+    * x17 — one source of truth per formula. */
+  def oracles: Map[String, String] = {
+    val b = baseOracles
+    b + ("k7_curation_pipeline" ->
+      s"""SELECT s7.doc_id, s7.lang_detected, s8.quality, s7.n_tokens,
+                 s25.rep_ratio, cl.component, cl.is_keeper,
+                 CAST((s7.lang_detected IN ('de', 'en', 'es', 'fr')
+                       AND s8.quality >= 0.5
+                       AND s7.n_tokens BETWEEN 20 AND 200
+                       AND s25.rep_ratio <= 0.2
+                       AND cl.is_keeper = 1) AS INT) AS keep
+          FROM (${b("x7_lang_id")}) s7
+          JOIN (${b("x8_quality_score")}) s8 USING (doc_id)
+          JOIN (${b("x25_repetition")}) s25 USING (doc_id)
+          JOIN (${b("x17_dedup_clusters")}) cl USING (doc_id)
+          ORDER BY s7.doc_id""")
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                 min(doc_id) AS keeper_id, count(*) AS n_copies
