@@ -448,6 +448,25 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // Split-leakage audit: deterministic train/val/test assignment
+    // (md5 buckets, 80/10/10), then the near-dup pair matrix BY split
+    // pair — off-diagonal mass is eval leakage (a test doc with a
+    // training near-dup measures memorization, not generalization).
+    // The audit that must run BEFORE a split ships; splits must be
+    // re-drawn or leaking pairs quarantined until the off-diagonal is
+    // acceptable. One extra shuffle beyond the near-dup pipeline.
+    "x42_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val b = graft.util.Sampling.hashBucket(col("doc_id"))
+      val assign = docs.select(col("doc_id"),
+        when(b < 205, "train").when(b < 230, "val").otherwise("test").as("split"))
+      Dedup.minhashNearDups(docs, 0.5)
+        .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    }),
+
     // MinHash sketch-accuracy report: estimated vs exact Jaccard for
     // every LSH candidate pair — the continuous monitoring query of a
     // production dedup stack (sketch drift = broken hash family).
@@ -901,6 +920,21 @@ object TrainingData {
           $jaccardTail""",
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
+    "x42_split_leakage" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          $jaccardVerifyCte,
+          assign AS (SELECT doc_id,
+                  CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205 THEN 'train'
+                       WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM documents)
+         SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_pairs
+         FROM verified v JOIN assign a ON a.doc_id = v.doc_a
+                         JOIN assign b ON b.doc_id = v.doc_b
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "x41_minhash_est" ->
       s"""WITH $minhashCte,
           $minhashCandCte,
