@@ -467,6 +467,26 @@ object TrainingData {
         .orderBy("split_a", "split_b")
     }),
 
+    // The FIX for x42's leakage: key the split assignment on the
+    // near-dup COMPONENT, not the document — every member of a dup
+    // cluster hashes to the same split, so the audit's off-diagonal is
+    // structurally zero (at label-propagation fixpoint; the gate corpus
+    // is clique-shaped so 2 hops converge — DedupSpec). Same matrix
+    // query as x42, so the two results are directly comparable.
+    "x43_component_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b").cache()
+      val labels = Dedup.nearDupComponents(pairs, docs)
+      val b = graft.util.Sampling.hashBucket(col("component"))
+      val assign = labels.select(col("doc_id"),
+        when(b < 205, "train").when(b < 230, "val").otherwise("test").as("split"))
+      pairs
+        .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    }),
+
     // MinHash sketch-accuracy report: estimated vs exact Jaccard for
     // every LSH candidate pair — the continuous monitoring query of a
     // production dedup stack (sketch drift = broken hash family).
@@ -920,6 +940,19 @@ object TrainingData {
           $jaccardTail""",
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
+    "x43_component_split" ->
+      s"""WITH ${clusterCtes(2)},
+          assign AS (SELECT doc_id,
+                  CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substring(md5(CAST(component AS VARCHAR)), 2, 1)) - 1) < 205 THEN 'train'
+                       WHEN (strpos('0123456789abcdef', substring(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substring(md5(CAST(component AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM l2)
+         SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_pairs
+         FROM verified v JOIN assign a ON a.doc_id = v.doc_a
+                         JOIN assign b ON b.doc_id = v.doc_b
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "x42_split_leakage" ->
       s"""WITH $minhashCte,
           $minhashCandCte,

@@ -78,6 +78,20 @@ class DedupSpec extends SparkSpecBase {
     assert(fp1 > 0)
   }
 
+  test("component-keyed split assignment never separates a near-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b").cache()
+    val labels = Dedup.nearDupComponents(pairs, docs)
+    val b = graft.util.Sampling.hashBucket(col("component"))
+    val assign = labels.select(col("doc_id"),
+      when(b < 205, "train").when(b < 230, "val").otherwise("test").as("split"))
+    val crossing = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    assert(pairs.count() > 0)
+    assert(crossing.count() === 0)
+  }
+
   test("componentKeepers picks the longest member per component, min id on ties") {
     val labels = Dedup.nearDupComponents(Dedup.minhashNearDups(docs, 0.5), docs)
     val scored = docs.select(col("doc_id"), length(col("text")).as("len"))
