@@ -316,6 +316,35 @@ object TrainingData {
        FROM hits ORDER BY doc_id"""
   }
 
+  /** Two-phase scale-safe sequence packing (x27's core, shared with the
+    * shard manifest): docs in deterministic md5 shuffle order, each at
+    * its running token offset, bin = offset / budget. The global prefix
+    * sum is NEVER a global Window — 256 md5-prefix buckets, a
+    * triangular offset join over the tiny bucket-totals table, then a
+    * bucket-partitioned local running sum + broadcast offsets (see the
+    * x27 site and WindowScaleSafetySpec). */
+  private def seqPack(s: SparkSession, d: String, budget: Int): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+      graft.util.Sampling.shuffleKey(col("doc_id")).as("sk"))
+      .withColumn("bucket", substring(col("sk"), 1, 2))
+    val totals = base.groupBy("bucket").agg(sum(col("n_tokens")).as("bt"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.bt")), lit(0L)).as("bucket_offset"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("sk")
+    base
+      .withColumn("local_sum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_offset",
+        col("bucket_offset") + col("local_sum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / budget).as("bin_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- deduplication ----------------
@@ -656,28 +685,29 @@ object TrainingData {
     //      contains no un-partitioned WindowExec, spec-checked);
     //   3. bucket-partitioned local running sum + broadcast bucket
     //      offsets. Both big-table ops shuffle on the 256-way bucket key.
-    "x27_seq_pack" -> ((s, d) => {
-      val budget = 512
-      val base = Tables.documents(s, d).select(
-        col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).as("n_tokens"),
-        graft.util.Sampling.shuffleKey(col("doc_id")).as("sk"))
-        .withColumn("bucket", substring(col("sk"), 1, 2))
-      val totals = base.groupBy("bucket").agg(sum(col("n_tokens")).as("bt"))
-      val offsets = totals.as("a")
-        .join(totals.as("b"), col("b.bucket") < col("a.bucket"), "left")
-        .groupBy(col("a.bucket").as("bucket"))
-        .agg(coalesce(sum(col("b.bt")), lit(0L)).as("bucket_offset"))
-      val wLocal = org.apache.spark.sql.expressions.Window
-        .partitionBy("bucket").orderBy("sk")
-      base
-        .withColumn("local_sum", sum(col("n_tokens")).over(wLocal))
-        .join(broadcast(offsets), Seq("bucket"))
-        .withColumn("start_offset",
-          col("bucket_offset") + col("local_sum") - col("n_tokens"))
-        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
-          floor(col("start_offset") / budget).as("bin_id"))
-        .orderBy("doc_id")
+    "x27_seq_pack" -> ((s, d) =>
+      seqPack(s, d, budget = 512)
+        .select("doc_id", "n_tokens", "start_offset", "bin_id")
+        .orderBy("doc_id")),
+
+    // Shard manifests — the deliverable artifact of corpus assembly:
+    // per packed bin, the doc/token counts and a content checksum
+    // (md5 over the member fingerprints in pack order) a consumer uses
+    // to verify a shard before training on it. The checksum assembles
+    // order-independently (sort_array(collect_list(struct))) so it is
+    // reproducible at any parallelism — one bin-keyed shuffle on top
+    // of the two-phase packing.
+    "x44_shard_manifest" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      seqPack(s, d, budget = 512).join(fp, Seq("doc_id"))
+        .groupBy("bin_id").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("bin_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("start_offset"), col("fp")))),
+            e => e.getField("fp")), "|")).as("shard_md5"))
+        .orderBy("bin_id")
     }),
 
     // Benchmark decontamination — flag training documents sharing any
@@ -1262,6 +1292,24 @@ object TrainingData {
          SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
                 CAST(start_offset // 512 AS BIGINT) AS bin_id
          FROM s ORDER BY doc_id""",
+    "x44_shard_manifest" ->
+      """WITH b AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS sk
+                FROM documents),
+          s AS (SELECT doc_id, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY sk ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+                FROM b),
+          p AS (SELECT doc_id, n_tokens, start_offset,
+                  CAST(start_offset // 512 AS BIGINT) AS bin_id FROM s),
+          f AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents)
+         SELECT bin_id, count(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+                md5(string_agg(fp, '|' ORDER BY start_offset)) AS shard_md5
+         FROM p JOIN f USING (doc_id)
+         GROUP BY bin_id ORDER BY bin_id""",
     "x28_decontam" ->
       s"""WITH $tokCte,
           xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
