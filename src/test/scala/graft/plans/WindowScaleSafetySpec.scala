@@ -23,6 +23,12 @@ class WindowScaleSafetySpec extends SparkSpecBase {
       "global-order prefix sum must be two-phase (bucketed), not a global Window")
   }
 
+  test("x44_shard_manifest inherits the same guarantee through seqPack") {
+    val df = TrainingData.queries("x44_shard_manifest")(spark, sfDir)
+    assert(unpartitionedWindows(df).isEmpty,
+      "the manifest aggregation must ride the bucketed packing, not a global Window")
+  }
+
   test("x27 two-phase prefix sum equals the single-window reference") {
     val got = TrainingData.queries("x27_seq_pack")(spark, sfDir).collect()
     // reference: the naive global window (fine on the 0.001 test corpus)
