@@ -523,6 +523,29 @@ object TrainingData {
       Dedup.minhashAccuracy(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")),
 
+    // Document novelty: fraction of a doc's distinct 5-grams that occur
+    // in NO other document — the freshness signal complementing x25
+    // (within-doc repetition) and x40 (cross-doc boilerplate). df rides
+    // the shingle-keyed window (one shuffle, the x30 discipline); docs
+    // too short to shingle surface with novelty 0.
+    "x45_doc_novelty" -> ((s, d) => {
+      val sh5 = Dedup.docShingles(Tables.documents(s, d), n = 5)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      val agg = sh5.withColumn("df", count(lit(1)).over(w))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      Tables.documents(s, d).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)).cast("double"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-frequency profile (top 20, count-desc).
     "x18_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1292,6 +1315,21 @@ object TrainingData {
          SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
                 CAST(start_offset // 512 AS BIGINT) AS bin_id
          FROM s ORDER BY doc_id""",
+    "x45_doc_novelty" ->
+      s"""WITH $tokCte,
+          xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+                 FROM tok WHERE len(t) >= 5),
+          sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM xg),
+          dfc AS (SELECT sh, count(*) AS df FROM sh5 GROUP BY sh),
+          agg AS (SELECT doc_id, count(*) AS n_shingles,
+                         SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+                  FROM sh5 JOIN dfc USING (sh) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                CAST(COALESCE(a.n_unique, 0) AS BIGINT) AS n_unique,
+                round(CAST(COALESCE(a.n_unique, 0) AS DOUBLE)
+                      / greatest(COALESCE(a.n_shingles, 0), 1), 6) AS novelty
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "x44_shard_manifest" ->
       """WITH b AS (SELECT doc_id,
                   CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
