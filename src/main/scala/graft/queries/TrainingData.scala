@@ -301,6 +301,10 @@ object TrainingData {
        ORDER BY va, vb"""
   }
 
+  /** x46: corpus vocabulary size — top-K tokens by (count desc, token
+    * asc). Shared by the Spark plan and the generated oracle. */
+  val OovVocabK = 64
+
   private def langIdSql: String = {
     val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -552,6 +556,31 @@ object TrainingData {
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(20)),
+
+    // Vocabulary coverage / out-of-vocabulary rate — per-doc fraction
+    // of token OCCURRENCES outside the corpus top-K vocabulary (the
+    // "will the tokenizer shred this document" signal; high OOV ⇒
+    // gibberish, wrong language, or heavy markup). The vocab is a
+    // sorted-take over the token counts (TakeOrderedAndProject — one
+    // map-side-combined shuffle then a K-row driver result, never a
+    // full sort), broadcast back as a K-row join side; the per-doc pass
+    // is one groupBy(doc_id). Deterministic ties (count desc, token
+    // asc); the fraction is float-free integer ppm so the oracle
+    // resolves bit-identically. At 100 TB: vocab is bounded at K rows
+    // regardless of corpus size, docs shuffle once on doc_id.
+    "x46_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(OovVocabK)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // ---------------- text analysis ----------------
 
@@ -1086,6 +1115,16 @@ object TrainingData {
       """SELECT tok, count(*) AS n FROM
            (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "x46_oov_rate" ->
+      s"""WITH $tokCte,
+          occ AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+          vocab AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM occ GROUP BY tok
+                                     ORDER BY n DESC, tok LIMIT $OovVocabK)),
+          agg AS (SELECT o.doc_id, count(*) AS n_tokens,
+                         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                  FROM occ o LEFT JOIN vocab v USING (tok) GROUP BY o.doc_id)
+         SELECT doc_id, n_tokens, n_oov, n_oov * 1000000 // n_tokens AS oov_ppm
+         FROM agg ORDER BY doc_id""",
     "x5_simhash" ->
       s"""WITH $simhashSelect
           SELECT doc_id, simhash FROM sims ORDER BY doc_id""",
