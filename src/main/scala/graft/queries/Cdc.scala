@@ -76,6 +76,24 @@ object Cdc {
         Tables.events(s, d).drop("props"), "1 hour")
         .orderBy(asc_nulls_first("user_id"), col("session_start"))),
 
+    // T6 extension (batch semantics of [[graft.streaming.StreamJoin]]):
+    // event-time interval join — every view→click pair per user within
+    // one hour. The SAME function runs as a watermarked stream-stream
+    // join (StreamJoinSpec); here the watermark is a no-op and the plan
+    // is a per-user range join the oracle reproduces directly.
+    "t4_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val imp = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+          col("ts").as("imp_ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+      graft.streaming.StreamJoin.attributedClicks(imp, clk, "1 hour")
+        .select("imp_id", "click_id", "imp_user")
+        .orderBy("imp_id", "click_id")
+    }),
+
     // §3.2 end-to-end: the full CDC batch shape (parse → flatten →
     // normalize → pk → metadata), minus the nondeterministic timestamp.
     "t_cdc_transform" -> ((s, d) => {
@@ -105,6 +123,16 @@ object Cdc {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id ASC NULLS FIRST, session_start""",
+    "t4_interval_join" ->
+      """WITH imp AS (SELECT event_id AS imp_id, user_id AS imp_user, ts AS imp_ts
+                      FROM events WHERE event_type = 'view'),
+            clk AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+                    FROM events WHERE event_type = 'click')
+         SELECT imp_id, click_id, imp_user
+         FROM imp JOIN clk ON imp_user = click_user
+                          AND click_ts >= imp_ts
+                          AND click_ts <= imp_ts + INTERVAL 1 HOUR
+         ORDER BY imp_id, click_id""",
     "f16_json_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",

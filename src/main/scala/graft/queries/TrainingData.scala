@@ -227,25 +227,35 @@ object TrainingData {
   // the IVF pipeline in SQL: k-means unrolled (same deterministic seeds,
   // exact integer assignment dots, round(avg) centroid updates), then
   // probe-limited exact re-rank — hash-identical to Similarity.ivfTopK
-  private def ivfOracleSql(nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, k: Int = 5): String = {
-    def assignCte(name: String, cent: String) =
-      s"""$name AS (SELECT vec_id, cluster FROM (
-            SELECT e.vec_id, c.cluster,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY SUM(e.q * c.cq) DESC, c.cluster) AS rn
-            FROM e JOIN $cent c USING (pos) GROUP BY e.vec_id, c.cluster)
-          WHERE rn = 1)"""
-    def updateCte(name: String, assign: String) =
-      s"""$name AS (SELECT a.cluster, e.pos, CAST(round(avg(e.q)) AS BIGINT) AS cq
-                    FROM e JOIN $assign a USING (vec_id) GROUP BY 1, 2)"""
+  private def ivfAssignCte(name: String, cent: String) =
+    s"""$name AS (SELECT vec_id, cluster FROM (
+          SELECT e.vec_id, c.cluster,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY SUM(e.q * c.cq) DESC, c.cluster) AS rn
+          FROM e JOIN $cent c USING (pos) GROUP BY e.vec_id, c.cluster)
+        WHERE rn = 1)"""
+
+  private def ivfUpdateCte(name: String, assign: String) =
+    s"""$name AS (SELECT a.cluster, e.pos, CAST(round(avg(e.q)) AS BIGINT) AS cq
+                  FROM e JOIN $assign a USING (vec_id) GROUP BY 1, 2)"""
+
+  /** The unrolled relational k-means of [[Similarity.ivfIndex]] as a
+    * DuckDB CTE chain ending at `cent$iters` / `a$iters` — shared by
+    * the x16 top-k oracle and the x47 cluster-profile oracle so both
+    * resolve the SAME index from the same constants. */
+  private def ivfKmeansCtes(nlist: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map(i =>
-      s"${updateCte(s"cent$i", s"a${i - 1}")}, ${assignCte(s"a$i", s"cent$i")}").mkString(",\n       ")
-    s"""WITH $embCte,
+      s"${ivfUpdateCte(s"cent$i", s"a${i - 1}")}, ${ivfAssignCte(s"a$i", s"cent$i")}").mkString(",\n       ")
+    s"""$embCte,
        seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $nlist)),
        cent0 AS (SELECT s.cluster, e.pos, e.q AS cq FROM e JOIN seeds s USING (vec_id)),
-       ${assignCte("a0", "cent0")},
-       $iterCtes,
+       ${ivfAssignCte("a0", "cent0")},
+       $iterCtes"""
+  }
+
+  private def ivfOracleSql(nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, k: Int = 5): String = {
+    s"""WITH ${ivfKmeansCtes(nlist, iters)},
        probes AS (SELECT vec_id AS qid, cluster FROM (
             SELECT e.vec_id, c.cluster,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -266,6 +276,19 @@ object TrainingData {
           FROM scored)
        WHERE rank <= $k ORDER BY qid, rank"""
   }
+
+  /** x47: per-cluster corpus profile off the SAME unrolled k-means as
+    * the x16 oracle — member count, summed member norm², centroid
+    * norm², all exact integers. */
+  private def ivfProfileOracleSql(nlist: Int = 16, iters: Int = 2): String =
+    s"""WITH ${ivfKmeansCtes(nlist, iters)},
+       nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nsq FROM e GROUP BY vec_id),
+       prof AS (SELECT cluster, count(*) AS n_vecs, CAST(SUM(nsq) AS BIGINT) AS sum_nsq
+                FROM a$iters JOIN nrm USING (vec_id) GROUP BY cluster),
+       centn AS (SELECT cluster, CAST(SUM(cq * cq) AS BIGINT) AS cent_nsq
+                 FROM cent$iters GROUP BY cluster)
+       SELECT CAST(cluster AS INT) AS cluster, n_vecs, sum_nsq, cent_nsq
+       FROM prof JOIN centn USING (cluster) ORDER BY cluster"""
 
   // LSH near-dup pipeline in SQL: same plane/band constants as the Spark
   // plan (annOracleSql's geometry), va < vb pairs, cosine threshold
@@ -822,6 +845,16 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Corpus segmentation stats off the SAME IVF index as x16: per
+    // cluster, how many vectors and how much norm mass (member count,
+    // Σ‖v‖², ‖centroid‖² — all exact fixed-point integers). The
+    // topic-distribution / data-mix read of a trained index; its oracle
+    // unrolls the identical k-means, so the assignment itself is
+    // hash-checked, not just the top-k slice x16 sees.
+    "x47_cluster_profile" -> ((s, d) =>
+      Similarity.ivfClusterProfile(Tables.embeddings(s, d), nlist = 16, iters = 2)
+        .orderBy("cluster")),
+
     // Per-domain quota: cap documents per source at 15, chosen by the
     // deterministic md5 shuffle key — two-phase salted rank, so the
     // biggest domain's sort is bounded by 16·quota rows per task (the
@@ -1205,6 +1238,7 @@ object TrainingData {
                   '/$', '') AS canon_url
          FROM s3 ORDER BY doc_id""",
     "x16_ivf_topk" -> ivfOracleSql(),
+    "x47_cluster_profile" -> ivfProfileOracleSql(),
     "x8_quality_score" ->
       s"""WITH $tokCte,
           m AS (SELECT doc_id, t, text,

@@ -250,6 +250,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-cluster corpus profile off an IVF index build — member count,
+    * summed member norm² and centroid norm², all exact integers (the
+    * corpus-segmentation read of the index: how big and how "hot" each
+    * cluster is). The aggregation is one map-side-combinable pass over
+    * the assignments; the result is nlist-row BOUNDED index metadata,
+    * so it comes back as a local frame (the collectCent precedent,
+    * never a corpus-sized collect) and every cache the build registered
+    * is released before returning — a profile call leaves no storage
+    * behind. */
+  def ivfClusterProfile(emb: DataFrame, nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val (centroids, assignments) = ivfIndex(emb, nlist, iters)
+    val nrm = elements(emb).groupBy("vec_id")
+      .agg(sum(col("qv") * col("qv")).as("nsq"))
+    val prof = assignments.join(nrm, Seq("vec_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("nsq").as("sum_nsq"))
+    val centN = centroids.groupBy("cluster")
+      .agg(sum(col("cq") * col("cq")).as("cent_nsq"))
+    val rows = prof.join(centN, Seq("cluster"))
+      .select(col("cluster").cast("int"), col("n_vecs"),
+        col("sum_nsq"), col("cent_nsq"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    ivfUnpersist(centroids, assignments)
+    rows.toDF("cluster", "n_vecs", "sum_nsq", "cent_nsq")
+  }
+
   // ---------------- LSH (random hyperplanes) ----------------
 
   /** Default signature geometry: 32 hyperplanes split into 4 bands of
