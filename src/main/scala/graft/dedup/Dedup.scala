@@ -185,7 +185,14 @@ object Dedup {
     // bands feed both sides of the candidate self-join — cache, or the
     // signature aggregation runs twice.
     val bands = bandTable(minhashSignatures(sh)).cache()
-    val cand = candidatePairs(bands)
+    verifiedPairs(sh, candidatePairs(bands), threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set: intersection
+    * via the candidate-bounded shingle join (never all-pairs), kept at
+    * ≥ threshold. Shared by [[minhashNearDups]] and [[DedupPlane]]. */
+  private[dedup] def verifiedPairs(sh: DataFrame, cand: DataFrame,
+                                   threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val y = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -214,6 +221,13 @@ object Dedup {
     val sigs = minhashSignatures(sh).cache()
     // candidates feed both the estimate and the exact-verify branches
     val cand = candidatePairs(bandTable(sigs)).cache()
+    accuracyFrom(sh, sigs, cand)
+  }
+
+  /** The est-vs-exact report off already-materialized stages — shared
+    * by [[minhashAccuracy]] and [[DedupPlane]]. */
+  private[dedup] def accuracyFrom(sh: DataFrame, sigs: DataFrame,
+                                  cand: DataFrame): DataFrame = {
     val renameA = sigs.columns.map(c => if (c == "doc_id") col(c).as("doc_a") else col(c).as(c + "_a"))
     val renameB = sigs.columns.map(c => if (c == "doc_id") col(c).as("doc_b") else col(c).as(c + "_b"))
     val agree = (0 until NumHashes)
@@ -342,6 +356,48 @@ object Dedup {
           least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
       if (iters > 2) labels = labels.cache()
     }
+    labels.withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+  }
+
+  /** Min-label propagation run to FIXPOINT: iterate until no label
+    * changes, with lineage truncated per hop — the production CC shape
+    * when component diameter is unknown. [[nearDupComponents]]'s fixed
+    * hop count under-merges any component whose diameter exceeds it (a
+    * chain of near-dup pages merges one hop per iteration; see
+    * DedupSpec), which silently splits clusters — and split clusters
+    * mean duplicate keepers. Costs one count job per hop (the
+    * convergence probe) and an eager localCheckpoint per hop (each
+    * iteration becomes a fresh plan root: no 2^iters lineage growth,
+    * no re-execution of the whole pair pipeline per hop). `maxIters`
+    * bounds the worst case by graph diameter; min-label needs
+    * O(diameter) hops — for web-scale graphs with long chains, the
+    * large-star/small-star reformulation (O(log n) rounds) is the next
+    * step, same relational skeleton. */
+  def nearDupComponentsFixpoint(pairs: DataFrame, docs: DataFrame,
+                                maxIters: Int = 20): DataFrame = {
+    val p = pairs.cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min("component").as("nc"))
+      val next = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"),
+          (col("nc") < col("component")).cast("int").as("__chg"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum("__chg"), lit(0L))).first().getLong(0)
+      labels = next.drop("__chg")
+      it += 1
+    }
+    edges.unpersist()
+    p.unpersist()
     labels.withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
   }
 

@@ -417,6 +417,40 @@ object Relational {
         "user_id", "ts", "event_id", Seq("event_type"))
         .orderBy(asc_nulls_first("user_id"), col("version"))),
 
+    // A19: correlation profile — Pearson r between order price and
+    // order date per status, computed from EXACT fixed-point sums
+    // (cents × day numbers as decimals; Σx Σy Σxy Σx² Σy² are
+    // order-independent integers) with doubles entering only in the
+    // final per-group combine, where both engines do the same IEEE
+    // round-to-nearest ops in the same order. The built-in corr() is a
+    // float accumulator — partition-order-dependent in the last bits —
+    // which is exactly what this formulation avoids; the map-side
+    // combine stays one codegen'd pass. Widths: DECIMAL(18,0) inputs
+    // keep every product ≤ DECIMAL(36,0), inside both engines' 38-digit
+    // exact range.
+    "a19_corr_exact" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .select(col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").as("x"),
+          datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+            .cast("decimal(18,0)").as("y"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      val agg = base.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      agg.select(col("o_orderstatus"), col("n"),
+        ((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          sqrt((dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+               (dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))))
+          .as("corr_price_day"))
+        .orderBy("o_orderstatus")
+    }),
+
     // K8: incremental aggregate maintenance — the materialized-view
     // delta pattern the reference's daily batch lacks (it truncates and
     // recomputes the warehouse every run; `Airflow.py:22` cadence). A
@@ -465,6 +499,23 @@ object Relational {
     }))
 
   def oracles: Map[String, String] = Map(
+    // same exact-sums-then-double combine as the Spark side (corr()
+    // built-ins are float accumulators on both engines — not used)
+    "a19_corr_exact" ->
+      """WITH b AS (SELECT o_orderstatus,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS x,
+                CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,0)) AS y
+              FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+           a AS (SELECT o_orderstatus, count(*) AS n,
+                        SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                        SUM(x*x) AS sxx, SUM(y*y) AS syy
+                 FROM b GROUP BY o_orderstatus)
+         SELECT o_orderstatus, n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                AS corr_price_day
+         FROM a ORDER BY o_orderstatus""",
     // full recompute — hash-equality against the snapshot∪delta merge
     // proves the incremental maintenance is exact
     "k8_incremental_agg" ->

@@ -605,6 +605,24 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // Z-order layout key — the Morton interleave of two bucketed
+    // dimensions (length × source), the sort key that makes row-group
+    // min/max stats prune TWO-dimensional predicates after a
+    // `repartitionByRange(zkey).sortWithinPartitions(zkey)` write (see
+    // graft.util.ZOrder). Pure per-row shift/mask integer arithmetic —
+    // the oracle regenerates the identical interleave from the same
+    // bit-width constant.
+    "x48_zorder_key" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("least(255, n_chars div 4)").cast("long").as("len_bucket"),
+          (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 256)
+            .as("src_bucket"))
+        .withColumn("zkey",
+          graft.util.ZOrder.zkey2(col("len_bucket"), col("src_bucket")))
+        .orderBy("zkey", "doc_id")),
+
     // ---------------- text analysis ----------------
 
     // Language-ID heuristic vs the declared label. One-pass named-column
@@ -1148,6 +1166,14 @@ object TrainingData {
       """SELECT tok, count(*) AS n FROM
            (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "x48_zorder_key" ->
+      s"""WITH b AS (SELECT doc_id,
+              least(255, n_chars // 4) AS len_bucket,
+              CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 256 AS src_bucket
+            FROM documents)
+         SELECT doc_id, len_bucket, src_bucket,
+                ${graft.util.ZOrder.zkey2Sql("len_bucket", "src_bucket")} AS zkey
+         FROM b ORDER BY zkey, doc_id""",
     "x46_oov_rate" ->
       s"""WITH $tokCte,
           occ AS (SELECT doc_id, unnest(t) AS tok FROM tok),

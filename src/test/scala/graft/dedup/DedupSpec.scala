@@ -108,4 +108,27 @@ class DedupSpec extends SparkSpecBase {
       .count() === 0)
     assert(out.count() === docs.count())
   }
+
+  test("fixpoint components merge a chain a fixed 2-hop pass cannot") {
+    import spark.implicits._
+    // a 6-node path graph: min-label propagation moves the root label
+    // one hop per iteration, so diameter 5 needs 5 hops + 1 to detect
+    // convergence — far past the fixed default
+    val chainDocs = (1L to 6L).toDF("doc_id")
+    val chainPairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b").withColumn("jaccard", lit(1.0))
+    val fixed = Dedup.nearDupComponents(chainPairs, chainDocs, iters = 2)
+    val fp = Dedup.nearDupComponentsFixpoint(chainPairs, chainDocs)
+    assert(fp.select("component").distinct().count() === 1,
+      "fixpoint must merge the whole chain into one component")
+    assert(fp.filter(col("is_keeper") === 1).count() === 1)
+    assert(fixed.select("component").distinct().count() > 1,
+      "a 2-hop pass under-merges a diameter-5 chain (why fixpoint exists)")
+    // fixpoint agrees with the fixed pass on the gate corpus (its
+    // clique-shaped components converge within 2 hops)
+    val corpusPairs = Dedup.minhashNearDups(docs, 0.5)
+    val a = Dedup.nearDupComponents(corpusPairs, docs).collect().map(_.mkString("|")).toSet
+    val b = Dedup.nearDupComponentsFixpoint(corpusPairs, docs).collect().map(_.mkString("|")).toSet
+    assert(a === b)
+  }
 }
