@@ -2,7 +2,6 @@ package graft.app
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.clean.Cleaning
 import graft.dims.DateDim
@@ -92,11 +91,11 @@ object PipelineRunner {
     mergedDates.write.mode(SaveMode.Overwrite).parquet(staging)
     spark.read.parquet(staging).write.mode(SaveMode.Overwrite).parquet(datePath)
 
-    // fact (F21 replay-safe): dense surrogate keys offset past the HWM.
-    // row_number's global window is safe here because one day's increment
-    // is bounded; at larger batches switch to per-partition offsets.
-    val fact = cleaned.select(
-      (row_number().over(Window.orderBy("o_orderkey")) + lit(factHwm)).as("fact_id"),
+    // fact (F21 replay-safe): dense surrogate keys offset past the HWM,
+    // via the two-phase scale-safe global rank (ScalableRank) — a batch
+    // of ANY size keys without an un-partitioned window.
+    val fact = graft.util.ScalableRank.globalRowNumber(cleaned, "o_orderkey").select(
+      (col("row_num") + lit(factHwm)).as("fact_id"),
       col("o_orderkey").as("source_order_key"),
       col("o_custkey").as("customer_id"),
       date_format(col("order_date"), "yyyyMMdd").cast("int").as("date_id"),

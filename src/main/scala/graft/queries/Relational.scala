@@ -240,12 +240,13 @@ object Relational {
       DateDim.fromColumn(Tables.orders(s, d), "o_orderdate").orderBy("date_id")),
 
     // F21 (`spark_etl.py:141`, replay-safe per SURVEY §7.4): dense surrogate
-    // keys via row_number + warehouse max-offset.
+    // keys via the two-phase scale-safe global rank (bucketed prefix sum,
+    // never an un-partitioned window — ScalableRank) + warehouse max-offset.
     "f21_surrogate_keys" -> ((s, d) => {
       val hwmOffset = 1000L
-      Tables.customer(s, d).select(
-        col("c_custkey"),
-        (row_number().over(Window.orderBy("c_custkey")) + lit(hwmOffset)).as("fact_id"))
+      graft.util.ScalableRank.globalRowNumber(
+          Tables.customer(s, d).select("c_custkey"), "c_custkey")
+        .select(col("c_custkey"), (col("row_num") + lit(hwmOffset)).as("fact_id"))
         .orderBy("c_custkey")
     }),
 

@@ -823,6 +823,29 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // Fingerprint-overlap decontamination — the winnowing companion to
+    // x28's exact 5-gram check: a training doc is flagged when it shares
+    // ≥2 winnow fingerprints with the benchmark set. Winnowing
+    // guarantees any shared run of ≥ w+n−1 tokens leaves a shared
+    // fingerprint, so this catches long verbatim overlaps at ~1/w the
+    // index size of the full n-gram table — the cheap screen before
+    // x28's exact pass. Same shuffle shape: one fp-keyed semi-join.
+    "x50_contam_fp" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // benchmark and training branches both read the fingerprint
+      // table — cache it, or the shingle+window pipeline runs twice
+      val fp = Dedup.winnowFingerprints(docs).cache()
+      val bench = fp.filter(col("doc_id") % 20 === 0).select("fp").distinct()
+      val train = fp.filter(col("doc_id") % 20 =!= 0)
+      val hits = train.join(bench, Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= 2).cast("int").as("is_flagged"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- similarity search ----------------
 
     // Brute-force exact cosine top-5 for a small query set.
@@ -872,6 +895,18 @@ object TrainingData {
     "x47_cluster_profile" -> ((s, d) =>
       Similarity.ivfClusterProfile(Tables.embeddings(s, d), nlist = 16, iters = 2)
         .orderBy("cluster")),
+
+    // Two-stage SQ8 retrieval: 8-bit scalar-quantized shortlist (the
+    // 4-8×-smaller first-pass scan), exact fixed-point re-rank to
+    // top-5. Codebook (per-dim min/max), codes and shortlist ties are
+    // all integer-deterministic, so the approximate stage itself is
+    // hash-checked — the oracle quantizes with the same round-half-up
+    // integer arithmetic.
+    "x49_sq8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), 5, shortlist = 20)
+        .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
+    }),
 
     // Per-domain quota: cap documents per source at 15, chosen by the
     // deterministic md5 shuffle key — two-phase salted rank, so the
@@ -1231,6 +1266,34 @@ object TrainingData {
     },
     "x13_ann_topk" -> annOracleSql,
     "x35_ann_adaptive" -> annAdaptiveOracleSql(),
+    // SQ8 two-stage retrieval: codebook (per-dim min/max), round-half-up
+    // integer quantization ((x·510 + r) // 2r — mirrors sq8Codes), code
+    // dots → top-20 shortlist, exact fixed-point re-rank to top-5
+    "x49_sq8_topk" ->
+      s"""WITH $embCte,
+          rng AS (SELECT pos, min(q) AS mn, max(q) AS mx FROM e GROUP BY pos),
+          codes AS (SELECT vec_id, e.pos,
+                           CASE WHEN mx = mn THEN 0
+                                ELSE ((q - mn) * 510 + (mx - mn)) // (2 * (mx - mn)) END AS code
+                    FROM e JOIN rng USING (pos)),
+          qd AS (SELECT a.vec_id AS qid, b.vec_id AS vb, SUM(a.code * b.code) AS qdot
+                 FROM codes a JOIN codes b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+          short AS (SELECT qid, vb FROM
+                      (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vb) AS rn
+                       FROM qd)
+                    WHERE rn <= 20),
+          dots AS (SELECT s.qid, s.vb, SUM(x.q * y.q) AS dot
+                   FROM short s JOIN e x ON x.vec_id = s.qid
+                                JOIN e y ON y.vec_id = s.vb AND y.pos = x.pos
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                     FROM dots JOIN norms nx ON nx.vec_id = qid
+                               JOIN norms ny ON ny.vec_id = vb)
+          SELECT qid, vb, cos, rank FROM
+            (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
+             FROM scored)
+          WHERE rank <= 5 ORDER BY qid, rank""",
     "x20_strip_markup" ->
       """WITH unescaped AS (SELECT doc_id,
                 regexp_replace(
@@ -1460,6 +1523,22 @@ object TrainingData {
                 CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS is_contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""",
+    // winnow-fingerprint overlap screen (x10's fingerprint CTE, x28's
+    // split/semi-join shape); flagged at ≥2 shared fingerprints
+    "x50_contam_fp" ->
+      s"""WITH $posShingleCte,
+          w AS (SELECT doc_id, min(md5(sh)) OVER
+                  (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM shp),
+          fps AS (SELECT DISTINCT doc_id, fp FROM w),
+          bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 20 = 0),
+          hits AS (SELECT doc_id, count(*) AS n_shared FROM fps
+                   WHERE doc_id % 20 <> 0 AND fp IN (SELECT fp FROM bench)
+                   GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+                 CAST(COALESCE(h.n_shared, 0) >= 2 AS INT) AS is_flagged
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""",
     // hex-arithmetic decode oracle: byte k of frame i is read out of the
     // payload's hex string (two nibbles → 0-255), then the per-frame
     // (mean, min, max) statistics reproduce the stub decode exactly —

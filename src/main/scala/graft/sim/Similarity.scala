@@ -278,6 +278,66 @@ object Similarity {
     rows.toDF("cluster", "n_vecs", "sum_nsq", "cent_nsq")
   }
 
+  // ---------------- Scalar quantization (SQ8) ----------------
+
+  /** Per-dimension corpus range (pos, mn, mx) over the fixed-point
+    * elements — `dim` rows of bounded index metadata (the SQ codebook),
+    * broadcast-friendly at any corpus size. */
+  def sq8Range(emb: DataFrame): DataFrame =
+    elements(emb).groupBy("pos").agg(min("qv").as("mn"), max("qv").as("mx"))
+
+  /** 8-bit codes against a codebook: element → round((qv−mn)·255/(mx−mn))
+    * in INTEGER arithmetic only — `(x·510 + r) div 2r` is round-half-up
+    * without touching a double, so codes are bit-identical on any engine
+    * (a float divide at a .5 boundary is libm-dependent). A constant
+    * dimension (mx = mn) codes to 0. Codes quantize BOTH corpus and
+    * queries with the CORPUS range (the standard asymmetric layout: the
+    * codebook is built once, query-time vectors reuse it). */
+  def sq8Codes(emb: DataFrame, rng: DataFrame): DataFrame =
+    elements(emb).join(broadcast(rng), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("((qv - mn) * 510 + (mx - mn)) div (2 * (mx - mn))"))
+          .as("code"))
+
+  /** Two-stage SQ8 retrieval: shortlist candidates per query by the
+    * 8-bit-code dot product, then exact fixed-point re-rank to top-k.
+    *
+    * The scale argument is bytes, not arithmetic: the first-stage scan
+    * reads 1-byte codes where the exact scan reads 4-byte floats (8-byte
+    * fixed-point longs here) — a 4-8× smaller sequential scan, the
+    * FAISS-SQ8 memory layout expressed relationally — and the exact
+    * stage touches only `shortlist` candidates per query instead of the
+    * corpus. Both stages are deterministic (integer scores, ties broken
+    * on id), so the whole approximate pipeline stays hash-checkable.
+    * With shortlist ≥ corpus size it degenerates to exact brute force
+    * (spec-checked). */
+  def sq8TopK(emb: DataFrame, queries: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    val rng = sq8Range(emb)
+    val cb = sq8Codes(emb, rng)
+    val ca = sq8Codes(queries, rng)
+    // code dots via the same element-join shape as pairDots: ids cross,
+    // then two codegen'd joins + one map-side-combined aggregate
+    val cand = queries.select(col("vec_id").as("qid"))
+      .crossJoin(emb.select(col("vec_id").as("vb")))
+      .filter(col("qid") =!= col("vb"))
+    val qdots = cand
+      .join(ca.select(col("vec_id").as("qid"), col("pos"), col("code").as("cq")), Seq("qid"))
+      .join(cb.select(col("vec_id").as("vb"), col("pos"), col("code").as("cv")), Seq("vb", "pos"))
+      .groupBy("qid", "vb").agg(sum(col("cq") * col("cv")).as("qdot"))
+    val short = qdots.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("qdot"), col("vb"))))
+      .filter(col("rn") <= shortlist).select("qid", "vb")
+    val n = norms(emb)
+    val scored = pairDots(short, queries, emb, "qid", "vb")
+      .join(norms(queries).select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------- LSH (random hyperplanes) ----------------
 
   /** Default signature geometry: 32 hyperplanes split into 4 bands of

@@ -1,0 +1,55 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row_number over a numeric order key.
+  *
+  * `Window.orderBy` with no partitionBy moves EVERY row to one partition
+  * (WindowExec requires AllTuples) — the single-task funnel this repo's
+  * scale contract bans (see WindowScaleSafetySpec). The two-phase form
+  * here is the x27 prefix-sum shape applied to ranking:
+  *
+  *   1. one aggregate computes the key's (min, max) — a 1-row broadcast;
+  *   2. rows bucket by linear interpolation into `nBuckets` MONOTONIC
+  *      ranges — a pure integer projection `((k−mn)·B) div (mx−mn+1)`,
+  *      deterministic on any engine (unlike `repartitionByRange`, whose
+  *      RangePartitioner samples its boundaries);
+  *   3. a triangular join over the B-row bucket-counts table yields each
+  *      bucket's global offset (broadcast);
+  *   4. a bucket-partitioned local row_number + the offset is the global
+  *      rank — identical values to the global window (spec-checked), one
+  *      narrow shuffle on the bucket key, no AllTuples anywhere.
+  *
+  * Bucket balance follows key density: dense keys (surrogate/TPC-H ids)
+  * spread uniformly; a pathological distribution concentrates buckets
+  * but never exceeds the one-partition cost the global window ALWAYS
+  * pays. Ties on the order key get an arbitrary-but-deterministic order
+  * only if the key is unique — pass a unique key (the surrogate-key use
+  * case always has one).
+  */
+object ScalableRank {
+
+  /** Append `outCol` = 1-based global row number by `orderCol` asc. */
+  def globalRowNumber(df: DataFrame, orderCol: String,
+                      outCol: String = "row_num", nBuckets: Int = 256): DataFrame = {
+    val stats = df.agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
+    val bucketed = df.crossJoin(broadcast(stats))
+      .withColumn("__bucket",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(expr(
+            s"""((CAST($orderCol AS BIGINT) - CAST(__mn AS BIGINT)) * $nBuckets)
+                div (CAST(__mx AS BIGINT) - CAST(__mn AS BIGINT) + 1)""")))
+    val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__bn")), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy("__bucket").orderBy(orderCol)
+    bucketed
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(outCol, (row_number().over(wLocal) + col("__off")).cast("long"))
+      .drop("__bucket", "__mn", "__mx", "__off")
+  }
+}

@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpecBase {
     assert(fp1 > 0)
   }
 
+  test("winnow fingerprint overlap flags a planted verbatim run and ignores disjoint text") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$shared trailing words here"),      // long shared run with doc 3
+      (2L, "completely different vocabulary with no overlap at all whatsoever"),
+      (3L, s"leading words then $shared"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(planted)
+    val shared13 = fp.filter(col("doc_id") === 1).select("fp")
+      .intersect(fp.filter(col("doc_id") === 3).select("fp")).count()
+    val shared12 = fp.filter(col("doc_id") === 1).select("fp")
+      .intersect(fp.filter(col("doc_id") === 2).select("fp")).count()
+    // winnowing guarantees a shared fingerprint for any common run of
+    // ≥ w+n−1 = 6 tokens; a 30-token run leaves well over the ≥2 bar
+    assert(shared13 >= 2, s"planted run shares only $shared13 fingerprints")
+    assert(shared12 === 0)
+  }
+
   test("component-keyed split assignment never separates a near-dup pair") {
     val pairs = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b").cache()
     val labels = Dedup.nearDupComponents(pairs, docs)

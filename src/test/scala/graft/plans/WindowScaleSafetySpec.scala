@@ -46,6 +46,27 @@ class WindowScaleSafetySpec extends SparkSpecBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("f21 surrogate keys have no un-partitioned Window (ScalableRank two-phase)") {
+    val df = graft.queries.Relational.queries("f21_surrogate_keys")(spark, sfDir)
+    assert(unpartitionedWindows(df).isEmpty,
+      "surrogate keying must use the bucketed two-phase rank, not a global Window")
+  }
+
+  test("ScalableRank.globalRowNumber equals the single-window reference, any partitioning") {
+    val custs = graft.Tables.customer(spark, sfDir).select("c_custkey")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c_custkey")
+    val want = custs.select(col("c_custkey"),
+        row_number().over(w).cast("long").as("row_num"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.util.ScalableRank.globalRowNumber(custs, "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    val gotRepart = graft.util.ScalableRank
+      .globalRowNumber(custs.repartition(13), "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotRepart === want)
+  }
+
   test("winnowing hashes shingles outside the window frame") {
     // the window aggregate's child must be a bound reference, not md5(...)
     // — WindowExec re-evaluates the child once per overlapping frame

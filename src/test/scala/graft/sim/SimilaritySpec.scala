@@ -65,6 +65,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(res.filter(col("qid") === col("vb")).count() === 0)
   }
 
+  test("sq8 codes are 0-255 for corpus vectors; sq8TopK with full shortlist is exactly brute force") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 100).cache()
+    val codes = Similarity.sq8Codes(emb, Similarity.sq8Range(emb))
+    assert(codes.filter(col("code") < 0 || col("code") > 255).count() === 0)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.topK(emb, q, 3)
+      .select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet
+    // shortlist ≥ corpus size → the quantized stage prunes nothing and
+    // the exact re-rank must reproduce brute force bit-for-bit
+    val sq = Similarity.sq8TopK(emb, q, 3, shortlist = 200)
+      .select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(sq === exact)
+  }
+
+  test("sq8TopK with a tight shortlist still ranks k deterministic neighbours per query") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200).cache()
+    val q = emb.filter(col("vec_id") < 5)
+    val res = Similarity.sq8TopK(emb, q, 3, shortlist = 10).cache()
+    assert(res.groupBy("qid").count().filter(col("count") =!= 3).count() === 0)
+    assert(res.filter(col("qid") === col("vb")).count() === 0)
+    // repartitioned input → identical result (integer codes + id ties)
+    val res2 = Similarity.sq8TopK(emb.repartition(7), q, 3, shortlist = 10)
+    assert(res2.select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet
+      === res.select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet)
+  }
+
   test("annNearDupPairs: subset of brute-force pairs at the threshold, each ordered and above it") {
     val emb = Tables.embeddings(spark, sfDir).cache()
     val ann = Similarity.annNearDupPairs(emb, 64, 0.3).cache()
