@@ -41,7 +41,17 @@ object Quality {
       val ord = QualityChecks.orphanSummary(Seq(
         ("ord_orphan_cust", Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey")))
       li.crossJoin(ord)
-    }))
+    }),
+
+    // Join-key skew profile: the ops diagnostic behind every salting
+    // decision (util.Skew). Per-key row counts of the fact table's join
+    // key collapse to floor(log2(count)) buckets — exact integer
+    // arithmetic via the binary-string length, ≤64 result rows at any
+    // scale. Run it on a key BEFORE choosing broadcast/salt/AQE-skew
+    // strategies; a long tail into high buckets is the flooded-task
+    // signature.
+    "q_skew_profile" -> ((s, d) =>
+      graft.util.Skew.keyHistogram(Tables.lineitem(s, d), "l_orderkey")))
 
   def oracles: Map[String, String] = Map(
     "a5_null_profile" -> {
@@ -66,5 +76,11 @@ object Quality {
            (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS li_orphan_orders,
            (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS li_orphan_part,
            (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)) AS li_orphan_supp,
-           (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS ord_orphan_cust""")
+           (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS ord_orphan_cust""",
+    "q_skew_profile" ->
+      """WITH kc AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+          b AS (SELECT CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket, cnt FROM kc)
+          SELECT log2_bucket, count(*) AS n_keys, min(cnt) AS min_rows,
+                 max(cnt) AS max_rows, CAST(SUM(cnt) AS BIGINT) AS sum_rows
+          FROM b GROUP BY 1 ORDER BY 1""")
 }

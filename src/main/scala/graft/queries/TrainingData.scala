@@ -605,6 +605,17 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // Corpus-self bigram LM score — the CCNet-style "perplexity against
+    // a reference model" quality signal with the corpus as its own
+    // model: per doc, the mean MLE transition probability p(w2|w1) over
+    // its bigram occurrences, float-free integer ppm. Occurrences
+    // collapse to (doc, bigram, k) before any corpus-wide shuffle, the
+    // model is a map-combined aggregate of that table, and scoring is
+    // one (w1,w2) equi-join + one groupBy(doc) — stop-bigram skew
+    // concentrates counts, never rows (see graft.text.BigramLm).
+    "x51_bigram_lm" -> ((s, d) =>
+      graft.text.BigramLm.scoreDocs(Tables.documents(s, d)).orderBy("doc_id")),
+
     // Z-order layout key — the Morton interleave of two bucketed
     // dimensions (length × source), the sort key that makes row-group
     // min/max stats prune TWO-dimensional predicates after a
@@ -1219,6 +1230,21 @@ object TrainingData {
                   FROM occ o LEFT JOIN vocab v USING (tok) GROUP BY o.doc_id)
          SELECT doc_id, n_tokens, n_oov, n_oov * 1000000 // n_tokens AS oov_ppm
          FROM agg ORDER BY doc_id""",
+    "x51_bigram_lm" ->
+      s"""WITH $tokCte,
+          bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM tok WHERE len(t) >= 2)),
+          docbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+          model AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS cb FROM docbg GROUP BY 1, 2),
+          prefix AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM model GROUP BY 1),
+          probs AS (SELECT w1, w2, cb * 1000000 // cp AS p_ppm FROM model JOIN prefix USING (w1)),
+          per_doc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+                             CAST(SUM(k * p_ppm) AS BIGINT) AS sum_ppm
+                      FROM docbg JOIN probs USING (w1, w2) GROUP BY 1)
+          SELECT d.doc_id, COALESCE(p.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+                 COALESCE(p.sum_ppm // p.n_bigrams, CAST(0 AS BIGINT)) AS lm_score_ppm
+          FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id""",
     "x5_simhash" ->
       s"""WITH $simhashSelect
           SELECT doc_id, simhash FROM sims ORDER BY doc_id""",

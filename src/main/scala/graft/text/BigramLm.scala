@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-self bigram language-model scoring — the CCNet-style
+  * "perplexity against a reference model" quality signal, with the
+  * corpus itself as the model (no external LM artifact, so the whole
+  * computation is reproducible from the data alone).
+  *
+  * Per document: mean over its bigram occurrences of the corpus MLE
+  * transition probability p(w2|w1) = c(w1 w2) / c(w1 ·), kept float-free
+  * as parts-per-million integers (integer division, so DuckDB resolves
+  * bit-identical scores). Low score ⇒ improbable token transitions —
+  * gibberish, wrong-language fragments, shredded markup; high score ⇒
+  * boilerplate-like text (which is why it pairs with the novelty /
+  * repetition signals rather than replacing them).
+  *
+  * Shuffle structure, sized for 100 TB:
+  *  - occurrences collapse to (doc, w1, w2, k) FIRST — one
+  *    map-side-combined shuffle; every later stage works on doc-distinct
+  *    bigrams, never raw occurrences, so stop-bigram skew ("of the"…)
+  *    concentrates counts, not rows.
+  *  - the model (bigram → count) is another map-combined aggregate of
+  *    that table, and the prefix counts c(w1 ·) are an aggregate OF THE
+  *    MODEL (vocabulary-sized, not corpus-sized).
+  *  - scoring joins doc-bigrams to the model on (w1, w2) — an equi-join
+  *    between two doc-distinct-sized tables (SMJ at scale), then one
+  *    groupBy(doc) aggregate.
+  * Nothing corpus-sized is ever broadcast, windowed, or collected.
+  */
+object BigramLm {
+
+  /** (doc_id, w1, w2, k): per-document bigram occurrence counts. The
+    * token array materializes as a named column first (the docShingles
+    * lesson — a lambda over an inlined regex split re-runs the split per
+    * element); the bigram structs are cheap bound-reference indexing. */
+  def docBigrams(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"), element_at(col("t"), i + 1).as("w2"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+
+  /** Per-document LM score: (doc_id, n_bigrams, lm_score_ppm), one row
+    * per input document (docs too short to form a bigram score 0). */
+  def scoreDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docbg = docBigrams(docs, idCol, textCol)
+    val model = docbg.groupBy("w1", "w2").agg(sum("k").as("cb"))
+    val prefix = model.groupBy("w1").agg(sum("cb").as("cp"))
+    val probs = model.join(prefix, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("cb * 1000000 div cp").as("p_ppm"))
+    val perDoc = docbg.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), sum(col("k") * col("p_ppm")).as("sum_ppm"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sum_ppm div n_bigrams"), lit(0L)).as("lm_score_ppm"))
+  }
+}

@@ -39,6 +39,27 @@ object Skew {
     df.select(key, valueCol).distinct()
       .groupBy(key).agg(count(lit(1)).as(s"distinct_$valueCol"))
 
+  /** Hot-key diagnostic: the key-frequency histogram that DECIDES whether
+    * a join/agg key needs salting at all. Per-key row counts collapse to
+    * log2 buckets (`floor(log2(count))` via the binary-string length —
+    * exact integer arithmetic, no float log), so the result is ~64 rows
+    * regardless of key cardinality: bucket, how many keys land there,
+    * their min/max counts, and the total row mass they carry. A healthy
+    * uniform key shows one or two adjacent buckets; a long tail into
+    * high buckets is the signature of a key that will flood single tasks
+    * in a shuffle join. One map-side-combined shuffle on the key, then a
+    * ~cardinality-sized aggregate to ≤64 rows — the profile itself can
+    * never be the bottleneck. */
+  def keyHistogram(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("log2_bucket", (length(bin(col("cnt"))) - 1).cast("int"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_keys"),
+        min("cnt").as("min_rows"),
+        max("cnt").as("max_rows"),
+        sum("cnt").as("sum_rows"))
+      .orderBy("log2_bucket")
+
   /** Two-phase collect_set for skewed keys: partial sets per (key, salt),
     * then a merge pass — bounds any single task's state to ~1/saltFactor
     * of the hot key's values. */
