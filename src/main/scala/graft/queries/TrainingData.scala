@@ -328,6 +328,18 @@ object TrainingData {
     * asc). Shared by the Spark plan and the generated oracle. */
   val OovVocabK = 64
 
+  /** x52: keep fraction (ppm) and histogram resolution for the exact
+    * per-language quality cut — shared with the generated oracle. */
+  val QualityKeepPpm = 300000L
+  val QualityCoarseDiv = 1000L
+
+  /** x53: hybrid-retrieval geometry — query-doc count, per-list top-k,
+    * fused top-k. Shared with the generated oracle; the lexical df-cap
+    * reuses [[JaccardDfCap]]. */
+  val HybridNumQueries = 5
+  val HybridKEach = 20
+  val HybridFinalK = 10
+
   private def langIdSql: String = {
     val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -607,14 +619,51 @@ object TrainingData {
 
     // Corpus-self bigram LM score — the CCNet-style "perplexity against
     // a reference model" quality signal with the corpus as its own
-    // model: per doc, the mean MLE transition probability p(w2|w1) over
-    // its bigram occurrences, float-free integer ppm. Occurrences
+    // model: per doc, the mean add-one-smoothed transition probability
+    // p(w2|w1) over its bigram occurrences, float-free integer ppm
+    // (smoothing is what makes a SELF-model rank gibberish low —
+    // unsmoothed MLE gives singleton contexts probability 1). Occurrences
     // collapse to (doc, bigram, k) before any corpus-wide shuffle, the
     // model is a map-combined aggregate of that table, and scoring is
     // one (w1,w2) equi-join + one groupBy(doc) — stop-bigram skew
     // concentrates counts, never rows (see graft.text.BigramLm).
     "x51_bigram_lm" -> ((s, d) =>
       graft.text.BigramLm.scoreDocs(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Exact per-language top-30% quality cut — dynamic data-mix
+    // curation where the threshold is RESOLVED FROM THE DATA, selected
+    // exactly, and never sorts a group in one task: coarse score
+    // histogram (map-combined, metadata-sized) → cumulative bucket
+    // decisions → exact rank window over ONLY the boundary bucket
+    // (~1/1000 of each group). The naive rank-window form would funnel
+    // the dominant language through a single task at 100 TB (see
+    // graft.util.TopFrac; spec proves ≡ the global rank).
+    "x52_quality_cut" -> ((s, d) => {
+      val q = TextFunctions.withTextSignals(Tables.documents(s, d),
+        langCol = None, nTokensCol = None)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality") * 1000000).cast("long").as("q_ppm"))
+      graft.util.TopFrac.keepTopFrac(q, "lang", "q_ppm", "doc_id",
+        keepPpm = QualityKeepPpm, coarseDiv = QualityCoarseDiv)
+        .orderBy("doc_id")
+    }),
+
+    // Hybrid retrieval: df-capped lexical-overlap top-20 + exact-cosine
+    // top-20 per query doc, fused by integer reciprocal-rank fusion
+    // (ranks are the only currency between the two score spaces — no
+    // calibration; see graft.sim.Hybrid). Exploits the driver data's
+    // aligned id spaces (embeddings.vec_id ≡ documents.doc_id). Both
+    // rank lists are (queries × k)-sized before fusion — corpus-sized
+    // data never reaches the fusion join.
+    "x53_rrf_fusion" -> ((s, d) => {
+      val lex = graft.sim.Hybrid.lexicalTopK(Tables.documents(s, d),
+        col("doc_id") < HybridNumQueries, HybridKEach, JaccardDfCap)
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.topK(emb, emb.filter(col("vec_id") < HybridNumQueries), HybridKEach)
+        .select(col("qid"), col("vb").as("cand"), col("rank"))
+      graft.sim.Hybrid.rrfFuse(lex.select("qid", "cand", "rank"), vec, HybridFinalK)
+        .orderBy("qid", "final_rank")
+    }),
 
     // Z-order layout key — the Morton interleave of two bucketed
     // dimensions (length × source), the sort key that makes row-group
@@ -1084,7 +1133,28 @@ object TrainingData {
           JOIN (${b("x8_quality_score")}) s8 USING (doc_id)
           JOIN (${b("x25_repetition")}) s25 USING (doc_id)
           JOIN (${b("x17_dedup_clusters")}) cl USING (doc_id)
-          ORDER BY s7.doc_id""")
+          ORDER BY s7.doc_id""") +
+    ("x52_quality_cut" ->
+      s"""WITH q AS (SELECT s8.doc_id, d.lang,
+                            CAST(round(s8.quality * 1000000) AS BIGINT) AS q_ppm
+                     FROM (${b("x8_quality_score")}) s8 JOIN documents d USING (doc_id)),
+          quota AS (SELECT lang, count(*) * $QualityKeepPpm // 1000000 AS quota FROM q GROUP BY 1),
+          hist AS (SELECT lang, q_ppm // $QualityCoarseDiv AS cb, count(*) AS c FROM q GROUP BY 1, 2),
+          cum AS (SELECT lang, cb, c,
+                         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY cb DESC) AS BIGINT) AS cum
+                  FROM hist),
+          dec AS (SELECT c.lang, c.cb, c.cum <= t.quota AS keep_full,
+                         c.cum - c.c < t.quota AND c.cum > t.quota AS bnd,
+                         t.quota - (c.cum - c.c) AS take_b
+                  FROM cum c JOIN quota t USING (lang)),
+          r AS (SELECT q.doc_id, q.lang, q.q_ppm, dec.keep_full, dec.bnd, dec.take_b
+                FROM q JOIN dec ON q.lang = dec.lang AND q.q_ppm // $QualityCoarseDiv = dec.cb),
+          bn AS (SELECT lang, doc_id,
+                        row_number() OVER (PARTITION BY lang ORDER BY q_ppm DESC, doc_id) AS rn
+                 FROM r WHERE bnd)
+          SELECT r.doc_id, r.lang, r.q_ppm,
+                 CAST(r.keep_full OR (bn.rn IS NOT NULL AND bn.rn <= r.take_b) AS INT) AS keep
+          FROM r LEFT JOIN bn USING (lang, doc_id) ORDER BY r.doc_id""")
   }
 
   private def baseOracles: Map[String, String] = Map(
@@ -1230,6 +1300,41 @@ object TrainingData {
                   FROM occ o LEFT JOIN vocab v USING (tok) GROUP BY o.doc_id)
          SELECT doc_id, n_tokens, n_oov, n_oov * 1000000 // n_tokens AS oov_ppm
          FROM agg ORDER BY doc_id""",
+    "x53_rrf_fusion" ->
+      s"""WITH dtok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                        FROM documents),
+          keep AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM dtok GROUP BY tok)
+                   WHERE df <= $JaccardDfCap),
+          idx AS (SELECT d.doc_id, d.tok FROM dtok d JOIN keep USING (tok)),
+          qt AS (SELECT doc_id AS qid, tok FROM idx WHERE doc_id < $HybridNumQueries),
+          ov AS (SELECT q.qid, i.doc_id AS cand, count(*) AS overlap
+                 FROM qt q JOIN idx i USING (tok) WHERE i.doc_id <> q.qid GROUP BY 1, 2),
+          lex AS (SELECT qid, cand, lex_rank FROM
+                    (SELECT qid, cand, CAST(row_number() OVER
+                       (PARTITION BY qid ORDER BY overlap DESC, cand) AS INT) AS lex_rank FROM ov)
+                  WHERE lex_rank <= $HybridKEach),
+          $embCte,
+          dots AS (SELECT a.vec_id AS qid, b.vec_id AS cand, SUM(a.q * b.q) AS dot
+                   FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+                   WHERE a.vec_id < $HybridNumQueries GROUP BY 1, 2),
+          vs AS (SELECT qid, cand, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                 FROM dots JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = cand),
+          vec AS (SELECT qid, cand, vec_rank FROM
+                    (SELECT qid, cand, CAST(row_number() OVER
+                       (PARTITION BY qid ORDER BY cos DESC, cand) AS INT) AS vec_rank FROM vs)
+                  WHERE vec_rank <= $HybridKEach),
+          fused AS (SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.cand, v.cand) AS cand,
+                           COALESCE(l.lex_rank, 0) AS lex_rank, COALESCE(v.vec_rank, 0) AS vec_rank,
+                           CAST(CASE WHEN l.lex_rank IS NOT NULL
+                                     THEN 1000000 // (${graft.sim.Hybrid.RrfK} + l.lex_rank) ELSE 0 END
+                              + CASE WHEN v.vec_rank IS NOT NULL
+                                     THEN 1000000 // (${graft.sim.Hybrid.RrfK} + v.vec_rank) ELSE 0 END
+                                AS BIGINT) AS rrf
+                    FROM lex l FULL JOIN vec v ON l.qid = v.qid AND l.cand = v.cand)
+          SELECT qid, cand, lex_rank, vec_rank, rrf, final_rank FROM
+            (SELECT *, CAST(row_number() OVER
+               (PARTITION BY qid ORDER BY rrf DESC, cand) AS INT) AS final_rank FROM fused)
+          WHERE final_rank <= $HybridFinalK ORDER BY qid, final_rank""",
     "x51_bigram_lm" ->
       s"""WITH $tokCte,
           bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -1238,7 +1343,9 @@ object TrainingData {
           docbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
           model AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS cb FROM docbg GROUP BY 1, 2),
           prefix AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM model GROUP BY 1),
-          probs AS (SELECT w1, w2, cb * 1000000 // cp AS p_ppm FROM model JOIN prefix USING (w1)),
+          vocab AS (SELECT count(DISTINCT w2) AS v FROM model),
+          probs AS (SELECT w1, w2, (cb + 1) * 1000000 // (cp + v) AS p_ppm
+                    FROM model JOIN prefix USING (w1), vocab),
           per_doc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
                              CAST(SUM(k * p_ppm) AS BIGINT) AS sum_ppm
                       FROM docbg JOIN probs USING (w1, w2) GROUP BY 1)

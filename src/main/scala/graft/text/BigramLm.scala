@@ -8,13 +8,21 @@ import org.apache.spark.sql.functions._
   * corpus itself as the model (no external LM artifact, so the whole
   * computation is reproducible from the data alone).
   *
-  * Per document: mean over its bigram occurrences of the corpus MLE
-  * transition probability p(w2|w1) = c(w1 w2) / c(w1 ·), kept float-free
-  * as parts-per-million integers (integer division, so DuckDB resolves
-  * bit-identical scores). Low score ⇒ improbable token transitions —
-  * gibberish, wrong-language fragments, shredded markup; high score ⇒
-  * boilerplate-like text (which is why it pairs with the novelty /
-  * repetition signals rather than replacing them).
+  * Per document: mean over its bigram occurrences of the add-one-
+  * smoothed corpus transition probability
+  * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = distinct next-token
+  * types, kept float-free as parts-per-million integers (integer
+  * division, so DuckDB resolves bit-identical scores). The smoothing is
+  * load-bearing for a SELF-trained model: unsmoothed MLE hands every
+  * singleton context probability 1, so pure gibberish (all-unique
+  * vocabulary) would score perfectly — smoothed, singleton contexts
+  * divide by ~V and gibberish sinks (spec-pinned). V resolves from the
+  * data as a broadcast 1-row aggregate, the x32/x39 discipline, so the
+  * oracle resolves the same constant from its own count. Low score ⇒
+  * improbable transitions — gibberish, wrong-language fragments,
+  * shredded markup; high score ⇒ boilerplate-like text (which is why it
+  * pairs with the novelty / repetition signals rather than replacing
+  * them).
   *
   * Shuffle structure, sized for 100 TB:
   *  - occurrences collapse to (doc, w1, w2, k) FIRST — one
@@ -51,8 +59,11 @@ object BigramLm {
     val docbg = docBigrams(docs, idCol, textCol)
     val model = docbg.groupBy("w1", "w2").agg(sum("k").as("cb"))
     val prefix = model.groupBy("w1").agg(sum("cb").as("cp"))
+    val vocab = model.select("w2").distinct().agg(count(lit(1)).as("v"))
     val probs = model.join(prefix, Seq("w1"))
-      .select(col("w1"), col("w2"), expr("cb * 1000000 div cp").as("p_ppm"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr("(cb + 1) * 1000000 div (cp + v)").as("p_ppm"))
     val perDoc = docbg.join(probs, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("k").as("n_bigrams"), sum(col("k") * col("p_ppm")).as("sum_ppm"))

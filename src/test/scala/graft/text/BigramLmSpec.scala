@@ -1,0 +1,44 @@
+package graft.text
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BigramLmSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def score(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+    BigramLm.scoreDocs(docs.toDF("doc_id", "text"))
+      .select("doc_id", "n_bigrams", "lm_score_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("hand-computed smoothed transition probabilities in ppm") {
+    // corpus: c(x y)=1, c(x z)=1, c(x ·)=2, V={y,z}=2
+    // => p = (1+1)*1e6 // (2+2) = 500000 each
+    val s = score(Seq(1L -> "x y", 2L -> "x z"))
+    assert(s(1L) === (1L, 500000L))
+    assert(s(2L) === (1L, 500000L))
+  }
+
+  test("repeated bigrams weight the doc mean by occurrence count") {
+    // single doc "a b a b": c(a,b)=2 cp(a)=2, c(b,a)=1 cp(b)=1, V={a,b}=2
+    // p(b|a) = 3e6//4 = 750000, p(a|b) = 2e6//3 = 666666
+    // mean = (2*750000 + 666666) // 3 = 722222
+    val s = score(Seq(1L -> "a b a b"))
+    assert(s(1L) === (3L, 722222L))
+  }
+
+  test("docs too short for a bigram score 0 but still appear") {
+    val s = score(Seq(1L -> "solo", 2L -> "", 3L -> "two words"))
+    assert(s(1L) === (0L, 0L))
+    assert(s(2L) === (0L, 0L))
+    assert(s(3L)._1 === 1L)
+  }
+
+  test("gibberish scores below repeated boilerplate on the same corpus") {
+    val common = (1 to 8).map(i => i.toLong -> "the quick brown fox jumps over the lazy dog")
+    val rare = Seq(100L -> "zxq qvw wfj jkt tqz")
+    val s = score(common ++ rare)
+    assert(s(100L)._2 < s(1L)._2)
+  }
+}

@@ -27,6 +27,20 @@ class SkewSpec extends SparkSpecBase {
     assert(direct.except(phased).count() === 0)
   }
 
+  test("keyHistogram buckets partition the key space and conserve row mass") {
+    val hist = Skew.keyHistogram(orders, "o_custkey").collect()
+    val totalRows = orders.count()
+    val totalKeys = orders.select("o_custkey").distinct().count()
+    assert(hist.map(_.getAs[Long]("sum_rows")).sum === totalRows)
+    assert(hist.map(_.getAs[Long]("n_keys")).sum === totalKeys)
+    hist.foreach { r =>
+      val b = r.getAs[Int]("log2_bucket")
+      val lo = 1L << b; val hi = 1L << (b + 1)
+      assert(r.getAs[Long]("min_rows") >= lo && r.getAs[Long]("max_rows") < hi,
+        s"bucket $b bounds violated: $r")
+    }
+  }
+
   test("twoPhaseCollectSet equals the sorted plain collect_set per key") {
     val direct = orders.groupBy("o_custkey")
       .agg(array_sort(collect_set("o_orderstatus")).as("set_o_orderstatus"))
