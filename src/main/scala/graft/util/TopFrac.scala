@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *  2. cumulative counts DESC over that TINY table find, per group, the
   *     buckets kept whole (`cum ≤ quota`) and the single BOUNDARY bucket
   *     (`above < quota < cum`) with its residual take.
-  *  3. only boundary-bucket rows — ~1/buckets of each group — get the
-  *     exact rank window; everything else keeps/drops on its bucket
-  *     decision alone.
+  *  3. the keep pass ranks rows within their (group, bucket) — window
+  *     partitions are bucket-sized, never group-sized — and the rank is
+  *     consulted only inside the one boundary bucket per group;
+  *     everything else keeps/drops on its bucket decision alone.
   *
   * Selection semantics are defined entirely on the integer score with
   * ties broken by ascending id, so the kept set is unique and the DuckDB
@@ -37,32 +38,37 @@ object TopFrac {
 
   /** Adds an integer `keep` flag: 1 for the `keepPpm`-millionths of each
     * group with the highest (`scoreCol`, lowest `idCol`) — exact, not
-    * approximate. `scoreCol` must be a non-negative integral column. */
+    * approximate. `scoreCol` must be a non-negative integral column.
+    *
+    * The input plan is evaluated exactly twice (histogram pass + keep
+    * pass) — everything else derives from the metadata-sized histogram:
+    * group totals and quotas are window sums OVER the histogram, not a
+    * third scan, and the boundary refinement is ONE bucket-partitioned
+    * rank window on the keep pass (max partition = one coarse bucket),
+    * not a boundary self-join. */
   def keepTopFrac(df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
                   keepPpm: Long, coarseDiv: Long = 1000L): DataFrame = {
     val scored = df.select(col(groupCol), col(scoreCol), col(idCol))
       .withColumn("__cb", expr(s"$scoreCol div $coarseDiv"))
-    val quotas = scored.groupBy(groupCol)
-      .agg(count(lit(1)).as("__n"))
-      .select(col(groupCol), expr(s"__n * $keepPpm div 1000000").as("__quota"))
     val hist = scored.groupBy(groupCol, "__cb").agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(groupCol).orderBy(col("__cb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(groupCol)
     val decisions = hist
       .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wTot))
+      .withColumn("__quota", expr(s"__n * $keepPpm div 1000000"))
       .withColumn("__above", col("__cum") - col("__c"))
-      .join(quotas, Seq(groupCol))
       .select(col(groupCol), col("__cb"),
         (col("__cum") <= col("__quota")).as("__full"),
         (col("__above") < col("__quota") && col("__cum") > col("__quota")).as("__bnd"),
         (col("__quota") - col("__above")).as("__take"))
-    val rows = scored.join(broadcast(decisions), Seq(groupCol, "__cb"))
-    val wBnd = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
-    val bndKeep = rows.filter(col("__bnd"))
-      .withColumn("__rn", row_number().over(wBnd))
-      .select(col(groupCol), col(idCol), (col("__rn") <= col("__take")).as("__bk"))
-    rows.join(bndKeep, Seq(groupCol, idCol), "left")
+    val wBucket = Window.partitionBy(groupCol, "__cb")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.join(broadcast(decisions), Seq(groupCol, "__cb"))
+      .withColumn("__rn", row_number().over(wBucket))
       .select(col(groupCol), col(idCol), col(scoreCol),
-        (col("__full") || coalesce(col("__bk"), lit(false))).cast("int").as("keep"))
+        (col("__full") || (col("__bnd") && col("__rn") <= col("__take")))
+          .cast("int").as("keep"))
   }
 }
