@@ -410,6 +410,57 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // J9 (TPC-H Q3 shape): shipping-priority — selective filters on all
+    // THREE join inputs (segment on the broadcast dim, date bands on
+    // both fact scans — every one reaches the parquet scan as a pushed
+    // filter), per-order revenue, top-10 by revenue. The classic
+    // filter-pushdown + BHJ + TakeOrderedAndProject optimizer exercise:
+    // at 100 TB the date bands are partition-prunable and the top-k
+    // never materializes the full aggregate sort.
+    "j9_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // J10 (TPC-H Q5 shape): local-supplier volume — the 6-way join with
+    // the DUAL equi-condition (supplier in the CUSTOMER's nation:
+    // l_suppkey = s_suppkey AND c_nationkey = s_nationkey), revenue per
+    // nation of one region in one year. The multi-way join-order
+    // exercise: region/nation/supplier broadcast, the customer⋈orders⋈
+    // lineitem chain shuffles on its keys, and the nation equality rides
+    // the supplier join as a second condition instead of a post-filter.
+    "j10_local_supplier_volume" -> ((s, d) => {
+      val nations = broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")))
+      // year as a RANGE predicate, not EXTRACT(year)=1997: a function
+      // over the column cannot push to the parquet scan; the range
+      // reaches PushedFilters (and partition-prunes a date-partitioned
+      // layout at scale)
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
     // D5: SCD Type 2 — the events stream as a per-user status change
     // log, versioned with validity intervals.
     "d5_scd2_history" -> ((s, d) =>
@@ -577,6 +628,27 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY c_custkey""",
+    "j9_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "j10_local_supplier_volume" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
     "a1_kpi_global" ->
       """SELECT max(o_orderkey) AS max_key, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_cust,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,

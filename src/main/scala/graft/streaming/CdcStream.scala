@@ -158,12 +158,23 @@ object CdcStream {
     * case, since a key lives in exactly one partition. Sources without
     * offsets (test MemoryStreams, files) fall back to
     * `monotonically_increasing_id` — best-effort arrival order, only
-    * deterministic for a single-partition batch. */
-  def dedupLastWrite(batch: DataFrame, pk: String = "kafka_primary_key"): DataFrame = {
+    * deterministic for a single-partition batch.
+    *
+    * `eventTsCol`: when the payload carries an event timestamp, pass its
+    * column name to get TRUE cross-partition last-write-wins — the
+    * winner is the highest (event_ts, offset, partition), so a pk whose
+    * updates span Kafka partitions resolves by event time instead of
+    * the arbitrary-but-deterministic offset tiebreak. Ignored if the
+    * column is absent from the batch (schema-inferred streams may only
+    * sometimes carry it). */
+  def dedupLastWrite(batch: DataFrame, pk: String = "kafka_primary_key",
+                     eventTsCol: Option[String] = None): DataFrame = {
     val present = Seq(SrcOffsetCol, SrcPartitionCol).filter(batch.columns.contains)
-    val ord =
+    val src =
       if (present.nonEmpty) present.map(col(_).desc)
       else Seq(monotonically_increasing_id().desc)
+    val ord = eventTsCol.filter(batch.columns.contains)
+      .map(c => col(c).desc_nulls_last +: src).getOrElse(src)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pk).orderBy(ord: _*)
     batch.withColumn("__rn", row_number().over(w))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.util.Det._
 
 /** Streaming aggregate surface (SURVEY §2.7 T3-T5 extensions): windowed
@@ -45,6 +45,70 @@ object EventAggregates {
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
                            watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+  case class SessionOpen(start_ms: Long, last_ms: Long, n: Long, total: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** T5 extension: CLOSED-session emission via `flatMapGroupsWithState`
+    * + event-time timeout — the stateful shape `session_window` cannot
+    * express (the built-in aggregate re-emits a session every time it
+    * grows; downstream consumers that must see each session exactly
+    * once, finalized — billing, session logs — need append-only CLOSED
+    * sessions). Per user: events merge into the open session in
+    * event-time order; an intra-batch gap > `gap` closes the earlier
+    * session immediately; the open session registers an event-time
+    * timeout at `last + gap`, so it closes exactly when the WATERMARK
+    * passes its gap horizon — state is evicted on close, bounding the
+    * store to one open session per active user (idle users' state ages
+    * out through the same timeout). End semantics match
+    * `session_window`: end = last event + gap. */
+  def closedSessions(events: DataFrame, gapMs: Long = 3600000L,
+                     watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def close(uid: Long, s: SessionOpen): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.start_ms),
+        new java.sql.Timestamp(s.last_ms + gapMs), s.n, s.total)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionOpen]) =>
+          if (state.hasTimedOut) {
+            val done = close(uid, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            // fold this batch's events in event-time order into the open
+            // session; a gap > gapMs closes and emits the earlier one
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              open match {
+                case Some(s) if t <= s.last_ms + gapMs =>
+                  open = Some(SessionOpen(s.start_ms, math.max(s.last_ms, t), s.n + 1, s.total + v))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(SessionOpen(t, t, 1L, v))
+                case None =>
+                  open = Some(SessionOpen(t, t, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fires when the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

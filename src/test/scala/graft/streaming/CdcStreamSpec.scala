@@ -61,6 +61,28 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(winners(32) === expected)
   }
 
+  test("LWW by event timestamp beats the offset tiebreak when the payload carries one") {
+    import spark.implicits._
+    // pk updated across partitions: partition 0 carries a huge offset but
+    // an OLDER event time — event-time ordering must pick the true last
+    // write; rows without the ts (null) lose to any timestamped row
+    val rows = Seq(
+      ("k1", "stale_high_offset", 0, 1000000L, Some("2024-01-02 00:00:00")),
+      ("k1", "true_last_write", 1, 5L, Some("2024-01-03 00:00:00")),
+      ("k1", "no_ts", 1, 9L, None))
+      .toDF("kafka_primary_key", "name", CdcStream.SrcPartitionCol,
+        CdcStream.SrcOffsetCol, "updated_at")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+    val byTs = CdcStream.dedupLastWrite(rows, eventTsCol = Some("updated_at"))
+      .select("name").as[String].collect()
+    assert(byTs.toSeq === Seq("true_last_write"))
+    // absent column: silently falls back to (offset, partition)
+    val fallback = CdcStream.dedupLastWrite(rows.drop("updated_at"),
+        eventTsCol = Some("updated_at"))
+      .select("name").as[String].collect()
+    assert(fallback.toSeq === Seq("stale_high_offset"))
+  }
+
   test("transformInferred short-circuits an empty micro-batch") {
     import spark.implicits._
     val empty = Seq.empty[String].toDF("json")

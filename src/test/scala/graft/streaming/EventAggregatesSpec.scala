@@ -52,6 +52,55 @@ class EventAggregatesSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits a session ONCE, on watermark timeout, then evicts state") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.closedSessions(input.toDF(),
+        gapMs = 600000L /* 10 min */, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("cs").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 00:00:00"), 1, "a", 1.0),
+        Ev(t("2024-01-01 00:05:00"), 1, "a", 2.0))
+      q.processAllAvailable()
+      // session still open: nothing emitted yet
+      assert(spark.table("cs").count() === 0)
+      // another user's event advances the watermark past last+gap;
+      // the timeout fires on the NEXT batch after the commit propagates
+      input.addData(Ev(t("2024-01-01 01:00:00"), 2, "b", 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 02:00:00"), 2, "b", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("cs").filter(col("user_id") === 1).collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Timestamp]("session_start") === t("2024-01-01 00:00:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") === t("2024-01-01 00:15:00"))
+      assert(rows(0).getAs[Long]("n_events") === 2)
+      assert(rows(0).getAs[Double]("total_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("an intra-batch gap closes the earlier session immediately") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.closedSessions(input.toDF(),
+        gapMs = 600000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("cs2").outputMode("append").start()
+    try {
+      // two clusters 50 min apart in ONE batch: the first closes now,
+      // the second stays open in state
+      input.addData(
+        Ev(t("2024-01-01 00:00:00"), 5, "a", 1.0),
+        Ev(t("2024-01-01 00:04:00"), 5, "a", 1.0),
+        Ev(t("2024-01-01 01:00:00"), 5, "a", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("cs2").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Long]("n_events") === 2)
+      assert(rows(0).getAs[Timestamp]("session_end") === t("2024-01-01 00:14:00"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
