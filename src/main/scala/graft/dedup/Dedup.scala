@@ -188,6 +188,33 @@ object Dedup {
     verifiedPairs(sh, candidatePairs(bands), threshold)
   }
 
+  /** Delta dedup: near-dup pairs between a NEW batch and the EXISTING
+    * corpus only — the production "dedup today's crawl against the
+    * index" shape. The candidate join is new-bands ⋈ corpus-bands, an
+    * ASYMMETRIC equi-join, so the corpus is never re-paired with
+    * itself: candidate volume scales with |new| × collision rate, not
+    * |corpus|² — the difference between a batch-sized and an
+    * index-sized daily dedup job. In production the corpus side's
+    * bands are the PERSISTED index (x3 signatures maintained
+    * incrementally); here both sides derive from their frames so the
+    * whole path sits under the oracle — signatures are per-doc
+    * intrinsic, so the split computation is bit-identical to slicing a
+    * whole-corpus pipeline (spec). Caller contract: id spaces are
+    * disjoint. Output: (doc_a ∈ new, doc_b ∈ corpus, jaccard). */
+  def minhashNearDupsDelta(newDocs: DataFrame, corpus: DataFrame,
+                           threshold: Double = 0.5): DataFrame = {
+    val shNew = docShingles(newDocs).cache()
+    val shOld = docShingles(corpus).cache()
+    val a = bandTable(minhashSignatures(shNew)).as("a")
+    val b = bandTable(minhashSignatures(shOld)).as("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(shNew.union(shOld), cand, threshold)
+  }
+
   /** Exact-Jaccard verification of a candidate pair set: intersection
     * via the candidate-bounded shingle join (never all-pairs), kept at
     * ≥ threshold. Shared by [[minhashNearDups]] and [[DedupPlane]]. */

@@ -340,6 +340,10 @@ object TrainingData {
   val HybridKEach = 20
   val HybridFinalK = 10
 
+  /** x54: docs at/above this id are the "new batch" of the delta-dedup
+    * query; below it, the existing corpus. Shared with the oracle. */
+  val DeltaSplitId = 400
+
   private def langIdSql: String = {
     val hitCols = TextFunctions.LangMarkers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -440,6 +444,21 @@ object TrainingData {
     "x34_dedup_pipeline" -> ((s, d) =>
       Dedup.nearDupsAfterExact(Tables.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b")),
+
+    // Delta dedup: the new batch (doc_id ≥ DeltaSplitId) against the
+    // existing corpus ONLY — the asymmetric band join of the daily
+    // ingest, never re-pairing the corpus with itself (see
+    // Dedup.minhashNearDupsDelta). Spec pins ≡ the cross-split slice of
+    // the full pipeline; the oracle computes one whole-corpus band
+    // table and applies the same asymmetric filter (signatures are
+    // per-doc intrinsic, so the two formulations are bit-identical).
+    "x54_delta_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashNearDupsDelta(
+        docs.filter(col("doc_id") >= DeltaSplitId),
+        docs.filter(col("doc_id") < DeltaSplitId), 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Winnowing document fingerprints (shingle-hash window minima).
     "x10_winnow_fp" -> ((s, d) =>
@@ -1300,6 +1319,16 @@ object TrainingData {
                   FROM occ o LEFT JOIN vocab v USING (tok) GROUP BY o.doc_id)
          SELECT doc_id, n_tokens, n_oov, n_oov * 1000000 // n_tokens AS oov_ppm
          FROM agg ORDER BY doc_id""",
+    "x54_delta_neardups" ->
+      s"""WITH $minhashCte,
+          bands AS (SELECT doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands} AS band_idx,
+                           md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h_idx)) AS band_hash
+                    FROM mh GROUP BY doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands}),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                   WHERE a.doc_id >= $DeltaSplitId AND b.doc_id < $DeltaSplitId),
+          $jaccardTail""",
     "x53_rrf_fusion" ->
       s"""WITH dtok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
                         FROM documents),

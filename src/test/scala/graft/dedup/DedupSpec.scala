@@ -44,6 +44,24 @@ class DedupSpec extends SparkSpecBase {
       pairs(Dedup.minhashNearDups(docs, 0.5)))
   }
 
+  test("delta dedup equals the cross-split slice of the full pipeline, new side first") {
+    val split = 250L
+    val newDocs = docs.filter(col("doc_id") >= split)
+    val corpus = docs.filter(col("doc_id") < split)
+    val delta = Dedup.minhashNearDupsDelta(newDocs, corpus, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full pipeline emits doc_a < doc_b; the cross-split slice oriented
+    // (new, corpus) must match exactly — no corpus-internal or
+    // batch-internal pair may appear, none may be missed
+    val full = Dedup.minhashNearDups(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < split) != (b < split) }
+      .map { case (a, b) => if (a >= split) (a, b) else (b, a) }.toSet
+    assert(delta === full)
+    assert(delta.forall { case (a, b) => a >= split && b < split })
+  }
+
   test("simhash near-dups recall most jaccard near-dups and respect the hamming bound") {
     val simDf = Dedup.simhashNearDups(Dedup.simhashMd5(docs), maxHamming = 3, sigBits = 32).cache()
     assert(simDf.filter(col("hamming") > 3).count() === 0)
