@@ -46,6 +46,23 @@ class WindowScaleSafetySpec extends SparkSpecBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("x52_quality_cut never windows on the bare group key (bucket-partitioned only)") {
+    val df = TrainingData.queries("x52_quality_cut")(spark, sfDir)
+    assert(unpartitionedWindows(df).isEmpty)
+    // row-bearing windows must partition by MORE than the group column —
+    // a lang-only rank window would funnel the dominant language through
+    // one task; only the metadata-sized histogram may window per group
+    // (its rows are bounded by score/coarseDiv buckets, not corpus size)
+    val rowWindows = df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.windowExpressions.exists(_.name == "__rn") => w
+    }
+    assert(rowWindows.nonEmpty, "expected the boundary rank window in the plan")
+    rowWindows.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"boundary rank must partition by (group, bucket), got ${w.partitionSpec}")
+    }
+  }
+
   test("f21 surrogate keys have no un-partitioned Window (ScalableRank two-phase)") {
     val df = graft.queries.Relational.queries("f21_surrogate_keys")(spark, sfDir)
     assert(unpartitionedWindows(df).isEmpty,

@@ -35,6 +35,27 @@ class BigramLmSpec extends SparkSpecBase {
     assert(s(3L)._1 === 1L)
   }
 
+  test("generated-corpus invariants: totals, bounds, and smoothing ceiling") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "c", "dd", "eee", "zz")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = (0 until 120).flatMap(i =>
+      doc.apply(Gen.Parameters.default, Seed(7L + i)).map(t => (i.toLong, t)))
+    val out = BigramLm.scoreDocs(docs.toDF("doc_id", "text")).collect()
+    // one row per input doc
+    assert(out.length === docs.length)
+    out.foreach { r =>
+      val (id, n, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val len = docs.find(_._1 == id).get._2.trim.split("\\s+").count(_.nonEmpty)
+      // n_bigrams = max(tokens-1, 0); score in [0, 1e6); smoothing makes
+      // p strictly < 1 whenever the model has >1 next-token type
+      assert(n === math.max(len - 1, 0), s"doc $id")
+      assert(s >= 0L && s <= 1000000L)
+      if (n == 0) assert(s === 0L)
+    }
+  }
+
   test("gibberish scores below repeated boilerplate on the same corpus") {
     val common = (1 to 8).map(i => i.toLong -> "the quick brown fox jumps over the lazy dog")
     val rare = Seq(100L -> "zxq qvw wfj jkt tqz")

@@ -60,6 +60,24 @@ class TopFracSpec extends SparkSpecBase {
     assert(kept.getOrElse("tiny", 0L) === 0L)
   }
 
+  test("equivalence on ScalaCheck-generated score distributions") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      g <- Gen.oneOf("p", "q", "r")
+      s <- Gen.frequency(3 -> Gen.choose(0L, 200L), 1 -> Gen.choose(0L, 2000000L))
+    } yield (g, s)
+    val rows = (0 until 400).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(99L + i)).map { case (g, s) => (g, i.toLong, s) })
+      .toDF("g", "id", "score")
+    for (ppm <- Seq(250000L, 700000L); div <- Seq(100L, 5000L)) {
+      val fast = TopFrac.keepTopFrac(rows, "g", "score", "id", ppm, div)
+      val ref = globalRankKeep(rows, ppm)
+      assert(fast.except(ref).count() === 0 && ref.except(fast).count() === 0,
+        s"mismatch at ppm=$ppm div=$div")
+    }
+  }
+
   test("ties at the cut resolve by ascending id, exactly quota rows kept") {
     // every row in one group has the SAME score: the boundary rank is
     // pure id order and must keep exactly floor(n/2)
