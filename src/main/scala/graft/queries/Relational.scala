@@ -461,6 +461,105 @@ object Relational {
         .orderBy(desc("revenue"), col("n_name"))
     }),
 
+    // A21: ordered event funnel (view → click → purchase) — per-user
+    // stage progress via ONE user-keyed shuffle: a running
+    // "furthest-stage-reached" window flag per row, so a later stage
+    // counts only when an earlier-stage row precedes it in event time.
+    // The naive per-stage min-ts formulation self-joins events once PER
+    // STAGE (three user-keyed shuffles of the fact); this plan pays one.
+    // User partitions are events-per-user sized — never corpus-sized —
+    // and the final stage counts collapse map-side to a single row.
+    "a21_event_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("seen_view",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+        .withColumn("click_ok",
+          when(col("event_type") === "click" && col("seen_view") === 1, 1).otherwise(0))
+        .withColumn("seen_click", max(col("click_ok")).over(w))
+        .withColumn("purchase_ok",
+          when(col("event_type") === "purchase" && col("seen_click") === 1, 1).otherwise(0))
+      staged.groupBy("user_id").agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("u_view"),
+          max(col("click_ok")).as("u_click"),
+          max(col("purchase_ok")).as("u_purchase"))
+        .agg(sum("u_view").as("n_view"),
+          sum("u_click").as("n_click_after_view"),
+          sum("u_purchase").as("n_purchase_after_click"))
+    }),
+
+    // A22: cohort retention — users bucketed by first-seen week, counted
+    // per (cohort, week-offset) of later activity. ONE events scan:
+    // week truncation is monotone, so the cohort week IS min(activity
+    // week) — derived from the (user, week) distinct table itself via a
+    // per-user window instead of a second first-seen scan of the fact
+    // (the q_fk lesson: never pay the big scan twice). The fact pays
+    // exactly one map-side-combined (user, week) distinct shuffle;
+    // everything after — the user-keyed window exchange and the
+    // (cohort, offset) count — runs over the users×weeks-sized distinct
+    // table, never the fact. Week offsets are exact integer date
+    // arithmetic on Monday-truncated weeks (no float date math).
+    "a22_cohort_retention" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("activity_week"))
+        .distinct()
+      act
+        .withColumn("cohort_week",
+          min("activity_week").over(Window.partitionBy("user_id")))
+        .select(col("cohort_week"),
+          (datediff(col("activity_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // J11 (TPC-H Q18 shape): large-volume customers — HAVING over a
+    // map-side-combined aggregate of the BIGGEST table feeds the join.
+    // The aggregate shrinks lineitem to qualifying order keys before
+    // any join touches orders/customer: at 100 TB the qualifying set is
+    // selectivity-bounded (a few rows per million), so it broadcasts
+    // into the orders probe and the fact table is scanned exactly once.
+    // The inverted shape (join first, filter after) would shuffle the
+    // full lineitem⋈orders product just to discard it.
+    "j11_big_customer" -> ((s, d) => {
+      val qualifying = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      Tables.orders(s, d)
+        .join(broadcast(qualifying), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // J12 (TPC-H Q17 shape): small-quantity-order revenue — the classic
+    // correlated scalar subquery (qty < 0.2 × per-part avg),
+    // decorrelated into a per-key WINDOW over one shuffle: the same
+    // l_partkey exchange serves the aggregate and the probe, so the
+    // brand-filtered fact is scanned ONCE (the aggregate-then-join form
+    // pays the scan twice). Per-part partitions are lines-per-part
+    // sized (~30 at any scale — partkey cardinality grows with data),
+    // so the window never funnels. The avg comparison is float-free:
+    // 5·qty·cnt < Σqty in integer cents ≡ qty < 0.2·avg, exact on both
+    // engines (0.2·avg would be an IEEE divide).
+    "j12_small_qty_revenue" -> ((s, d) => {
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val w = Window.partitionBy("l_partkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_extendedprice"), qc.as("qc"),
+          sum(qc).over(w).as("sqc"), count(lit(1)).over(w).as("cnt"))
+        .filter(lit(5L) * col("qc") * col("cnt") < col("sqc"))
+        .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // D5: SCD Type 2 — the events stream as a per-user status change
     // log, versioned with validity intervals.
     "d5_scd2_history" -> ((s, d) =>
@@ -685,6 +784,60 @@ object Relational {
          WHERE r_name = 'ASIA'
            AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "a21_event_funnel" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+         s1 AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seen_view FROM ev),
+         s2 AS (SELECT *, CASE WHEN event_type = 'click' AND seen_view = 1
+                               THEN 1 ELSE 0 END AS click_ok FROM s1),
+         s3 AS (SELECT *, MAX(click_ok)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seen_click FROM s2),
+         s4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND seen_click = 1
+                               THEN 1 ELSE 0 END AS purchase_ok FROM s3),
+         pu AS (SELECT user_id,
+                       MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS u_view,
+                       MAX(click_ok) AS u_click, MAX(purchase_ok) AS u_purchase
+                FROM s4 GROUP BY 1)
+         SELECT CAST(SUM(u_view) AS BIGINT) AS n_view,
+                CAST(SUM(u_click) AS BIGINT) AS n_click_after_view,
+                CAST(SUM(u_purchase) AS BIGINT) AS n_purchase_after_click
+         FROM pu""",
+    "a22_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('week', date_trunc('microseconds', ts)) AS DATE) AS activity_week
+                      FROM events),
+         wc AS (SELECT activity_week,
+                       MIN(activity_week) OVER (PARTITION BY user_id) AS cohort_week
+                FROM act)
+         SELECT cohort_week,
+                CAST(datediff('day', cohort_week, activity_week) / 7 AS INT) AS week_offset,
+                count(*) AS n_users
+         FROM wc
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "j11_big_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               FROM lineitem GROUP BY 1
+               HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+           ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "j12_small_qty_revenue" ->
+      """WITH f AS (SELECT l_extendedprice,
+                           CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+                           SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                             OVER (PARTITION BY l_partkey) AS sqc,
+                           COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+                    FROM lineitem JOIN part ON p_partkey = l_partkey
+                    WHERE p_brand = 'Brand#23')
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+                count(*) AS n_lines
+         FROM f WHERE 5 * qc * cnt < sqc""",
     "a1_kpi_global" ->
       """SELECT max(o_orderkey) AS max_key, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_cust,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,

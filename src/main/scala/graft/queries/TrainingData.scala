@@ -141,7 +141,13 @@ object TrainingData {
   // and band geometry are the same driver-side constants the Spark plan
   // folds in, so signatures, buckets, candidate set and exact re-rank
   // all reproduce bit-for-bit
-  private def annOracleSql: String = {
+  /** The LSH-ANN CTE chain (plane weights → signatures → band buckets →
+    * candidate pairs → exact re-rank scores, ending at `scored`) with an
+    * optional probe-side filter — shared by the x13 full-surface oracle
+    * and the x55 recall audit so the two cannot drift. Plane weights and
+    * band geometry are the same driver-side constants the Spark plan
+    * folds in, so the approximate pipeline reproduces bit-for-bit. */
+  private def annScoredCtes(candFilter: String = ""): String = {
     val numPlanes = Similarity.NumPlanes
     val numBands = Similarity.NumBands
     val bandW = numPlanes / numBands
@@ -150,8 +156,7 @@ object TrainingData {
     val rows = (0 until numPlanes).map { p =>
       s"($p, ${(0 until 64).map(d => w(p)(d).toLong).mkString("[", ", ", "]")})"
     }.mkString(", ")
-    s"""WITH $embCte,
-       planes AS (SELECT p, unnest(wts) AS wt, unnest(generate_series(1, 64)) AS pos
+    s"""planes AS (SELECT p, unnest(wts) AS wt, unnest(generate_series(1, 64)) AS pos
                   FROM (VALUES $rows) AS t(p, wts)),
        pd AS (SELECT e.vec_id, p, SUM(e.q * wt) AS dot
               FROM e JOIN planes USING (pos) GROUP BY 1, 2),
@@ -162,18 +167,46 @@ object TrainingData {
                   FROM sigs CROSS JOIN generate_series(0, ${numBands - 1}) AS g(ci)),
        cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vb
                 FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
-                                            AND a.vec_id <> b.vec_id),
+                                            AND a.vec_id <> b.vec_id $candFilter),
        dots AS (SELECT c.qid, c.vb, SUM(x.q * y.q) AS dot
                 FROM cand c JOIN e x ON x.vec_id = c.qid
                             JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
                 GROUP BY 1, 2),
        scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
-                  FROM dots JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = vb)
+                  FROM dots JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = vb)"""
+  }
+
+  private def annOracleSql: String =
+    s"""WITH $embCte,
+       ${annScoredCtes()}
        SELECT qid, vb, cos, rank FROM
          (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
           FROM scored)
        WHERE rank <= 5 ORDER BY qid, rank"""
-  }
+
+  /** x55: recall@k of the LSH-ANN index against exact brute force on a
+    * sampled query set — both lists resolved inside the one statement
+    * from the same constants. */
+  private def annRecallOracleSql(k: Int = 5): String =
+    s"""WITH $embCte,
+       ${annScoredCtes(candFilter = "WHERE a.vec_id < 10")},
+       ann AS (SELECT qid, vb FROM
+                 (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
+                  FROM scored) WHERE rank <= $k),
+       exd AS (SELECT x.vec_id AS qid, y.vec_id AS vb, SUM(x.q * y.q) AS dot
+               FROM e x JOIN e y ON y.pos = x.pos AND y.vec_id <> x.vec_id
+               WHERE x.vec_id < 10 GROUP BY 1, 2),
+       exsc AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                FROM exd JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = vb),
+       exact AS (SELECT qid, vb FROM
+                   (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS rank
+                    FROM exsc) WHERE rank <= $k),
+       hits AS (SELECT qid, count(*) AS n_hit
+                FROM ann JOIN exact USING (qid, vb) GROUP BY 1)
+       SELECT q.qid, COALESCE(n_hit, 0) AS n_hit,
+              COALESCE(n_hit, 0) * ${1000000 / k} AS recall_ppm
+       FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
+       LEFT JOIN hits USING (qid) ORDER BY qid"""
 
   /** Doc-frequency cap for the x36 capped-Jaccard query — shared by the
     * Spark plan and the generated oracle so the two cannot drift. */
@@ -957,6 +990,28 @@ object TrainingData {
       Similarity.annTopKAdaptive(Tables.embeddings(s, d), 64, 5)
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")),
 
+    // ANN recall audit — recall@5 of the LSH index against exact brute
+    // force on a sampled query set: the continuous quality monitor of a
+    // production ANN index (x41 is the same idea for the MinHash
+    // sketches). The index side is the full-corpus band table; the
+    // probe side semi-joins to the sampled queries BEFORE the bucket
+    // join, and the exact side is brute force over queries×corpus —
+    // query-set-bounded, the audit's intrinsic cost. recall_ppm is
+    // integer (n_hit·10⁶/k with k dividing 10⁶), float-free.
+    "x55_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.topK(emb, queries, 5).select("qid", "vb")
+      val ann = Similarity.annTopKForQueries(emb, queries, 64, 5).select("qid", "vb")
+      val hits = ann.join(exact, Seq("qid", "vb"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      queries.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+          (coalesce(col("h"), lit(0L)) * lit(200000L)).as("recall_ppm"))
+        .orderBy("qid")
+    }),
+
     // IVF-ANN top-k: relational k-means index (fixed-point exact) +
     // probe-limited exact re-rank. Approximate by construction → rows.
     "x16_ivf_topk" -> ((s, d) => {
@@ -1427,6 +1482,7 @@ object TrainingData {
          ORDER BY doc_id"""
     },
     "x13_ann_topk" -> annOracleSql,
+    "x55_ann_recall" -> annRecallOracleSql(),
     "x35_ann_adaptive" -> annAdaptiveOracleSql(),
     // SQ8 two-stage retrieval: codebook (per-dim min/max), round-half-up
     // integer quantization ((x·510 + r) // 2r — mirrors sq8Codes), code

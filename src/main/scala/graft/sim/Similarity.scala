@@ -459,6 +459,31 @@ object Similarity {
     annTopK(emb, dim, k, planes, NumBands)
   }
 
+  /** [[annTopK]] restricted to a sampled query set — the recall-audit /
+    * serving shape: the band table over the FULL corpus is the
+    * persisted index, while the probe side semi-joins down to the
+    * sampled query ids BEFORE the bucket join, so candidate volume
+    * scales with |queries| × bucket size, never corpus². The sampled
+    * query set of a recall audit is small by construction, hence the
+    * broadcast; the corpus-side index is never broadcast. */
+  def annTopKForQueries(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                        numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
+    val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)
+    val a = banded.select(col("vec_id").as("qid"), col("band_idx"), col("band"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"))), Seq("qid"), "left_semi")
+    val b = banded.select(col("vec_id").as("vb"), col("band_idx"), col("band"))
+    val cand = a.join(b, Seq("band_idx", "band")).filter(col("qid") =!= col("vb"))
+      .select("qid", "vb").distinct()
+    val n = norms(emb)
+    val scored = pairDots(cand, emb, emb, "qid", "vb")
+      .join(n.select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+  }
+
   def annTopK(emb: DataFrame, dim: Int, k: Int,
               numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
     val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)

@@ -35,6 +35,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hits > 0, s"ANN recall should be non-zero (got $hits/${ann.size})")
   }
 
+  test("annTopKForQueries is exactly annTopK restricted to the sampled query set") {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200).cache()
+    val queries = emb.filter(col("vec_id") < 7)
+    // the probe-side semi-join happens BEFORE the bucket join, so it
+    // must be semantics-preserving: same candidates, same re-rank, same
+    // rows as the full surface filtered after the fact
+    val full = Similarity.annTopK(emb, 64, 3)
+      .filter(col("qid") < 7)
+      .select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet
+    val restricted = Similarity.annTopKForQueries(emb, queries, 64, 3)
+      .select("qid", "vb", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(restricted === full)
+    assert(restricted.nonEmpty)
+  }
+
   test("wider LSH bands create more buckets and prune candidates harder") {
     val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200).cache()
     def stats(planes: Int, bands: Int): (Long, Long) = {
