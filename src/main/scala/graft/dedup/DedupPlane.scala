@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Materialize-once dedup plane — the service shape of the near-dup
   * stack.
@@ -47,6 +47,19 @@ final class DedupPlane private[dedup] (
   /** Release every cache the build registered. */
   def unpersist(): Unit =
     Seq(pairs, candidates, signatures, shingles).foreach(_.unpersist())
+
+  /** Persist the four stages as parquet under `dir` — the index
+    * artifact a curation service ships between build and serve.
+    * [[DedupPlane.read]] reconstructs a plane whose consumers scan the
+    * parquet instead of recomputing the pipeline; results are
+    * bit-identical because the consumers are the same plans over the
+    * same rows (spec-checked through a write/read round trip). */
+  def write(dir: String): Unit = {
+    shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    signatures.write.mode("overwrite").parquet(s"$dir/signatures")
+    candidates.write.mode("overwrite").parquet(s"$dir/candidates")
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+  }
 }
 
 object DedupPlane {
@@ -65,4 +78,16 @@ object DedupPlane {
     val pairs = Dedup.verifiedPairs(sh, cand, threshold).cache()
     new DedupPlane(docs, sh, sigs, cand, pairs)
   }
+
+  /** Reopen a plane persisted by [[DedupPlane#write]]: every stage is a
+    * parquet scan, nothing is cached (the files ARE the materialized
+    * state), so consumers probe the standing index the way a service
+    * would — without a per-query rebuild of shingles → signatures →
+    * candidates → pairs. */
+  def read(spark: SparkSession, dir: String, docs: DataFrame): DedupPlane =
+    new DedupPlane(docs,
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/signatures"),
+      spark.read.parquet(s"$dir/candidates"),
+      spark.read.parquet(s"$dir/pairs"))
 }

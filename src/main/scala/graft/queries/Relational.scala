@@ -499,8 +499,10 @@ object Relational {
     // exactly one map-side-combined (user, week) distinct shuffle;
     // everything after — the user-keyed window exchange and the
     // (cohort, offset) count — runs over the users×weeks-sized distinct
-    // table, never the fact. Week offsets are exact integer date
-    // arithmetic on Monday-truncated weeks (no float date math).
+    // table, never the fact. Week offsets use explicit integer division
+    // (`div`) of the int datediff — both weeks are Monday-truncated so
+    // the diff is always a non-negative multiple of 7 and the division
+    // is exact by construction, with no IEEE double step anywhere.
     "a22_cohort_retention" -> ((s, d) => {
       val act = Tables.events(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("activity_week"))
@@ -509,7 +511,7 @@ object Relational {
         .withColumn("cohort_week",
           min("activity_week").over(Window.partitionBy("user_id")))
         .select(col("cohort_week"),
-          (datediff(col("activity_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+          expr("datediff(activity_week, cohort_week) div 7").cast("int").as("week_offset"))
         .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }),
@@ -517,18 +519,20 @@ object Relational {
     // J11 (TPC-H Q18 shape): large-volume customers — HAVING over a
     // map-side-combined aggregate of the BIGGEST table feeds the join.
     // The aggregate shrinks lineitem to qualifying order keys before
-    // any join touches orders/customer: at 100 TB the qualifying set is
-    // selectivity-bounded (a few rows per million), so it broadcasts
-    // into the orders probe and the fact table is scanned exactly once.
-    // The inverted shape (join first, filter after) would shuffle the
-    // full lineitem⋈orders product just to discard it.
+    // any join touches orders/customer; the inverted shape (join first,
+    // filter after) would shuffle the full lineitem⋈orders product just
+    // to discard it. The qualifying set is ~1.5% of orders at this
+    // threshold and grows LINEARLY with data, so it gets no broadcast
+    // hint: AQE sees its runtime size and picks BHJ while it fits the
+    // broadcast threshold (it does at sf0.1), falling back to SMJ at a
+    // scale where a forced broadcast would OOM the driver.
     "j11_big_customer" -> ((s, d) => {
       val qualifying = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(dsum(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > 250.0)
       Tables.orders(s, d)
-        .join(broadcast(qualifying), col("o_orderkey") === col("l_orderkey"))
+        .join(qualifying, col("o_orderkey") === col("l_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))

@@ -187,7 +187,7 @@ object TrainingData {
   /** x55: recall@k of the LSH-ANN index against exact brute force on a
     * sampled query set — both lists resolved inside the one statement
     * from the same constants. */
-  private def annRecallOracleSql(k: Int = 5): String =
+  private def annRecallOracleSql(k: Int = RecallK): String =
     s"""WITH $embCte,
        ${annScoredCtes(candFilter = "WHERE a.vec_id < 10")},
        ann AS (SELECT qid, vb FROM
@@ -211,6 +211,38 @@ object TrainingData {
   /** Doc-frequency cap for the x36 capped-Jaccard query — shared by the
     * Spark plan and the generated oracle so the two cannot drift. */
   val JaccardDfCap = 25
+
+  /** x55: recall-audit depth k. The single source for BOTH the Spark
+    * plan's literals and the generated oracle (annRecallOracleSql) —
+    * hard-coding k at the query site and defaulting it in the oracle
+    * separately lets the two silently desynchronize. recall_ppm is the
+    * integer n_hit·(10⁶/k), so k must divide 10⁶ exactly. */
+  val RecallK = 5
+  require(1000000 % RecallK == 0,
+    s"RecallK=$RecallK must divide 1e6 for integer recall_ppm")
+
+  /** x55 semantics off an arbitrary band-table index: recall@[[RecallK]]
+    * of the LSH-ANN candidate list against exact brute force on the
+    * sampled query set. The gate query builds the band table inline
+    * (self-contained, so the oracle covers the whole pipeline); the
+    * bench probes a PERSISTED band table through this same function —
+    * the service shape is the identical plan over a parquet scan
+    * instead of a per-run signature rebuild. The exact brute-force side
+    * is recomputed either way: queries×corpus is the audit's intrinsic
+    * cost, bounded by the sampled query set. */
+  def annRecall(emb: DataFrame, banded: DataFrame): DataFrame = {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.topK(emb, queries, RecallK).select("qid", "vb")
+    val ann = Similarity.annTopKOnIndex(banded, emb, queries, RecallK)
+      .select("qid", "vb")
+    val hits = ann.join(exact, Seq("qid", "vb"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    queries.select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)) * lit(1000000L / RecallK)).as("recall_ppm"))
+      .orderBy("qid")
+  }
 
   // the adaptive-geometry LSH-ANN pipeline in SQL: the signature width
   // resolves from count(*) with the SAME float-free arithmetic as
@@ -1000,16 +1032,7 @@ object TrainingData {
     // integer (n_hit·10⁶/k with k dividing 10⁶), float-free.
     "x55_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 10)
-      val exact = Similarity.topK(emb, queries, 5).select("qid", "vb")
-      val ann = Similarity.annTopKForQueries(emb, queries, 64, 5).select("qid", "vb")
-      val hits = ann.join(exact, Seq("qid", "vb"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("h"))
-      queries.select(col("vec_id").as("qid"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
-          (coalesce(col("h"), lit(0L)) * lit(200000L)).as("recall_ppm"))
-        .orderBy("qid")
+      annRecall(emb, Similarity.sigBands(Similarity.signatures(emb, 64)))
     }),
 
     // IVF-ANN top-k: relational k-means index (fixed-point exact) +

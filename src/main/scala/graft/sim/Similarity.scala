@@ -177,8 +177,13 @@ object Similarity {
     val sp = emb.sparkSession
     import sp.implicits._
     val el = elements(emb).cache()
+    // rank within a literal partition: the frame is the nlist-row limit
+    // (bounded index metadata), but an EMPTY partition spec would fire
+    // Spark's "No Partition Defined" warning on every index build,
+    // flooding any run that builds many indexes (e.g. a full bench pass)
     val seedIds = emb.select("vec_id").orderBy("vec_id").limit(nlist)
-      .withColumn("cluster", row_number().over(Window.orderBy("vec_id")) - 1)
+      .withColumn("cluster",
+        row_number().over(Window.partitionBy(lit(0)).orderBy("vec_id")) - 1)
     def update(a: DataFrame): DataFrame =
       el.join(a, Seq("vec_id"))
         .groupBy("cluster", "pos")
@@ -467,8 +472,19 @@ object Similarity {
     * query set of a recall audit is small by construction, hence the
     * broadcast; the corpus-side index is never broadcast. */
   def annTopKForQueries(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-                        numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
-    val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)
+                        numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame =
+    annTopKOnIndex(sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands),
+      emb, queries, k)
+
+  /** [[annTopKForQueries]] over an ALREADY-MATERIALIZED band table —
+    * the serving shape proper: a service builds the index once
+    * ([[sigBands]] of [[signatures]], persisted), and every probe is
+    * just the semi-join + bucket join + exact re-rank below, never a
+    * corpus signature rebuild. [[annTopKForQueries]] delegates here
+    * with a freshly-built band table, so the two forms are the same
+    * plan over the same input by construction. */
+  def annTopKOnIndex(banded: DataFrame, emb: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
     val a = banded.select(col("vec_id").as("qid"), col("band_idx"), col("band"))
       .join(broadcast(queries.select(col("vec_id").as("qid"))), Seq("qid"), "left_semi")
     val b = banded.select(col("vec_id").as("vb"), col("band_idx"), col("band"))

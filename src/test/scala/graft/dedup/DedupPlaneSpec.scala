@@ -19,6 +19,20 @@ class DedupPlaneSpec extends SparkSpecBase {
     } finally plane.unpersist()
   }
 
+  test("a parquet write/read round trip probes bit-identically to the built plane") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("plane-rt").toString
+    val plane = DedupPlane.build(docs)
+    try {
+      plane.write(dir)
+      val reopened = DedupPlane.read(spark, dir, docs)
+      // the bench times x41 through the reopened face — its rows must be
+      // exactly the gate query's rows or the timed surface lies
+      assert(asSet(reopened.accuracy) === asSet(plane.accuracy))
+      assert(asSet(reopened.components()) === asSet(plane.components()))
+    } finally plane.unpersist()
+  }
+
   test("build caches the shared stages; unpersist leaves the CacheManager empty") {
     spark.catalog.clearCache()
     val plane = DedupPlane.build(Tables.documents(spark, sfDir))
