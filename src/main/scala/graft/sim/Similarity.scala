@@ -177,13 +177,17 @@ object Similarity {
     val sp = emb.sparkSession
     import sp.implicits._
     val el = elements(emb).cache()
-    // rank within a literal partition: the frame is the nlist-row limit
-    // (bounded index metadata), but an EMPTY partition spec would fire
-    // Spark's "No Partition Defined" warning on every index build,
-    // flooding any run that builds many indexes (e.g. a full bench pass)
-    val seedIds = emb.select("vec_id").orderBy("vec_id").limit(nlist)
-      .withColumn("cluster",
-        row_number().over(Window.partitionBy(lit(0)).orderBy("vec_id")) - 1)
+    // seed mapping is derived DRIVER-SIDE: the nlist lowest ids are a
+    // TakeOrdered job (never a full sort) and nlist rows of index
+    // metadata — the same bounded-collect discipline as the centroid
+    // loop below. The earlier global row_number() ranked them in an
+    // un-partitioned window, firing Spark's "No Partition Defined"
+    // warning a dozen times per index build (a literal partition spec
+    // doesn't help — Catalyst folds it away and the spec is empty
+    // again by execution).
+    val seedIds = emb.select(col("vec_id").cast("long")).orderBy("vec_id")
+      .limit(nlist).as[Long].collect().sorted.zipWithIndex
+      .map { case (id, c) => (id, c) }.toSeq.toDF("vec_id", "cluster")
     def update(a: DataFrame): DataFrame =
       el.join(a, Seq("vec_id"))
         .groupBy("cluster", "pos")
