@@ -23,7 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SPARK_GRAFT_BENCH_BUDGET seconds, default 1200) degrades the run
   * count as it is consumed (≥60% → ≤2 runs, ≥80% → 1, ≥95% → report
   * the warmup time, flagged "degraded") so a slow host produces a
-  * complete-but-coarser artifact rather than an rc-124 corpse.
+  * complete-but-coarser artifact rather than an rc-124 corpse; a
+  * per-query watchdog (SPARK_GRAFT_BENCH_QUERY_TIMEOUT, default 180 s)
+  * cancels and error-records any single query that hangs.
   *
   * Runs execute the query's OWN physical plan to completion
   * (`queryExecution.toRdd` iteration), not `df.count()`: count() builds
@@ -112,9 +114,35 @@ object Bench {
       new java.io.FileWriter("bench_progress.jsonl", false), true)
     def emit(line: String): Unit = { System.err.println(line); progress.println(line) }
 
-    def execute(n: String): Unit =
-      probes.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
-        .queryExecution.toRdd.count()
+    // Per-query watchdog: a single pathological plan (or a host stall
+    // pinning one query) must surface as a recorded per-query error,
+    // not hang the harness into the driver's process timeout — rc 124
+    // leaves no verdict on WHICH query was the problem. The slowest
+    // sf0.1 query medians ~6 s, so the 180 s default is ~30× headroom;
+    // the 10× linearity sweep (where pair generators legitimately run
+    // minutes) raises SPARK_GRAFT_BENCH_QUERY_TIMEOUT.
+    val qTimeout = sys.env.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT")
+      .map(_.toDouble).getOrElse(180.0)
+    def execute(n: String): Unit = {
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.duration.DurationDouble
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val group = s"bench-$n"
+      val fut = Future {
+        // job group is thread-local — set it on the thread running the jobs
+        spark.sparkContext.setJobGroup(group, n, interruptOnCancel = true)
+        try probes.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
+          .queryExecution.toRdd.count()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(fut, qTimeout.seconds)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          throw new RuntimeException(
+            f"exceeded the $qTimeout%.1f s per-query watchdog (jobs cancelled)")
+      }
+    }
 
     val results: Seq[(String, Either[String, (Double, Int, Boolean)])] =
       names.map { n =>
