@@ -92,6 +92,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment (Broder): C(A→B) = |A∩B| / |A| — the
+    * quote/subset detector symmetric Jaccard cannot express. A short
+    * document fully quoted inside a long one has C(short→long) = 1.0
+    * while its Jaccard is near zero (the union is dominated by the long
+    * side), so a Jaccard cut never surfaces it. Same inverted-index
+    * join as [[jaccardPairs]] (df-cap the input with
+    * [[dropStopShingles]] at scale — identical candidate bound); both
+    * directions are emitted and the pair survives when EITHER direction
+    * clears the threshold. Each score is one IEEE division —
+    * bit-deterministic under any partitioning. */
+  def containmentPairs(shingleTab: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingleTab.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shingleTab.as("a"); val b = shingleTab.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / col("na")).as("c_ab"),
+        (col("i").cast("double") / col("nb")).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   val NumHashes = 32

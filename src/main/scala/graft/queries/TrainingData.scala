@@ -212,6 +212,10 @@ object TrainingData {
     * Spark plan and the generated oracle so the two cannot drift. */
   val JaccardDfCap = 25
 
+  /** x56: minimum containment (either direction) for a pair to surface.
+    * Shared by the Spark plan and the generated oracle. */
+  val ContainmentThreshold = 0.5
+
   /** x55: recall-audit depth k. The single source for BOTH the Spark
     * plan's literals and the generated oracle (annRecallOracleSql) —
     * hard-coding k at the query site and defaulting it in the oracle
@@ -476,6 +480,19 @@ object TrainingData {
       Dedup.jaccardPairs(
         Dedup.dropStopShingles(
           Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap).cache(), 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // Asymmetric containment (Broder): C(A→B) = |A∩B|/|A| — surfaces a
+    // short document quoted inside a long one, which symmetric Jaccard
+    // buries (the union is dominated by the long side). Same df-capped
+    // inverted-index join as x36; both direction scores are emitted.
+    // ContainmentSpec pins the asymmetric case synthetically (a strict
+    // quote: c_ab = 1.0 while jaccard ≈ 0.1).
+    "x56_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        Dedup.dropStopShingles(
+          Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap).cache(),
+        ContainmentThreshold)
         .orderBy("doc_a", "doc_b")),
 
     // MinHash signatures (wide single-pass agg, unpivoted for the
@@ -1065,6 +1082,16 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Temperature-based domain mixing weights (α = 0.5) over the skewed
+    // language column: q_d ∝ √p_d compresses the 43%-English head and
+    // boosts the tail sub-linearly — the resampling-weight computation
+    // of corpus assembly (x37 is the hard cap; this is the soft mix).
+    // Fixed-point ppm arithmetic end-to-end, so the result is
+    // bit-identical in any engine (see Sampling.temperatureWeights).
+    "x57_domain_mix" -> ((s, d) =>
+      graft.util.Sampling.temperatureWeights(Tables.documents(s, d), "lang")
+        .orderBy("domain")),
+
     // Per-domain quota: cap documents per source at 15, chosen by the
     // deterministic md5 shuffle key — two-phase salted rank, so the
     // biggest domain's sort is bounded by 16·quota rows per task (the
@@ -1277,6 +1304,34 @@ object TrainingData {
           FROM inter JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
           WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
           ORDER BY doc_a, doc_b""",
+    "x56_containment" ->
+      s"""WITH $shingleCte,
+          keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+                   WHERE df <= $JaccardDfCap),
+          shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 CAST(i AS DOUBLE) / x.n AS c_ab,
+                 CAST(i AS DOUBLE) / y.n AS c_ba
+          FROM inter JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+          WHERE greatest(CAST(i AS DOUBLE) / x.n, CAST(i AS DOUBLE) / y.n)
+                >= $ContainmentThreshold
+          ORDER BY doc_a, doc_b""",
+    "x57_domain_mix" ->
+      """WITH c AS (SELECT lang AS domain, count(*) AS n_docs FROM documents GROUP BY 1),
+          s AS (SELECT domain, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s
+                FROM c),
+          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                       CAST(sum(s) AS BIGINT) AS stot FROM s)
+          SELECT domain, n_docs,
+                 CAST(n_docs * 1000000 // total AS BIGINT) AS p_ppm,
+                 CAST(s * 1000000 // stot AS BIGINT) AS q_ppm,
+                 CAST(((s * 1000000 // stot) * total) // n_docs AS BIGINT) AS weight_ppm
+          FROM s, t ORDER BY domain""",
     "x3_minhash_sigs" ->
       s"""WITH $minhashCte
           SELECT doc_id, h_idx, mh FROM mh ORDER BY doc_id, h_idx""",

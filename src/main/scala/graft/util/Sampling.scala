@@ -59,6 +59,34 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("cut"))
   }
 
+  /** Temperature-based domain mixing weights (α = 0.5): the standard
+    * corpus-rebalancing step of multilingual/multi-source training —
+    * sample domain d with probability q_d ∝ p_d^α instead of its
+    * natural share p_d, compressing the head (a 40% language stops
+    * drowning the mix) while boosting the tail sub-linearly. Unlike
+    * [[domainQuota]] (a hard per-domain cap) this produces the
+    * *resampling weights* themselves: weight_ppm = q_d / p_d in parts
+    * per million — >1e6 means upsample, <1e6 downsample.
+    *
+    * Everything is fixed-point so the result is bit-identical in any
+    * engine and under any partitioning: sqrt is IEEE-correctly-rounded
+    * (the only float op, applied per GROUP, never summed as a double),
+    * quantized to integer millionths BEFORE the normalizing sum, and
+    * all divisions are integer `div`. One map-combined shuffle on the
+    * domain column; the normalizer is a 1-row broadcast — the result
+    * is domain-cardinality-sized at any corpus size. */
+  def temperatureWeights(df: DataFrame, domainCol: String): DataFrame = {
+    val scored = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = scored.agg(sum("n_docs").as("total"), sum("s").as("stot"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"),
+        expr("n_docs * 1000000 div total").as("p_ppm"),
+        expr("s * 1000000 div stot").as("q_ppm"),
+        expr("((s * 1000000 div stot) * total) div n_docs").as("weight_ppm"))
+  }
+
   /** Per-key quota sampling: keep at most `quota` rows per `keyCol`,
     * chosen deterministically by the id's md5 (web-corpus curation's
     * "cap documents per domain" rule — a handful of giant domains must

@@ -61,4 +61,36 @@ class SamplingSpec extends SparkSpecBase {
     assert(sliceSizes.length === 16)
     assert(sliceSizes.map(_._2).max < 2000 / 16 * 2, "salt split should be near-uniform")
   }
+
+  test("temperatureWeights computes exact sqrt-compressed ppm weights on a 16:4:1 skew") {
+    // counts 400:100:25 => sqrt 20:10:5 => q shares 4:2:1 — every ppm
+    // value is hand-computable because the arithmetic is fixed-point
+    val rows = (1L to 400L).map(i => (i, "en")) ++
+      (401L to 500L).map(i => (i, "de")) ++
+      (501L to 525L).map(i => (i, "fr"))
+    val got = Sampling.temperatureWeights(rows.toDF("id", "dom"), "dom")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // s: 20e6 / 10e6 / 5e6, stot = 35e6, total = 525
+    assert(got("en") === ((400L, 761904L, 571428L, 571428L * 525 / 400)))
+    assert(got("de") === ((100L, 190476L, 285714L, 285714L * 525 / 100)))
+    assert(got("fr") === ((25L, 47619L, 142857L, 142857L * 525 / 25)))
+    // head is downsampled, tail upsampled; q ordering still follows p
+    assert(got("en")._4 < 1000000L && got("de")._4 > 1000000L && got("fr")._4 > 1000000L)
+    assert(got("en")._3 > got("de")._3 && got("de")._3 > got("fr")._3)
+    // q shares are a distribution (floor loses < 1 ppm per domain)
+    val qSum = got.values.map(_._3).sum
+    assert(qSum > 1000000L - 3 && qSum <= 1000000L)
+  }
+
+  test("temperatureWeights with equal domains is the identity mix (weight = 1e6)") {
+    val rows = (1L to 300L).map(i => (i, s"d${i % 3}"))
+    val got = Sampling.temperatureWeights(rows.toDF("id", "dom"), "dom")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      assert(r._3 === 333333L && r._4 === 333333L)
+      assert(r._5 === 999999L) // 333333 ppm of 300 over 100 docs: floor artifacts only
+    }
+  }
 }
