@@ -38,12 +38,13 @@ object TrainingData {
     s"""${posShingleCteFor(src)},
        sh AS (SELECT DISTINCT doc_id, sh FROM shp)"""
   private val shingleCte = shingleCteFor("documents")
-  // 40-bit integer from 10 hex digits of `e` starting at 1-based `start`
+  // integer from `digits` hex digits of `e` starting at 1-based `start`
   // (nibble arithmetic — DuckDB 1.0 has no hex-string → int cast)
-  private def hex40(e: String, start: Int): String =
-    (0 until 10).map { k =>
-      s"(strpos('0123456789abcdef', substring($e, ${start + k}, 1)) - 1) * ${1L << (4 * (9 - k))}"
+  private def hexVal(e: String, start: Int, digits: Int): String =
+    (0 until digits).map { k =>
+      s"(strpos('0123456789abcdef', substring($e, ${start + k}, 1)) - 1) * ${1L << (4 * (digits - 1 - k))}"
     }.mkString("(", " + ", ")")
+  private def hex40(e: String, start: Int): String = hexVal(e, start, 10)
 
   private def minhashCteFor(src: String) = // long-form 32-hash minhash
     // signatures: Carter-Wegman derived family over two 40-bit md5
@@ -215,6 +216,11 @@ object TrainingData {
   /** x56: minimum containment (either direction) for a pair to surface.
     * Shared by the Spark plan and the generated oracle. */
   val ContainmentThreshold = 0.5
+
+  /** x58: collocation count floor and result depth — shared by the
+    * Spark plan and the generated oracle. */
+  val MinColloCount = 5L
+  val CollocTopK = 50
 
   /** x55: recall-audit depth k. The single source for BOTH the Spark
     * plan's literals and the generated oracle (annRecallOracleSql) —
@@ -1082,6 +1088,17 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Corpus collocation mining by integer PMI lift: bigrams whose
+    // count beats independence c1·c2/N, ranked by the monotone-in-PMI
+    // lift ratio with zero transcendental ops (see
+    // BigramLm.collocations) — the phrase-detection companion to x51's
+    // per-doc LM score. Count floor + total tie-break make the top-k
+    // cut deterministic.
+    "x58_collocations" -> ((s, d) =>
+      graft.text.BigramLm.collocations(
+          Tables.documents(s, d), MinColloCount, CollocTopK)
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))),
+
     // Temperature-based domain mixing weights (α = 0.5) over the skewed
     // language column: q_d ∝ √p_d compresses the 43%-English head and
     // boosts the tail sub-linearly — the resampling-weight computation
@@ -1091,6 +1108,15 @@ object TrainingData {
     "x57_domain_mix" -> ((s, d) =>
       graft.util.Sampling.temperatureWeights(Tables.documents(s, d), "lang")
         .orderBy("domain")),
+
+    // Materialized temperature mix: x57's weights executed as an actual
+    // resampled corpus — floor(w) whole copies per doc plus a
+    // fractional copy decided by a deterministic md5 draw, one output
+    // row per copy (see Sampling.applyMixWeights). The same docs
+    // replicate/survive on every run.
+    "x59_apply_mix" -> ((s, d) =>
+      graft.util.Sampling.applyMixWeights(Tables.documents(s, d), "lang", "doc_id")
+        .orderBy("doc_id", "copy_idx")),
 
     // Per-domain quota: cap documents per source at 15, chosen by the
     // deterministic md5 shuffle key — two-phase salted rank, so the
@@ -1332,6 +1358,41 @@ object TrainingData {
                  CAST(s * 1000000 // stot AS BIGINT) AS q_ppm,
                  CAST(((s * 1000000 // stot) * total) // n_docs AS BIGINT) AS weight_ppm
           FROM s, t ORDER BY domain""",
+    "x58_collocations" ->
+      s"""WITH $tokCte,
+          bg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+                 FROM tok WHERE len(t) >= 2),
+          bc AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM bg GROUP BY 1, 2),
+          u1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+          u2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bc GROUP BY 1),
+          n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bc)
+          SELECT w1, w2, c12,
+                 CAST(((c12 * 1000000 // c1) * nb) // c2 AS BIGINT) AS lift_ppm
+          FROM bc JOIN u1 USING (w1) JOIN u2 USING (w2), n
+          WHERE c12 >= $MinColloCount
+          ORDER BY lift_ppm DESC, w1, w2 LIMIT $CollocTopK""",
+    "x59_apply_mix" ->
+      s"""WITH c AS (SELECT lang AS domain, count(*) AS n_docs FROM documents GROUP BY 1),
+          s AS (SELECT domain, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s
+                FROM c),
+          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                       CAST(sum(s) AS BIGINT) AS stot FROM s),
+          w AS (SELECT domain,
+                       CAST(((s * 1000000 // stot) * total) // n_docs AS BIGINT) AS weight_ppm
+                FROM s, t),
+          d AS (SELECT doc_id, lang AS domain, md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+          dd AS (SELECT doc_id, domain, ${hexVal("h", 1, 8)} % 1000000 AS draw FROM d),
+          nc AS (SELECT dd.doc_id, dd.domain,
+                        w.weight_ppm // 1000000
+                        + CASE WHEN dd.draw < w.weight_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies
+                 FROM dd JOIN w USING (domain))
+          SELECT doc_id, domain,
+                 CAST(unnest(generate_series(1, CAST(n_copies AS INT))) AS INT) AS copy_idx
+          FROM nc WHERE n_copies >= 1
+          ORDER BY doc_id, copy_idx""",
     "x3_minhash_sigs" ->
       s"""WITH $minhashCte
           SELECT doc_id, h_idx, mh FROM mh ORDER BY doc_id, h_idx""",

@@ -53,6 +53,39 @@ object BigramLm {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
 
+  /** Corpus collocation mining by PMI lift — the phrase detector of
+    * corpus analysis ("New York", "prime minister"): bigrams whose
+    * observed count beats the independence expectation c1·c2/N. The
+    * integer lift c12·N/(c1·c2) is a strictly monotone transform of
+    * PMI = log of the same ratio, so ranking by lift ≡ ranking by PMI
+    * with zero transcendental ops — the score stays bit-identical in
+    * any engine. `minCount` floors c12 (singleton bigrams have huge
+    * noisy lift); association ordering: the c12/c1 ratio resolves to
+    * ppm FIRST, then scales by N and divides by c2 — all integer
+    * `div`, worst intermediate ≤ 10⁶·N (fits a long to N ≈ 9·10¹²
+    * bigram occurrences; beyond that, shard the corpus).
+    *
+    * Shuffle structure: the model is one map-combined aggregate of
+    * [[docBigrams]]'s per-doc counts; marginals c1/c2 and N are
+    * aggregates OF the model (vocab²-bounded, cached — never a second
+    * corpus scan); top-k is TakeOrderedAndProject with total
+    * tie-breaking, so the cut is deterministic. */
+  def collocations(docs: DataFrame, minCount: Long, topK: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val model = docBigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum("k").as("c12")).cache()
+    val left = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val right = model.groupBy("w2").agg(sum("c12").as("c2"))
+    val nb = model.agg(sum("c12").as("nb"))
+    model.filter(col("c12") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("((c12 * 1000000 div c1) * nb) div c2").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Per-document LM score: (doc_id, n_bigrams, lm_score_ppm), one row
     * per input document (docs too short to form a bigram score 0). */
   def scoreDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

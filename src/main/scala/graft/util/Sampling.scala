@@ -76,15 +76,50 @@ object Sampling {
     * domain column; the normalizer is a 1-row broadcast — the result
     * is domain-cardinality-sized at any corpus size. */
   def temperatureWeights(df: DataFrame, domainCol: String): DataFrame = {
+    // cache: the normalizer aggregate below would otherwise recompute
+    // this lineage — a SECOND full corpus scan to rebuild a
+    // domain-cardinality-sized frame
     val scored = df.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("s", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .cache()
     val tot = scored.agg(sum("n_docs").as("total"), sum("s").as("stot"))
     scored.crossJoin(broadcast(tot))
       .select(col("domain"), col("n_docs"),
         expr("n_docs * 1000000 div total").as("p_ppm"),
         expr("s * 1000000 div stot").as("q_ppm"),
         expr("((s * 1000000 div stot) * total) div n_docs").as("weight_ppm"))
+  }
+
+  /** Materialize [[temperatureWeights]] as an actual resampled corpus:
+    * each row is emitted floor(w) times plus one more with probability
+    * frac(w) — decided by a deterministic md5-derived draw in
+    * [0, 10⁶), so the SAME documents replicate/survive on every run of
+    * every cluster (the repeatability contract every sampler here
+    * follows; rand() would re-deal the corpus per retry). Downweighted
+    * domains (w < 1) keep each doc with probability w; upweighted ones
+    * get whole copies plus the fractional remainder. Output one row
+    * per copy with `copy_idx`, so downstream packing/sharding sees the
+    * duplicated rows as distinct.
+    *
+    * The weight table is domain-cardinality-sized (broadcast); the
+    * explode is per-row with bounded fan-out (ceil of the largest
+    * weight) — no shuffle beyond what temperatureWeights itself does.
+    * The 32-bit draw mod 10⁶ carries a ~0.1 % uniformity bias
+    * (2³² mod 10⁶ ≠ 0) — irrelevant for mixing, and the price of an
+    * expression DuckDB reproduces digit-for-digit. */
+  def applyMixWeights(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
+    val w = temperatureWeights(df, domainCol).select(col("domain"), col("weight_ppm"))
+    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    df.select(col(idCol), col(domainCol).as("domain"))
+      .join(broadcast(w), Seq("domain"))
+      .withColumn("n_copies",
+        expr("weight_ppm div 1000000") +
+          when(draw < expr("weight_ppm % 1000000"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1) // sequence(1,0) would count DOWN
+      .select(col(idCol), col("domain"),
+        explode(sequence(lit(1), col("n_copies").cast("int"))).as("copy_idx"))
   }
 
   /** Per-key quota sampling: keep at most `quota` rows per `keyCol`,

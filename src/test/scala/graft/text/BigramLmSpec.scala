@@ -62,4 +62,28 @@ class BigramLmSpec extends SparkSpecBase {
     val s = score(common ++ rare)
     assert(s(100L)._2 < s(1L)._2)
   }
+
+  test("collocations rank an exclusive pair above a promiscuous one, with exact integer lift") {
+    import spark.implicits._
+    // N = 30 bigram occurrences: "zqx wvy" exclusive (c12=c1=c2=10),
+    // "the cat"/"the dog" share the left word (c1(the)=20)
+    val docs = ((1L to 10L).map(i => (i, "zqx wvy")) ++
+      (11L to 20L).map(i => (i, "the cat")) ++
+      (21L to 30L).map(i => (i, "the dog"))).toDF("doc_id", "text")
+    val got = BigramLm.collocations(docs, minCount = 5, topK = 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.length === 3)
+    // lift(zqx,wvy) = (10e6 div 10)*30 div 10 = 3e6; lift(the,·) = (10e6 div 20)*30 div 10 = 1.5e6
+    assert(got.head === (("zqx", "wvy", 10L, 3000000L)))
+    assert(got.tail.map(_._4).toSeq === Seq(1500000L, 1500000L))
+    // tie broken by (w1, w2): cat before dog
+    assert(got.tail.map(_._2).toSeq === Seq("cat", "dog"))
+  }
+
+  test("collocations count floor drops singleton bigrams") {
+    import spark.implicits._
+    val docs = ((1L to 10L).map(i => (i, "zqx wvy")) :+ ((99L, "one off"))).toDF("doc_id", "text")
+    val got = BigramLm.collocations(docs, minCount = 5, topK = 10).collect()
+    assert(got.length === 1 && got.head.getString(0) === "zqx")
+  }
 }

@@ -93,4 +93,33 @@ class SamplingSpec extends SparkSpecBase {
       assert(r._5 === 999999L) // 333333 ppm of 300 over 100 docs: floor artifacts only
     }
   }
+
+  test("applyMixWeights materializes whole copies plus a deterministic fractional draw") {
+    // 1600:100 => sqrt 40:10 => q 0.8:0.2 => weights 0.85:3.4 —
+    // rare domain gets 3 whole copies + 40% chance of a 4th
+    val rows = (1L to 1600L).map(i => (i, "big")) ++ (10001L to 10100L).map(i => (i, "rare"))
+    val df = rows.toDF("id", "dom")
+    val out = Sampling.applyMixWeights(df, "dom", "id").cache()
+    val w = Sampling.temperatureWeights(df, "dom")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r._5).toMap
+    // every rare doc appears floor(w) or floor(w)+1 times; big docs 0 or 1
+    val perDoc = out.groupBy("id", "domain").count().as[(Long, String, Long)].collect()
+    perDoc.foreach { case (_, dom, n) =>
+      val base = w(dom) / 1000000L
+      assert(n === base || n === base + 1, s"$dom doc replicated $n times, weight ${w(dom)}")
+    }
+    // realized totals track the expected mix within a few percent
+    val counts = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    val expBig = 1600L * w("big") / 1000000L
+    val expRare = 100L * w("rare") / 1000000L
+    assert(math.abs(counts("big") - expBig) < expBig / 10)
+    assert(math.abs(counts("rare") - expRare) < expRare / 10 + 5)
+    // copy_idx is dense 1..n per doc
+    val badIdx = out.groupBy("id").agg(count(lit(1)).as("n"), max("copy_idx").as("m"))
+      .filter($"n" =!= $"m").count()
+    assert(badIdx === 0)
+    // deterministic on rerun
+    val again = Sampling.applyMixWeights(df, "dom", "id")
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+  }
 }
