@@ -378,6 +378,53 @@ object Dedup {
       .select(col("doc_id"), min(col("h")).over(win).as("fp")).distinct()
   }
 
+  /** Cross-document repeated-substring spans — the exact-substring cut
+    * list of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed relationally: a positional
+    * n-gram is *duplicated* when the same shingle occurs in more than
+    * one document; the duplicated positions of each document merge into
+    * maximal token spans (interval union), which are the byte ranges an
+    * exact-substring dedup pass would cut. Winnowing ([[winnowFingerprints]])
+    * answers "which docs overlap"; this answers "which tokens to remove".
+    *
+    * Span coordinates are 1-based token indices, inclusive: a shingle at
+    * position p covers tokens [p, p+n-1]; flagged positions whose gap is
+    * ≤ n produce touching-or-overlapping intervals and merge.
+    *
+    * Scale: the df aggregate is map-side-combined on the shingle (hot
+    * shingles concentrate counts inside one cell, never rows in one
+    * task); the flag semi-join emits at most one row per position
+    * (`dup` is distinct on sh), so nothing exceeds |positions|; the
+    * island merge is two window passes over ONE doc_id exchange —
+    * per-document partitions, bounded by document length at any corpus
+    * size. No all-pairs stage anywhere (unlike suffix-array
+    * formulations, which need a corpus-wide sort). */
+  def dupSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      // 1-based position to match token coordinates
+      .select(col("doc_id"), posexplode(shingles(col("t"), n)).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
+    // cross-document df only: a shingle repeated inside a single doc is
+    // repetition (x25), not duplication — distinct (doc_id, sh) first
+    val dup = sh.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select("sh")
+    val flagged = sh.join(dup, Seq("sh"), "left_semi").select("doc_id", "pos")
+    // interval union of the fixed-length [pos, pos+n-1] intervals: a new
+    // island starts when the gap to the previous flagged position
+    // exceeds n (both windows share the single doc_id exchange)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) <= n, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("int").as("span_start"),
+        (max("pos") + (n - 1)).cast("int").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select("doc_id", "span_start", "span_end", "n_shingles")
+  }
+
   /** Near-dup clustering: one-`iters`-hop min-label propagation over the
     * symmetric pair graph, then keeper = the minimum doc of each
     * component. Near-dup groups at sane thresholds are cliques, where a

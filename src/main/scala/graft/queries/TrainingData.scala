@@ -552,6 +552,14 @@ object TrainingData {
     "x10_winnow_fp" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d)).orderBy("doc_id", "fp")),
 
+    // Cross-document repeated-substring cut spans (the Lee et al. 2022
+    // exact-substring dedup list): positions whose 3-gram occurs in >1
+    // document, interval-unioned into maximal token spans per doc.
+    // Winnowing (x10) answers "which docs overlap"; this answers "which
+    // tokens to cut". DupSpansSpec pins the island merge synthetically.
+    "x60_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d)).orderBy("doc_id", "span_start")),
+
     // Near-dup clusters: LSH pairs → min-label components → keeper flag.
     "x17_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1594,6 +1602,24 @@ object TrainingData {
                   (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
                 FROM shp)
           SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
+    "x60_dup_spans" ->
+      s"""WITH $posShingleCte,
+          dup AS (SELECT sh FROM (SELECT sh, count(*) AS df
+                                  FROM (SELECT DISTINCT doc_id, sh FROM shp) GROUP BY sh)
+                  WHERE df > 1),
+          fl AS (SELECT doc_id, i FROM shp JOIN dup USING (sh)),
+          brks AS (SELECT doc_id, i,
+                          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 3
+                               THEN 0 ELSE 1 END AS brk
+                   FROM fl),
+          isl AS (SELECT doc_id, i,
+                         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+                  FROM brks)
+          SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+                 CAST(max(i) + 2 AS INT) AS span_end,
+                 count(*) AS n_shingles
+          FROM isl GROUP BY doc_id, island
+          ORDER BY doc_id, span_start""",
     "x7_lang_id" -> langIdSql,
     "x19_quality_filter" -> {
       val markers = TextFunctions.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString("[", ", ", "]")
