@@ -222,6 +222,12 @@ object TrainingData {
   val MinColloCount = 5L
   val CollocTopK = 50
 
+  /** x61: SemDeDup within-cluster cosine cut — shared by the Spark plan
+    * and the generated oracle (the x12/x33 threshold precedent; the
+    * synthetic corpus' within-cluster cosines peak near 0, so 0.3 keeps
+    * a meaningful drop set without borderline ties). */
+  val SemDedupThreshold = 0.3
+
   /** x55: recall-audit depth k. The single source for BOTH the Spark
     * plan's literals and the generated oracle (annRecallOracleSql) —
     * hard-coding k at the query site and defaulting it in the oracle
@@ -364,6 +370,24 @@ object TrainingData {
                  FROM cent$iters GROUP BY cluster)
        SELECT CAST(cluster AS INT) AS cluster, n_vecs, sum_nsq, cent_nsq
        FROM prof JOIN centn USING (cluster) ORDER BY cluster"""
+
+  /** x61: SemDeDup verdict off the SAME unrolled k-means — cluster-
+    * blocked pair cosines, drop = any lower-id neighbour ≥ threshold. */
+  private def semDedupOracleSql(threshold: Double, nlist: Int = 16, iters: Int = 2): String =
+    s"""WITH ${ivfKmeansCtes(nlist, iters)},
+       el AS (SELECT e.vec_id, a.cluster, e.q, e.pos FROM e JOIN a$iters a USING (vec_id)),
+       dots AS (SELECT x.vec_id AS va, y.vec_id AS vb, SUM(x.q * y.q) AS dot
+                FROM el x JOIN el y ON y.pos = x.pos AND y.cluster = x.cluster
+                                    AND x.vec_id < y.vec_id
+                GROUP BY 1, 2),
+       dropped AS (SELECT DISTINCT vb AS vec_id
+                   FROM dots JOIN norms nx ON nx.vec_id = va
+                             JOIN norms ny ON ny.vec_id = vb
+                   WHERE CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) >= $threshold)
+       SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+              CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+       FROM a$iters a LEFT JOIN dropped d USING (vec_id)
+       ORDER BY a.vec_id"""
 
   // LSH near-dup pipeline in SQL: same plane/band constants as the Spark
   // plan (annOracleSql's geometry), va < vb pairs, cosine threshold
@@ -1084,6 +1108,17 @@ object TrainingData {
       Similarity.ivfClusterProfile(Tables.embeddings(s, d), nlist = 16, iters = 2)
         .orderBy("cluster")),
 
+    // Semantic dedup (SemDeDup): IVF-cluster the embeddings (the SAME
+    // exact-integer k-means as x16/x47), then drop every vector with a
+    // lower-id within-cluster neighbour at cosine ≥ 0.3 — near-dup
+    // MEANING (paraphrases, templated rewrites) that MinHash text
+    // dedup cannot see. Per-vector verdict, so the oracle hash-checks
+    // the assignment AND the cluster-blocked pair stage end-to-end.
+    "x61_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), SemDedupThreshold,
+          nlist = 16, iters = 2)
+        .orderBy("vec_id")),
+
     // Two-stage SQ8 retrieval: 8-bit scalar-quantized shortlist (the
     // 4-8×-smaller first-pass scan), exact fixed-point re-rank to
     // top-5. Codebook (per-dim min/max), codes and shortlist ties are
@@ -1711,6 +1746,7 @@ object TrainingData {
          FROM s3 ORDER BY doc_id""",
     "x16_ivf_topk" -> ivfOracleSql(),
     "x47_cluster_profile" -> ivfProfileOracleSql(),
+    "x61_semdedup" -> semDedupOracleSql(SemDedupThreshold),
     "x8_quality_score" ->
       s"""WITH $tokCte,
           m AS (SELECT doc_id, t, text,

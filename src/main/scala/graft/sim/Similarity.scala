@@ -287,6 +287,36 @@ object Similarity {
     rows.toDF("cluster", "n_vecs", "sum_nsq", "cent_nsq")
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus
+    * with the IVF k-means, then drop every vector that has a
+    * LOWER-vec_id within-cluster neighbour at cosine ≥ `threshold` —
+    * near-duplicate *meaning*, not near-duplicate text (paraphrases,
+    * translations, templated rewrites that MinHash cannot see).
+    *
+    * Per-vector verdict: (vec_id, cluster, keep 1/0), keep = no closer
+    * predecessor in the cluster. Deterministic: assignments are the
+    * exact-integer k-means of [[ivfIndex]], cosines the fixed-point
+    * pair dots of [[blockedCosinePairs]].
+    *
+    * Scale: the all-pairs stage is cluster-blocked — Σ per-cluster²
+    * instead of n², the SemDeDup paper's own trick, and each cluster's
+    * pairs co-locate on one shuffle partition. nlist grows with √n so
+    * blocks stay bounded; the drop set is pair-bounded and joins back
+    * id-only. Like [[ivfTopK]], the transient index caches back the
+    * returned plan — long-running services build [[ivfIndex]] once and
+    * own the lifecycle. */
+  def semDedup(emb: DataFrame, threshold: Double,
+               nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val (_, assignments) = ivfIndex(emb, nlist, iters)
+    val lab = emb.join(assignments.select("vec_id", "cluster"), Seq("vec_id"))
+    val dropped = blockedCosinePairs(lab, "cluster", threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    assignments.select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("hit").isNull, 1).otherwise(0).as("keep"))
+  }
+
   // ---------------- Scalar quantization (SQ8) ----------------
 
   /** Per-dimension corpus range (pos, mn, mx) over the fixed-point
