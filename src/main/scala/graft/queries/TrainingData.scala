@@ -371,6 +371,56 @@ object TrainingData {
        SELECT CAST(cluster AS INT) AS cluster, n_vecs, sum_nsq, cent_nsq
        FROM prof JOIN centn USING (cluster) ORDER BY cluster"""
 
+  /** x62: the PQ pipeline unrolled — per-subspace k-means ((sub,
+    * cluster) compound key), codes, query-side ADC LUT, shortlist,
+    * exact re-rank. Same constants as [[Similarity.pqIndex]]/
+    * [[Similarity.pqTopK]] so codebooks, codes, ADC scores and ties
+    * reproduce bit-for-bit. */
+  private def pqOracleSql(subDim: Int = Similarity.PqSubDim, ks: Int = Similarity.PqKs,
+                          iters: Int = 2, k: Int = 5, shortlist: Int = 20): String = {
+    def assignCte(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, sub, cluster FROM (
+            SELECT es.vec_id, es.sub, c.cluster,
+                   row_number() OVER (PARTITION BY es.vec_id, es.sub
+                     ORDER BY SUM(es.q * c.cq) DESC, c.cluster) AS rn
+            FROM es JOIN $cent c ON c.sub = es.sub AND c.pos = es.pos
+            GROUP BY es.vec_id, es.sub, c.cluster) WHERE rn = 1)"""
+    def updateCte(name: String, assign: String) =
+      s"""$name AS (SELECT a.sub, a.cluster, es.pos, CAST(round(avg(es.q)) AS BIGINT) AS cq
+                    FROM es JOIN $assign a ON a.vec_id = es.vec_id AND a.sub = es.sub
+                    GROUP BY 1, 2, 3)"""
+    val iterCtes = (1 to iters).map(i =>
+      s"${updateCte(s"cent$i", s"a${i - 1}")}, ${assignCte(s"a$i", s"cent$i")}").mkString(",\n       ")
+    s"""WITH $embCte,
+       es AS (SELECT vec_id, CAST((pos - 1) // $subDim AS INT) AS sub, pos, q FROM e),
+       seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+                 FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ks)),
+       cent0 AS (SELECT es.sub, s.cluster, es.pos, es.q AS cq FROM es JOIN seeds s USING (vec_id)),
+       ${assignCte("a0", "cent0")},
+       $iterCtes,
+       lut AS (SELECT es.vec_id AS qid, c.sub, c.cluster, SUM(es.q * c.cq) AS d
+               FROM es JOIN cent$iters c ON c.sub = es.sub AND c.pos = es.pos
+               WHERE es.vec_id < 10 GROUP BY 1, 2, 3),
+       adc AS (SELECT l.qid, a.vec_id AS vb, SUM(l.d) AS score
+               FROM a$iters a JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
+               WHERE l.qid <> a.vec_id GROUP BY 1, 2),
+       short AS (SELECT qid, vb FROM
+                   (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vb) AS rn
+                    FROM adc)
+                 WHERE rn <= $shortlist),
+       dots AS (SELECT s.qid, s.vb, SUM(x.q * y.q) AS dot
+                FROM short s JOIN e x ON x.vec_id = s.qid
+                             JOIN e y ON y.vec_id = s.vb AND y.pos = x.pos
+                GROUP BY 1, 2),
+       scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                  FROM dots JOIN norms nx ON nx.vec_id = qid
+                            JOIN norms ny ON ny.vec_id = vb)
+       SELECT qid, vb, cos, rank FROM
+         (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
+          FROM scored)
+       WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   /** x61: SemDeDup verdict off the SAME unrolled k-means — cluster-
     * blocked pair cosines, drop = any lower-id neighbour ≥ threshold. */
   private def semDedupOracleSql(threshold: Double, nlist: Int = 16, iters: Int = 2): String =
@@ -1131,6 +1181,19 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Two-stage PQ retrieval (Jégou et al. 2011): per-subspace k-means
+    // codebooks (4 subspaces × 8 centroids — 4 one-byte codes per
+    // vector, 16× smaller than the float row), asymmetric-distance
+    // shortlist via a broadcast query LUT, exact fixed-point re-rank
+    // to top-5. Completes the IVF (x16) / SQ8 (x49) / PQ compression
+    // triad; codebooks, codes and ADC ties are all integer-
+    // deterministic, so the approximate stage itself is hash-checked.
+    "x62_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5, shortlist = 20)
+        .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
+    }),
+
     // Corpus collocation mining by integer PMI lift: bigrams whose
     // count beats independence c1·c2/N, ranked by the monotone-in-PMI
     // lift ratio with zero transcendental ops (see
@@ -1747,6 +1810,7 @@ object TrainingData {
     "x16_ivf_topk" -> ivfOracleSql(),
     "x47_cluster_profile" -> ivfProfileOracleSql(),
     "x61_semdedup" -> semDedupOracleSql(SemDedupThreshold),
+    "x62_pq_topk" -> pqOracleSql(),
     "x8_quality_score" ->
       s"""WITH $tokCte,
           m AS (SELECT doc_id, t, text,

@@ -377,6 +377,119 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---------------- Product quantization (PQ) ----------------
+
+  /** PQ geometry: 64-dim vectors split into 4 subspaces of [[PqSubDim]]
+    * dims, [[PqKs]] centroids per subspace — 4 one-byte codes per
+    * vector (16× smaller than the float row), the FAISS-PQ layout.
+    * Shared with the generated oracle SQL. */
+  val PqSubDim = 16
+  val PqKs = 8
+
+  /** (vec_id, sub, pos, qv): fixed-point elements tagged with their
+    * subspace (sub = pos / subDim, 0-based). */
+  private def subElements(emb: DataFrame, subDim: Int): DataFrame =
+    elements(emb).withColumn("sub", (col("pos") / subDim).cast("int"))
+
+  // (sub, pos, c0..c{ks-1}): per-subspace centroids pivoted wide, so the
+  // element join rides ks columns instead of exploding ks× rows — the
+  // clusterDots shape with the subspace added to the key
+  private def pqCentroidsWide(cent: DataFrame, ks: Int): DataFrame = {
+    val cols = (0 until ks).map(c =>
+      sum(when(col("cluster") === c, col("cq"))).as(s"c$c"))
+    cent.groupBy("sub", "pos").agg(cols.head, cols.tail: _*)
+  }
+
+  /** Per-(vector, subspace) code: argmax-dot centroid, ties to the
+    * lowest cluster (the [[ivfIndex]] assign idiom per subspace). */
+  private def pqAssign(el: DataFrame, cent: DataFrame, ks: Int): DataFrame = {
+    val dotCols = (0 until ks).map(c => sum(col("qv") * col(s"c$c")).as(s"d$c"))
+    val ds = array((0 until ks).map(c => col(s"d$c")): _*)
+    el.join(broadcast(pqCentroidsWide(cent, ks)), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub").agg(dotCols.head, dotCols.tail: _*)
+      .select(col("vec_id"), col("sub"),
+        (array_position(ds, array_max(ds)) - 1).cast("int").as("cluster"))
+  }
+
+  /** Build a PQ codebook + code table (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): an independent
+    * max-inner-product k-means per subspace — run as ONE relational
+    * loop with (sub, cluster) as the compound key, so all subspaces
+    * train in the same jobs — then one code per (vector, subspace).
+    *
+    * Same discipline as [[ivfIndex]]: deterministic seeds (the ks
+    * lowest vec_ids' subvectors, a driver-side TakeOrdered), exact
+    * fixed-point integer dots, per-round bounded centroid collect
+    * (numSub·ks·subDim cells ≈ 4 KB — index METADATA) to cut lineage,
+    * and the returned (centroids, codes) caches are materialized before
+    * the internal element cache is dropped; the CALLER owns them. */
+  def pqIndex(emb: DataFrame, subDim: Int = PqSubDim, ks: Int = PqKs,
+              iters: Int = 2): (DataFrame, DataFrame) = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val el = subElements(emb, subDim).cache()
+    val seedIds = emb.select(col("vec_id").cast("long")).orderBy("vec_id")
+      .limit(ks).as[Long].collect().sorted.zipWithIndex
+      .map { case (id, c) => (id, c) }.toSeq.toDF("vec_id", "cluster")
+    def update(a: DataFrame): DataFrame =
+      el.join(a, Seq("vec_id", "sub"))
+        .groupBy("sub", "cluster", "pos")
+        .agg(round(avg(col("qv"))).cast("long").as("cq"))
+    def collectCent(c: DataFrame): Seq[(Int, Int, Int, Long)] =
+      c.select(col("sub").cast("int"), col("cluster").cast("int"),
+        col("pos").cast("int"), col("cq"))
+        .as[(Int, Int, Int, Long)].collect().toSeq
+    def centDf(rows: Seq[(Int, Int, Int, Long)]): DataFrame =
+      rows.toDF("sub", "cluster", "pos", "cq")
+    var cent = collectCent(el.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("sub"), col("cluster"), col("pos"), col("qv").as("cq")))
+    for (_ <- 1 to iters) {
+      cent = collectCent(update(pqAssign(el, centDf(cent), ks)))
+    }
+    val centroids = centDf(cent).cache()
+    val codes = pqAssign(el, centroids, ks).cache()
+    codes.count()
+    centroids.count()
+    el.unpersist()
+    (centroids, codes)
+  }
+
+  /** Two-stage PQ retrieval: shortlist by asymmetric-distance (ADC)
+    * scores, exact fixed-point re-rank to top-k (the [[sq8TopK]] tail).
+    *
+    * ADC relationally: the query side folds to a LUT of
+    * (qid, sub, cluster) → exact dot — queries·numSub·ks rows of
+    * bounded metadata, broadcast — and the corpus side is ONE narrow
+    * pass over the code table (numSub 1-byte codes per vector, no
+    * float payloads) joined against that LUT and map-side-combined to
+    * (qid, vb, score). The corpus never touches query vectors and the
+    * shuffle carries only id pairs + integer partial sums — the PQ
+    * scan-cost story (codes are 16× smaller than rows) expressed as a
+    * broadcast-join plan. Scores and ties are all-integer, so the
+    * approximate stage is hash-checkable like SQ8's. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+             subDim: Int = PqSubDim, ks: Int = PqKs, iters: Int = 2): DataFrame = {
+    val (centroids, codes) = pqIndex(emb, subDim, ks, iters)
+    val lut = subElements(queries, subDim)
+      .join(broadcast(centroids), Seq("sub", "pos"))
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("cluster"))
+      .agg(sum(col("qv") * col("cq")).as("d"))
+    val adc = codes.select(col("vec_id").as("vb"), col("sub"), col("cluster"))
+      .join(broadcast(lut), Seq("sub", "cluster"))
+      .filter(col("qid") =!= col("vb"))
+      .groupBy("qid", "vb").agg(sum("d").as("score"))
+    val short = adc.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), col("vb"))))
+      .filter(col("rn") <= shortlist).select("qid", "vb")
+    val scored = pairDots(short, queries, emb, "qid", "vb")
+      .join(norms(queries).select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(norms(emb).select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------- LSH (random hyperplanes) ----------------
 
   /** Default signature geometry: 32 hyperplanes split into 4 bands of
