@@ -308,10 +308,21 @@ object Similarity {
   def semDedup(emb: DataFrame, threshold: Double,
                nlist: Int = 16, iters: Int = 2): DataFrame = {
     val (_, assignments) = ivfIndex(emb, nlist, iters)
-    val lab = emb.join(assignments.select("vec_id", "cluster"), Seq("vec_id"))
+    semDedupOnIndex(emb, assignments, threshold)
+  }
+
+  /** [[semDedup]]'s verdict off an arbitrary standing (vec_id, cluster)
+    * assignment table — the service shape: a long-running curation
+    * pipeline builds the IVF index once ([[ivfIndex]], persisted) and
+    * every dedup pass probes it, rather than re-training k-means per
+    * call. Probe ≡ gate is spec-pinned across a parquet round trip. */
+  def semDedupOnIndex(emb: DataFrame, assignments: DataFrame,
+                      threshold: Double): DataFrame = {
+    val asg = assignments.select(col("vec_id"), col("cluster"))
+    val lab = emb.join(asg, Seq("vec_id"))
     val dropped = blockedCosinePairs(lab, "cluster", threshold)
       .select(col("vb").as("vec_id")).distinct()
-    assignments.select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+    asg.select(col("vec_id"), col("cluster").cast("int").as("cluster"))
       .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         when(col("hit").isNull, 1).otherwise(0).as("keep"))

@@ -33,6 +33,19 @@ class SemDedupSpec extends SparkSpecBase {
     assert(kept === 2)
   }
 
+  test("probe over a parquet-persisted assignment table equals the gate form") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val gate = Similarity.semDedup(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val (cent, asg) = Similarity.ivfIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup-idx").toString
+    asg.write.mode("overwrite").parquet(dir)
+    Similarity.ivfUnpersist(cent, asg)
+    val probe = Similarity.semDedupOnIndex(emb, spark.read.parquet(dir), 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(probe === gate)
+  }
+
   test("corpus verdict is total and the lowest id of every cluster keeps") {
     val emb = Tables.embeddings(spark, sfDir)
     val v = Similarity.semDedup(emb, 0.3).cache()
