@@ -222,6 +222,11 @@ object TrainingData {
   val MinColloCount = 5L
   val CollocTopK = 50
 
+  /** x65: BPE pair-statistics noise floor and result depth — shared by
+    * the Spark plan and the generated oracle. */
+  val MinBpePairCount = 5L
+  val BpeTopK = 40
+
   /** x61: SemDeDup within-cluster cosine cut — shared by the Spark plan
     * and the generated oracle (the x12/x33 threshold precedent; the
     * synthetic corpus' within-cluster cosines peak near 0, so 0.3 keeps
@@ -1194,6 +1199,39 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Hard-negative mining for contrastive training: top-5 most
+    // cosine-similar CROSS-LABEL vectors per query — the near-miss
+    // negatives that make a contrastive batch informative. Cross-label
+    // filter applied at candidate generation (same-label pairs never
+    // reach the dot join); query-set-bounded like x11, swaps to the
+    // banded ANN index at corpus-sized query sets.
+    "x63_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // BPE tokenizer-training prep: the adjacent-symbol pair count table
+    // whose argmax is byte-pair encoding's first merge. The corpus
+    // collapses to the word-TYPE dictionary before any per-character
+    // work (the classic trick that makes BPE training corpus-size-
+    // independent); pairs weighted by word frequency, noise-floored,
+    // top-k with full tie-breaks.
+    "x65_bpe_pairs" -> ((s, d) =>
+      graft.text.Bpe.pairStats(
+          Tables.documents(s, d), BpeTopK, MinBpePairCount)
+        .orderBy(col("pair_count").desc, col("c1"), col("c2"))),
+
+    // Prototype-classifier label audit: per-label round(avg) centroid
+    // (the ivfIndex convention), every vector scored against every
+    // prototype, argmax-label ≠ own-label flagged as a suspected label
+    // error — the confident-learning-style screen run before any
+    // relabeling pass. Prototypes are label-cardinality metadata;
+    // verdict is per-vector, so assignment AND scoring hash-check.
+    "x64_label_errors" -> ((s, d) =>
+      Similarity.labelErrorScreen(Tables.embeddings(s, d))
+        .orderBy("vec_id")),
+
     // Corpus collocation mining by integer PMI lift: bigrams whose
     // count beats independence c1·c2/N, ranked by the monotone-in-PMI
     // lift ratio with zero transcendental ops (see
@@ -1811,6 +1849,59 @@ object TrainingData {
     "x47_cluster_profile" -> ivfProfileOracleSql(),
     "x61_semdedup" -> semDedupOracleSql(SemDedupThreshold),
     "x62_pq_topk" -> pqOracleSql(),
+    "x65_bpe_pairs" ->
+      s"""WITH $tokCte,
+          w AS (SELECT unnest(t) AS word FROM tok),
+          words AS (SELECT word, count(*) AS wc FROM w
+                    WHERE length(word) >= 2 GROUP BY word),
+          p AS (SELECT word, wc, unnest(generate_series(1, length(word) - 1)) AS i
+                FROM words),
+          pc AS (SELECT substring(word, i, 1) AS c1,
+                        substring(word, i + 1, 1) AS c2,
+                        CAST(SUM(wc) AS BIGINT) AS pair_count
+                 FROM p GROUP BY 1, 2)
+          SELECT c1, c2, pair_count FROM pc
+          WHERE pair_count >= $MinBpePairCount
+          ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x63_hard_negatives" ->
+      s"""WITH $embCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          cand AS (SELECT q.vec_id AS qid, b.vec_id AS vb, b.label AS neg_label
+                   FROM lab q JOIN lab b ON q.label <> b.label
+                   WHERE q.vec_id < 10),
+          dots AS (SELECT c.qid, c.vb, SUM(x.q * y.q) AS dot
+                   FROM cand c JOIN e x ON x.vec_id = c.qid
+                               JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
+                   GROUP BY 1, 2),
+          scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                     FROM dots JOIN norms nx ON nx.vec_id = qid
+                               JOIN norms ny ON ny.vec_id = vb)
+          SELECT qid, vb, neg_label, cos, rank FROM
+            (SELECT s.qid, s.vb, c.neg_label, s.cos,
+                    CAST(row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vb) AS INT) AS rank
+             FROM scored s JOIN cand c ON c.qid = s.qid AND c.vb = s.vb)
+          WHERE rank <= 5 ORDER BY qid, rank""",
+    "x64_label_errors" ->
+      s"""WITH $embCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          proto AS (SELECT l.label AS plab, e.pos, CAST(round(avg(e.q)) AS BIGINT) AS cq
+                    FROM e JOIN lab l USING (vec_id) GROUP BY 1, 2),
+          pn AS (SELECT plab, CAST(SUM(cq * cq) AS DOUBLE) AS pnsq FROM proto GROUP BY 1),
+          dots AS (SELECT e.vec_id, p.plab, SUM(e.q * p.cq) AS dot
+                   FROM e JOIN proto p USING (pos) GROUP BY 1, 2),
+          scored AS (SELECT d.vec_id, d.plab,
+                            CAST(dot AS DOUBLE) / sqrt(n.nsq * pn.pnsq) AS pcos
+                     FROM dots d JOIN pn USING (plab)
+                                 JOIN norms n ON n.vec_id = d.vec_id),
+          best AS (SELECT vec_id, plab AS pred_label, pcos AS best_cos FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY pcos DESC, plab) AS rn FROM scored)
+                   WHERE rn = 1)
+          SELECT b.vec_id, l.label, b.pred_label, o.pcos AS own_cos, b.best_cos,
+                 (b.pred_label <> l.label) AS suspect
+          FROM best b JOIN lab l USING (vec_id)
+            JOIN scored o ON o.vec_id = b.vec_id AND o.plab = l.label
+          ORDER BY vec_id""",
     "x8_quality_score" ->
       s"""WITH $tokCte,
           m AS (SELECT doc_id, t, text,

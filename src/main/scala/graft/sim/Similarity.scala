@@ -674,4 +674,78 @@ object Similarity {
         Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
       .filter(col("rank") <= k)
   }
+
+  // ---------------- contrastive-training data mining ----------------
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most cosine-similar corpus vectors whose LABEL
+    * differs from the query's — the near-miss negatives that make a
+    * contrastive batch informative (random negatives are trivially far
+    * at high dimension; the hard ones sit just across the boundary).
+    *
+    * Shape: query-set-bounded brute force (candidates = queries ×
+    * corpus, the x11 discipline) with the cross-label filter applied at
+    * candidate generation — same-label pairs never reach the dot-product
+    * join. At corpus-sized query sets the candidate stage swaps for the
+    * banded ANN index ([[annTopKOnIndex]]) unchanged downstream, since
+    * scoring/ranking only see (qid, vb) pairs. Scores are exact
+    * fixed-point dots; rank ties break on id — deterministic under any
+    * partitioning. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = queries.select(col("vec_id").as("qid"), col("label").as("qlab"))
+      .crossJoin(emb.select(col("vec_id").as("vb"), col("label").as("neg_label")))
+      .filter(col("qlab") =!= col("neg_label"))
+      .select("qid", "vb", "neg_label")
+    val n = norms(emb)
+    val scored = pairDots(cand.select("qid", "vb"), queries, emb, "qid", "vb")
+      .join(norms(queries).select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+    scored
+      .join(emb.select(col("vec_id").as("vb"), col("label").as("neg_label")), Seq("vb"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+      .select("qid", "vb", "neg_label", "cos", "rank")
+  }
+
+  /** Prototype-classifier label audit (the confident-learning-style
+    * label-error screen): each label's prototype is the exact
+    * round(avg) centroid of its members' fixed-point elements (the
+    * [[ivfIndex]] update convention), every vector scores cosine
+    * against every prototype, and a vector whose best prototype is not
+    * its own label is flagged as a suspected label error — the cheap
+    * first screen run before any human or model relabeling pass.
+    *
+    * Scale shape: the prototype table is label-cardinality metadata
+    * (L·dim rows — broadcast), the scoring join is the clusterDots
+    * element join (n·L pairs of integer multiply-adds, L small), and
+    * the verdict is per-vector — one output row per input row. Argmax
+    * ties break to the lowest label. */
+  def labelErrorScreen(emb: DataFrame): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    val el = elements(emb).join(lab, Seq("vec_id"))
+    val proto = el.groupBy(col("label").as("plab"), col("pos"))
+      .agg(round(avg(col("qv"))).cast("long").as("cq"))
+    val pn = proto.groupBy("plab")
+      .agg(sum(col("cq") * col("cq")).cast("double").as("pnsq"))
+    val dots = elements(emb).join(broadcast(proto), Seq("pos"))
+      .groupBy("vec_id", "plab").agg(sum(col("qv") * col("cq")).as("dot"))
+    val scored = dots
+      .join(broadcast(pn), Seq("plab"))
+      .join(norms(emb), Seq("vec_id"))
+      .select(col("vec_id"), col("plab"),
+        (col("dot").cast("double") / sqrt(col("nsq") * col("pnsq"))).as("pcos"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("pcos"), col("plab"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("plab").as("pred_label"), col("pcos").as("best_cos"))
+    best
+      .join(lab, Seq("vec_id"))
+      .join(scored.select(col("vec_id"), col("plab").as("label"), col("pcos").as("own_cos")),
+        Seq("vec_id", "label"))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("own_cos"), col("best_cos"),
+        (col("pred_label") =!= col("label")).as("suspect"))
+  }
 }
