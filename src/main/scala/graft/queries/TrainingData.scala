@@ -227,6 +227,11 @@ object TrainingData {
   val MinBpePairCount = 5L
   val BpeTopK = 40
 
+  /** x66: the DSIR target domain — the curated slice the importance
+    * weights pull the raw corpus toward. Shared by the Spark predicate
+    * and the generated oracle. */
+  val DsirTargetLang = "en"
+
   /** x61: SemDeDup within-cluster cosine cut — shared by the Spark plan
     * and the generated oracle (the x12/x33 threshold precedent; the
     * synthetic corpus' within-cluster cosines peak near 0, so 0.3 keeps
@@ -1222,6 +1227,16 @@ object TrainingData {
           Tables.documents(s, d), BpeTopK, MinBpePairCount)
         .orderBy(col("pair_count").desc, col("c1"), col("c2"))),
 
+    // DSIR importance weights: hashed-bigram importance of every raw
+    // document against the curated target slice (lang = 'en') — the
+    // data-selection ranking signal, integer end-to-end (first-order
+    // ppm expansion of the log-importance; see Dsir). Bucket table is
+    // 256 rows of metadata; verdict one row per doc.
+    "x66_dsir_weights" -> ((s, d) =>
+      graft.text.Dsir.importanceWeights(
+          Tables.documents(s, d), col("lang") === DsirTargetLang)
+        .orderBy("doc_id")),
+
     // Prototype-classifier label audit: per-label round(avg) centroid
     // (the ivfIndex convention), every vector scored against every
     // prototype, argmax-label ≠ own-label flagged as a suspected label
@@ -1863,6 +1878,31 @@ object TrainingData {
           SELECT c1, c2, pair_count FROM pc
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x66_dsir_weights" ->
+      s"""WITH $tokCte,
+          bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM tok WHERE len(t) >= 2)),
+          db AS (SELECT doc_id,
+                        (strpos('0123456789abcdef', substring(md5(w1 || ' ' || w2), 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substring(md5(w1 || ' ' || w2), 2, 1)) - 1) AS b,
+                        count(*) AS k
+                 FROM bg GROUP BY 1, 2),
+          tgt AS (SELECT doc_id, (lang = '$DsirTargetLang') AS is_t FROM documents),
+          bk AS (SELECT b, SUM(CASE WHEN is_t THEN k ELSE 0 END) AS t, SUM(k) AS r
+                 FROM db JOIN tgt USING (doc_id) GROUP BY b),
+          tot AS (SELECT SUM(t) AS tt, SUM(r) AS rt FROM bk),
+          ratios AS (SELECT b,
+                       (((t + 1) * 1000000000 // (tt + 256)) * 1000000)
+                       // ((r + 1) * 1000000000 // (rt + 256)) AS ratio_ppm
+                     FROM bk CROSS JOIN tot),
+          pd AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+                        CAST(SUM(k * (ratio_ppm - 1000000)) AS BIGINT) AS imp_score
+                 FROM db JOIN ratios USING (b) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+                 coalesce(pd.imp_score, 0) AS imp_score
+          FROM documents d LEFT JOIN pd USING (doc_id)
+          ORDER BY d.doc_id""",
     "x63_hard_negatives" ->
       s"""WITH $embCte,
           lab AS (SELECT vec_id, label FROM embeddings),
