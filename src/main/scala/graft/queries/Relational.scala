@@ -564,6 +564,62 @@ object Relational {
           count(lit(1)).as("n_lines"))
     }),
 
+    // J13 (TPC-H Q4 shape): order-priority checking — the correlated
+    // EXISTS decorrelated to a LEFT SEMI join whose condition carries
+    // the non-equi correlated term (l_shipdate > o_orderdate + 60 days
+    // rides the orderkey equi-join as a residual, never a post-join
+    // filter over a full product; the semi join emits each order at
+    // most once, so no DISTINCT pass). The order-date window is a
+    // pushed range scan filter. (This schema carries no commitdate/
+    // receiptdate; late-vs-order-date is the same correlated-exists
+    // topology as the original commit-vs-receipt predicate.)
+    "j13_priority_check" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      o.join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // J14 (TPC-H Q21 shape): suppliers who kept orders waiting — the
+    // suite's hardest decorrelation, three correlated references to the
+    // SAME fact: the probe (this supplier shipped late on a finished
+    // order), an EXISTS proving another supplier participated (LEFT
+    // SEMI), and a NOT EXISTS proving no other supplier was also late
+    // (LEFT ANTI) — each on the orderkey equi-join with the
+    // supplier-inequality (and lateness, for the anti side) as residual
+    // conditions. All three legs shuffle on the same orderkey, so AQE
+    // reuses one exchange of the fact; the supplier dim joins broadcast
+    // AFTER the facts shrink to late-line grain. numwait counts late
+    // LINES per supplier (the Q21 convention: each l1 row is one wait).
+    "j14_waiting_supplier" -> ((s, d) => {
+      val lateDays = expr("INTERVAL 60 DAYS")
+      val l1 = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + lateDays)
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+          col("o_orderdate").as("odate"))
+      val l2 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("ship3"))
+      l1
+        .join(l2, col("o2") === col("okey") && col("s2") =!= col("skey"), "left_semi")
+        .join(l3, col("o3") === col("okey") && col("s3") =!= col("skey") &&
+          col("ship3") > col("odate") + lateDays, "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), col("skey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
     // D5: SCD Type 2 — the events stream as a per-user status change
     // log, versioned with validity intervals.
     "d5_scd2_history" -> ((s, d) =>
@@ -842,6 +898,29 @@ object Relational {
          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
                 count(*) AS n_lines
          FROM f WHERE 5 * qc * cnt < sqc""",
+    "j13_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+           AND o_orderdate < TIMESTAMP '1997-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "j14_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
     "a1_kpi_global" ->
       """SELECT max(o_orderkey) AS max_key, count(*) AS n_rows, count(DISTINCT o_custkey) AS n_cust,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
