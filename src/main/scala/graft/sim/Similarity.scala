@@ -32,11 +32,21 @@ object Similarity {
 
   /** Exact, order-independent fixed-point dot product of two float
     * vectors (a 64-bit integer — convert to double only for ratios).
-    * Fine for per-row use (norms, small query sets); for large pair
-    * sets prefer the exploded element join (see [[pairDots]]) — Spark's
-    * higher-order functions don't participate in whole-stage codegen,
-    * so per-pair lambdas dominate wall-clock at volume. */
+    * Backed by the native codegen'd [[graft.functions.FixedPointDot]]
+    * expression — one fused loop inside WholeStageCodegen; this is the
+    * per-ROW hot path of every norm computation over the vector plane.
+    * For large PAIR sets prefer the exploded element join (see
+    * [[pairDots]]): pair volume wants the join/aggregate shape, not a
+    * per-pair scalar call. */
   def dotFixed(a: Column, b: Column): Column =
+    graft.functions.FixedPointDot.fixed_point_dot(a, b)
+
+  /** The Column-only reference form of [[dotFixed]] (interpreted HOFs:
+    * zip_with materializes an intermediate array, aggregate runs a
+    * lambda per element outside codegen). Kept as the semantic
+    * definition the native expression is spec-checked against
+    * bit-for-bit. */
+  def dotFixedColumns(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => q(x) * q(y)), lit(0L), (acc, v) => acc + v)
 
   /** (vec_id, pos, qv): the fixed-point elements, one row each — the
