@@ -232,11 +232,59 @@ object TrainingData {
     * and the generated oracle. */
   val DsirTargetLang = "en"
 
+  /** x67: BPE training rounds — shared by the Spark loop and the
+    * generated (unrolled) oracle. */
+  val BpeMergeRounds = 4
+
   /** x61: SemDeDup within-cluster cosine cut — shared by the Spark plan
     * and the generated oracle (the x12/x33 threshold precedent; the
     * synthetic corpus' within-cluster cosines peak near 0, so 0.3 keeps
     * a meaningful drop set without borderline ties). */
   val SemDedupThreshold = 0.3
+
+  /** The [[graft.text.Bpe.merges]] loop unrolled in DuckDB SQL: per
+    * round, a pair aggregate over the current vocab state, a 1-row
+    * argmax CTE, and a RECURSIVE replace-to-fixpoint CTE that applies
+    * the merge to the space-joined symbol string (repeated literal
+    * replace converges to exactly the greedy left-to-right fold the
+    * Spark side computes — a single replace pass can miss consecutive
+    * occurrences because the pattern consumes its boundary space, so
+    * the recursion runs until the string stops changing; each merge
+    * strictly shortens the string, so the shortest state per word is
+    * the fixpoint). */
+  private def bpeMergesOracleSql(rounds: Int): String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"s${r - 1}"
+      val rep = s"trim(replace(' ' || s || ' ', " +
+        s"' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ', " +
+        s"' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '))"
+      s"""p$r AS (SELECT sym[i] AS a, sym[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS c
+                 FROM (SELECT wc, string_split(s, ' ') AS sym FROM $prev),
+                      unnest(range(1, len(sym))) AS u(i)
+                 GROUP BY 1, 2),
+         t$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         r$r AS (SELECT word, wc, s FROM $prev
+                 UNION ALL
+                 SELECT word, wc, $rep FROM r$r WHERE s <> $rep),
+         s$r AS (SELECT word, wc, s FROM
+                   (SELECT word, wc, s, row_number() OVER
+                      (PARTITION BY word ORDER BY length(s)) AS rn FROM r$r)
+                 WHERE rn = 1)"""
+    }
+    val unions = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INT) AS round, a AS p1, b AS p2, c AS pair_count FROM t$r")
+      .mkString("\n          UNION ALL ")
+    s"""WITH RECURSIVE $tokCte,
+        w AS (SELECT unnest(t) AS word FROM tok),
+        words AS (SELECT word, count(*) AS wc FROM w
+                  WHERE length(word) >= 1 GROUP BY word),
+        s0 AS (SELECT word, wc,
+                 array_to_string([word[i:i] FOR i IN range(1, length(word) + 1)], ' ') AS s
+               FROM words),
+        ${(1 to rounds).map(roundCtes).mkString(",\n        ")}
+        $unions
+        ORDER BY round"""
+  }
 
   /** x55: recall-audit depth k. The single source for BOTH the Spark
     * plan's literals and the generated oracle (annRecallOracleSql) —
@@ -1227,6 +1275,16 @@ object TrainingData {
           Tables.documents(s, d), BpeTopK, MinBpePairCount)
         .orderBy(col("pair_count").desc, col("c1"), col("c2"))),
 
+    // Iterated BPE merge training (the merges file a tokenizer ships):
+    // 4 greedy rounds as a relational loop over the word-type dict —
+    // per round one vocab-sized pair aggregate, a 1-row argmax collect,
+    // and a vocab-sized greedy merge fold. The oracle unrolls the SAME
+    // rounds with replace-to-fixpoint recursive CTEs, so pair choice
+    // AND state evolution hash-check end-to-end.
+    "x67_bpe_merges" -> ((s, d) =>
+      graft.text.Bpe.merges(Tables.documents(s, d), BpeMergeRounds)
+        .orderBy("round")),
+
     // DSIR importance weights: hashed-bigram importance of every raw
     // document against the curated target slice (lang = 'en') — the
     // data-selection ranking signal, integer end-to-end (first-order
@@ -1878,6 +1936,7 @@ object TrainingData {
           SELECT c1, c2, pair_count FROM pc
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x67_bpe_merges" -> bpeMergesOracleSql(BpeMergeRounds),
     "x66_dsir_weights" ->
       s"""WITH $tokCte,
           bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2

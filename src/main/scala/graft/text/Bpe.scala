@@ -25,6 +25,63 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** The iterated BPE TRAINING loop (the merges file a tokenizer ships):
+    * `rounds` greedy merge rounds over the word-type dictionary,
+    * returning one row per round — (round, p1, p2, pair_count), the
+    * winning pair and its frequency-weighted count at selection time.
+    *
+    * Relational loop, the x16/x62 k-means shape: every round is (a) one
+    * vocabulary-sized pair aggregate, (b) a 1-ROW driver collect of the
+    * argmax pair (bounded index metadata — the ivfIndex discipline;
+    * ties break count DESC, p1, p2), (c) a vocabulary-sized greedy
+    * left-to-right merge fold over each word's symbol array (a CASE'd
+    * `aggregate` HOF — interpreted, but over WORD TYPES, never the
+    * corpus; the merged token naturally blocks re-merging with the next
+    * symbol because the fold compares token strings, so runs merge
+    * exactly like classic BPE: "a a a a" + (a,a) → "aa aa"). Each
+    * round's state is cached and the previous round dropped, so round r
+    * is one job over round r−1, not a re-derivation from the corpus.
+    * The corpus is touched exactly once (the word-type collapse). */
+  def merges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    var state = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"), split(col("word"), "").as("sym"))
+      .cache()
+    state.count()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = state
+        .filter(size(col("sym")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("a"),
+            element_at(col("sym"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("wc").as("c"))
+        .orderBy(desc("c"), col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()
+      top.headOption.foreach { case (a, b, c) =>
+        out += ((r, a, b, c))
+        val mergedTok = lit(a + b)
+        val folded = aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, size(acc)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(mergedTok)))
+            .otherwise(concat(acc, array(x))))
+        val next = state.select(col("word"), col("wc"), folded.as("sym")).cache()
+        next.count()
+        state.unpersist()
+        state = next
+      }
+    }
+    state.unpersist()
+    out.result().toDF("round", "p1", "p2", "pair_count")
+  }
+
   /** (c1, c2, pair_count): the `topK` most frequent adjacent character
     * pairs across word types, each occurrence weighted by the word's
     * corpus frequency; pairs below `minCount` are noise-floored away. */

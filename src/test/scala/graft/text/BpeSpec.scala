@@ -28,6 +28,29 @@ class BpeSpec extends SparkSpecBase {
     assert(got === Seq(("a", "b", 1L), ("c", "d", 1L)))
   }
 
+  test("merges reproduces the hand-computed classic BPE rounds") {
+    // low×5, lower×2, newest×6, widest×3 (Sennrich example, no </w>):
+    // r1 (e,s)=9 tie-beats (s,t)=9 on p1; r2 (es,t)=9; r3 (l,o)=7
+    // tie-beats (o,w)=7; r4 (lo,w)=7 — each round's counts reflect the
+    // previous round's merges (e.g. (w,e) drops 8→2 once 'es' forms)
+    val corpus = docs(
+      ("low " * 5) + ("lower " * 2),
+      ("newest " * 6).trim,
+      ("widest " * 3).trim)
+    val got = Bpe.merges(corpus, rounds = 4)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("merges handles runs with greedy left-to-right semantics: aaaa + (a,a) -> [aa, aa]") {
+    val got = Bpe.merges(docs("aaaa"), rounds = 2)
+      .orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    // round 1: 3 adjacent (a,a) pairs counted, then the greedy fold
+    // leaves exactly [aa, aa] — so round 2's winner is (aa,aa)×1
+    assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   test("corpus row count does not change the pair table beyond linear weights") {
     // duplicating every doc doubles counts exactly (type table unchanged)
     val one = Bpe.pairStats(docs("ab ab cd"), topK = 10, minCount = 1)
