@@ -253,38 +253,61 @@ object TrainingData {
     * strictly shortens the string, so the shortest state per word is
     * the fixpoint). */
   private def bpeMergesOracleSql(rounds: Int): String = {
-    def roundCtes(r: Int): String = {
-      val prev = s"s${r - 1}"
-      val rep = s"trim(replace(' ' || s || ' ', " +
-        s"' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ', " +
-        s"' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '))"
-      s"""p$r AS (SELECT sym[i] AS a, sym[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS c
-                 FROM (SELECT wc, string_split(s, ' ') AS sym FROM $prev),
-                      unnest(range(1, len(sym))) AS u(i)
-                 GROUP BY 1, 2),
-         t$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
-         r$r AS (SELECT word, wc, s FROM $prev
-                 UNION ALL
-                 SELECT word, wc, $rep FROM r$r WHERE s <> $rep),
-         s$r AS (SELECT word, wc, s FROM
-                   (SELECT word, wc, s, row_number() OVER
-                      (PARTITION BY word ORDER BY length(s)) AS rn FROM r$r)
-                 WHERE rn = 1)"""
-    }
     val unions = (1 to rounds).map(r =>
       s"SELECT CAST($r AS INT) AS round, a AS p1, b AS p2, c AS pair_count FROM t$r")
       .mkString("\n          UNION ALL ")
-    s"""WITH RECURSIVE $tokCte,
-        w AS (SELECT unnest(t) AS word FROM tok),
-        words AS (SELECT word, count(*) AS wc FROM w
-                  WHERE length(word) >= 1 GROUP BY word),
-        s0 AS (SELECT word, wc,
-                 array_to_string([word[i:i] FOR i IN range(1, length(word) + 1)], ' ') AS s
-               FROM words),
-        ${(1 to rounds).map(roundCtes).mkString(",\n        ")}
+    s"""WITH RECURSIVE ${bpeChainCtes(rounds)}
         $unions
         ORDER BY round"""
   }
+
+  /** x68: the trained vocabulary applied — per-doc word/BPE-token
+    * counts off the SAME unrolled chain (s$rounds), so the fertility
+    * audit hash-checks the whole training loop a second way. */
+  private def bpeFertilityOracleSql(rounds: Int): String =
+    s"""WITH RECURSIVE ${bpeChainCtes(rounds)},
+        occ AS (SELECT doc_id, unnest(t) AS word FROM tok),
+        enc AS (SELECT word, len(string_split(s, ' ')) AS n_tok FROM s$rounds)
+        SELECT doc_id, count(*) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM occ JOIN enc USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""
+
+  // one merge round: pair stats over the current state, 1-row argmax,
+  // recursive replace-to-fixpoint application (see bpeMergesOracleSql).
+  // Every non-recursive stage is MATERIALIZED: the recursive r$r
+  // references t$r's scalar subqueries per row per iteration, and an
+  // inlined t$r would re-run the whole nested chain each time —
+  // exponential in rounds (measured: s3 13 s, s4 minutes at a
+  // 31-type vocabulary; materialized, the full 4-round chain is 0.4 s)
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"s${r - 1}"
+    val rep = s"trim(replace(' ' || s || ' ', " +
+      s"' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ', " +
+      s"' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '))"
+    s"""p$r AS MATERIALIZED (SELECT sym[i] AS a, sym[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS c
+               FROM (SELECT wc, string_split(s, ' ') AS sym FROM $prev),
+                    unnest(range(1, len(sym))) AS u(i)
+               GROUP BY 1, 2),
+       t$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+       r$r AS (SELECT word, wc, s FROM $prev
+               UNION ALL
+               SELECT word, wc, $rep FROM r$r WHERE s <> $rep),
+       s$r AS MATERIALIZED (SELECT word, wc, s FROM
+                 (SELECT word, wc, s, row_number() OVER
+                    (PARTITION BY word ORDER BY length(s)) AS rn FROM r$r)
+               WHERE rn = 1)"""
+  }
+
+  // the shared corpus->vocab->k-merge-rounds CTE chain (ends at s$rounds)
+  private def bpeChainCtes(rounds: Int): String =
+    s"""$tokCte,
+        w AS (SELECT unnest(t) AS word FROM tok),
+        words AS (SELECT word, count(*) AS wc FROM w
+                  WHERE length(word) >= 1 GROUP BY word),
+        s0 AS MATERIALIZED (SELECT word, wc,
+                 array_to_string([word[i:i] FOR i IN range(1, length(word) + 1)], ' ') AS s
+               FROM words),
+        ${(1 to rounds).map(bpeRoundCtes).mkString(",\n        ")}"""
 
   /** x55: recall-audit depth k. The single source for BOTH the Spark
     * plan's literals and the generated oracle (annRecallOracleSql) —
@@ -1285,6 +1308,15 @@ object TrainingData {
       graft.text.Bpe.merges(Tables.documents(s, d), BpeMergeRounds)
         .orderBy("round")),
 
+    // Tokenizer fertility audit: the x67-trained vocabulary APPLIED —
+    // per-doc word and BPE-token counts, resolved on the word-type
+    // dictionary (each type's symbol array IS its encoding), so the
+    // corpus only pays one join + groupBy(doc). The oracle re-derives
+    // the same trained state from its own unrolled chain.
+    "x68_bpe_fertility" -> ((s, d) =>
+      graft.text.Bpe.fertility(Tables.documents(s, d), BpeMergeRounds)
+        .orderBy("doc_id")),
+
     // DSIR importance weights: hashed-bigram importance of every raw
     // document against the curated target slice (lang = 'en') — the
     // data-selection ranking signal, integer end-to-end (first-order
@@ -1937,6 +1969,7 @@ object TrainingData {
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
     "x67_bpe_merges" -> bpeMergesOracleSql(BpeMergeRounds),
+    "x68_bpe_fertility" -> bpeFertilityOracleSql(BpeMergeRounds),
     "x66_dsir_weights" ->
       s"""WITH $tokCte,
           bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2

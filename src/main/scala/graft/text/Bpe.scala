@@ -44,6 +44,43 @@ object Bpe {
     * The corpus is touched exactly once (the word-type collapse). */
   def merges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
     val sp = docs.sparkSession
+    val (table, state) = trainLoop(docs, rounds, textCol)
+    state.unpersist()
+    import sp.implicits._
+    table.toDF("round", "p1", "p2", "pair_count")
+  }
+
+  /** The trained tokenizer APPLIED: per document, word and BPE-token
+    * counts under the vocabulary [[merges]] produces after `rounds`
+    * rounds — the fertility audit (tokens per word) every tokenizer
+    * change is judged by before a corpus is re-encoded.
+    *
+    * Encoding is resolved on the word-TYPE dictionary (each type's
+    * symbol array already IS its encoding — the same collapse as
+    * training), so per-document work is one join from the corpus's
+    * word occurrences to a vocab-sized (word → n_tokens) table and a
+    * groupBy(doc): the corpus never sees the merge fold. */
+  def fertility(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
+    val occurrences = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
+    val state = trainLoop(docs, rounds, textCol)._2
+    val encoded = state.select(col("word"), size(col("sym")).as("n_tok"))
+    // note: state stays cached for the consumer's evaluation (the x57
+    // scored-frame convention); it is vocab-sized
+    occurrences.join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
+  }
+
+  /** The shared training loop: returns the merge table rows AND the
+    * final cached (word, wc, sym) vocabulary state (caller unpersists).
+    * Every round is one vocab-sized pair aggregate, a 1-row argmax
+    * collect, and a vocab-sized merge fold; state is cached per round
+    * with the previous round dropped (the x16 k-means lineage cut). */
+  private def trainLoop(docs: DataFrame, rounds: Int, textCol: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val sp = docs.sparkSession
     import sp.implicits._
     var state = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
@@ -65,12 +102,11 @@ object Bpe {
         .as[(String, String, Long)].collect()
       top.headOption.foreach { case (a, b, c) =>
         out += ((r, a, b, c))
-        val mergedTok = lit(a + b)
         val folded = aggregate(col("sym"),
           array().cast("array<string>"),
           (acc, x) => when(size(acc) > 0 &&
               element_at(acc, size(acc)) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(mergedTok)))
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
         val next = state.select(col("word"), col("wc"), folded.as("sym")).cache()
         next.count()
@@ -78,8 +114,7 @@ object Bpe {
         state = next
       }
     }
-    state.unpersist()
-    out.result().toDF("round", "p1", "p2", "pair_count")
+    (out.result(), state)
   }
 
   /** (c1, c2, pair_count): the `topK` most frequent adjacent character

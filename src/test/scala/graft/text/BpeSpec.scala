@@ -51,6 +51,21 @@ class BpeSpec extends SparkSpecBase {
     assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("fertility applies the trained vocab: hand-computed token counts per doc") {
+    // after the 4 classic rounds (r4 merges (lo,w)): low→[low]=1,
+    // lower→[low,e,r]=3, newest→[n,e,w,est]=4, widest→[w,i,d,est]=4
+    val corpus = docs(
+      ("low " * 5) + ("lower " * 2),
+      ("newest " * 6).trim,
+      ("widest " * 3).trim)
+    val got = Bpe.fertility(corpus, rounds = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 7L, 5L * 1 + 2L * 3), // 5 low + 2 lower
+      (1L, 6L, 6L * 4),
+      (2L, 3L, 3L * 4)))
+  }
+
   test("corpus row count does not change the pair table beyond linear weights") {
     // duplicating every doc doubles counts exactly (type table unchanged)
     val one = Bpe.pairStats(docs("ab ab cd"), topK = 10, minCount = 1)
