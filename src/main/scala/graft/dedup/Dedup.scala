@@ -542,4 +542,29 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---------------- corpus versioning ----------------
+
+  /** Snapshot diff between two corpus versions — the dataset-versioning
+    * verdict every incremental pipeline needs before deciding what to
+    * re-process: per id, `added` / `removed` / `changed` / `unchanged`,
+    * decided by content fingerprint so a re-crawl that returns
+    * byte-identical text is correctly a no-op.
+    *
+    * One full-outer equi-join on the id over two (id, 16-byte md5)
+    * projections — content never shuffles, only fingerprints; verdict
+    * is one row per id in either version. At 100 TB both sides SMJ on
+    * the id (or exchange-free with both snapshots bucketed on it —
+    * the BucketingSpec layout). */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = v1.select(col(idCol), fingerprint(col(textCol)).as("fp_old"))
+    val b = v2.select(col(idCol), fingerprint(col(textCol)).as("fp_new"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -620,6 +620,33 @@ object Relational {
         .limit(20)
     }),
 
+    // J15 (TPC-H Q22 shape): sales opportunity — the scalar aggregate
+    // subquery (above-average balance) plus NOT EXISTS (no RECENT
+    // order; this corpus has essentially no order-less customers, so
+    // the dormancy cutoff keeps the anti-join selective while
+    // preserving Q22's exact topology), decorrelated to a broadcast
+    // 1-row threshold cross-join and a LEFT ANTI join on the custkey.
+    // The threshold is float-SAFE across engines: exact-decimal sum ÷
+    // exact count, ONE IEEE division both sides compute identically —
+    // a plain avg() would make the cut partition-order-dependent at
+    // the boundary. The dormancy date is a pushed range filter on the
+    // anti side.
+    "j15_sales_opportunity" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("thr"))
+      cust
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // D5: SCD Type 2 — the events stream as a per-user status change
     // log, versioned with validity intervals.
     "d5_scd2_history" -> ((s, d) =>
@@ -898,6 +925,18 @@ object Relational {
          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
                 count(*) AS n_lines
          FROM f WHERE 5 * qc * cnt < sqc""",
+    "j15_sales_opportunity" ->
+      """WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                             / COUNT(c_acctbal) AS thr
+                      FROM customer WHERE c_acctbal > 0)
+         SELECT c_mktsegment, count(*) AS numcust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer CROSS JOIN thr
+         WHERE c_acctbal > thr
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1 ORDER BY 1""",
     "j13_priority_check" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o

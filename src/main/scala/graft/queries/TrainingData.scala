@@ -1317,6 +1317,21 @@ object TrainingData {
       graft.text.Bpe.fertility(Tables.documents(s, d), BpeMergeRounds)
         .orderBy("doc_id")),
 
+    // Corpus snapshot diff: the dataset-versioning verdict between two
+    // corpus versions (deterministic synthetic split of the documents
+    // table: v1 drops ids %10==0, v2 drops %10==1 and edits %7==0), by
+    // content fingerprint — added/removed/changed/unchanged per id.
+    // One fingerprint-only full-outer join; text never shuffles.
+    "x69_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")))
+      graft.dedup.Dedup.snapshotDiff(v1, v2).orderBy("doc_id")
+    }),
+
     // DSIR importance weights: hashed-bigram importance of every raw
     // document against the curated target slice (lang = 'en') — the
     // data-selection ranking signal, integer end-to-end (first-order
@@ -1968,6 +1983,22 @@ object TrainingData {
           SELECT c1, c2, pair_count FROM pc
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x69_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                     FROM documents WHERE doc_id % 10 <> 0),
+          v2 AS (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END),
+                     '\s+', ' ', 'g'))) AS fp
+                 FROM documents WHERE doc_id % 10 <> 1)
+          SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                 CASE WHEN v1.fp IS NULL THEN 'added'
+                      WHEN v2.fp IS NULL THEN 'removed'
+                      WHEN v1.fp = v2.fp THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+          ORDER BY doc_id""",
     "x67_bpe_merges" -> bpeMergesOracleSql(BpeMergeRounds),
     "x68_bpe_fertility" -> bpeFertilityOracleSql(BpeMergeRounds),
     "x66_dsir_weights" ->
