@@ -76,6 +76,58 @@ case class FixedPointDot(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-element fixed-point quantization of an `Array[Float]` column:
+  * round(v·10⁶) as `Array[Long]`, one codegen'd loop — the native form
+  * of `transform(arr, x => round(x·10⁶)::long)` (HOF lambdas are
+  * interpreted), used by the element-join layout every bulk dot
+  * product explodes from. Null array ⇒ null; null elements propagate
+  * as null elements (the transform semantics). */
+case class FixedPointQuantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "fixed_point_quantize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) out(i) = FixedPointDot.q(a.getFloat(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$i] = graft.functions.FixedPointDot.q($a.getFloat($i));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FixedPointQuantize =
+    copy(child = newChild)
+}
+
+object FixedPointQuantize {
+  /** Column API: quantized long array of a float-array column. */
+  def fixed_point_quantize(a: Column): Column =
+    GraftBridge.column(FixedPointQuantize(GraftBridge.expression(a)))
+}
+
 object FixedPointDot {
   /** round(v·10⁶) with Spark's exact Round semantics for doubles —
     * HALF_UP over `BigDecimal.valueOf`'s shortest-decimal repr — in

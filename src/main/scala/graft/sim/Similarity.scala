@@ -50,10 +50,14 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => q(x) * q(y)), lit(0L), (acc, v) => acc + v)
 
   /** (vec_id, pos, qv): the fixed-point elements, one row each — the
-    * join-friendly layout for bulk dot products. */
+    * join-friendly layout for bulk dot products. Quantization is the
+    * native codegen'd [[graft.functions.FixedPointQuantize]] (an
+    * interpreted `transform` lambda would run 64 boxed calls per row
+    * ahead of every element join). */
   def elements(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(transform(col("embedding"), x => q(x))).as(Seq("pos", "qv")))
+      posexplode(graft.functions.FixedPointQuantize.fixed_point_quantize(col("embedding")))
+        .as(Seq("pos", "qv")))
 
   /** Bulk exact dot products for an id-pair set via the element join:
     * (ida, idb) → (ida, idb, dot). One shuffle on (id, pos), one

@@ -28,6 +28,16 @@ class FixedPointDotSpec extends SparkSpecBase {
     assert(native === ref)
   }
 
+  test("native quantize is bit-identical to the transform lambda over the real table") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val mism = emb.select(
+      FixedPointQuantize.fixed_point_quantize(col("embedding")).as("native"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("ref"))
+      .filter(not(col("native") <=> col("ref"))).count()
+    assert(mism === 0)
+  }
+
   test("null semantics mirror the HOF chain: length mismatch and null element give null") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), Array(1.0f)),
