@@ -1317,6 +1317,28 @@ object TrainingData {
       graft.text.Bpe.fertility(Tables.documents(s, d), BpeMergeRounds)
         .orderBy("doc_id")),
 
+    // Dedup-method agreement audit: how much do the MinHash (x4) and
+    // SimHash (x6) near-dup detectors agree? The methods-health read a
+    // curation team checks before trusting either alone — a collapse
+    // of n_both toward zero flags a mis-tuned band/hamming geometry.
+    // Both pair pipelines run as registered (band join / pigeonhole
+    // join), then ONE full-outer join of two pair-id sets (candidate-
+    // bounded, never corpus-sized) folds to a 1-row count triple.
+    "x70_dedup_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b")
+        .withColumn("in_mh", lit(1))
+      val sh = Dedup.simhashNearDups(Dedup.simhashMd5(docs).cache(),
+          maxHamming = 3, sigBits = 32)
+        .select("doc_a", "doc_b").withColumn("in_sh", lit(1))
+      mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_sh").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("in_mh").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+    }),
+
     // Corpus snapshot diff: the dataset-versioning verdict between two
     // corpus versions (deterministic synthetic split of the documents
     // table: v1 drops ids %10==0, v2 drops %10==1 and edits %7==0), by
@@ -1983,6 +2005,29 @@ object TrainingData {
           SELECT c1, c2, pair_count FROM pc
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x70_dedup_agreement" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          $jaccardVerifyCte,
+          $simhashSelect,
+          chunks AS (SELECT doc_id, simhash, ci AS chunk_idx,
+                            (simhash >> (ci * 8)) & 255 AS chunk
+                     FROM sims CROSS JOIN generate_series(0, 3) AS g(ci)),
+          spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.simhash AS sa, b.simhash AS sb
+                     FROM chunks a JOIN chunks b
+                       ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                          AND a.doc_id < b.doc_id),
+          sdup AS (SELECT doc_a, doc_b FROM spairs
+                   WHERE bit_count(xor(sa, sb)) <= 3),
+          u AS (SELECT (m.doc_a IS NOT NULL) AS in_mh,
+                       (s.doc_a IS NOT NULL) AS in_sh
+                FROM verified m FULL OUTER JOIN sdup s
+                  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+          SELECT CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                 CAST(SUM(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash_only,
+                 CAST(SUM(CASE WHEN in_sh AND NOT in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
+          FROM u""",
     "x69_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id,
                        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
