@@ -647,6 +647,30 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // J16 (TPC-H Q19 shape): disjunctive predicate revenue — the
+    // OR-of-ANDs filter (three brand/size/quantity bands) spanning
+    // both tables. Catalyst projects the disjunction onto each SIDE
+    // and pushes both OR-trees to the scans (PushedFilters shows the
+    // quantity-OR on lineitem and the brand/size-OR on part), then
+    // evaluates the full cross-table disjunction as a residual on the
+    // partkey equi-join — one join, one fact scan, no
+    // union-of-three-joins rewrite (which would scan the fact three
+    // times).
+    "j16_disjunctive_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val band = (brand: String, szLo: Int, szHi: Int, qLo: Double, qHi: Double) =>
+        col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#2", 1, 15, 1, 20) ||
+                band("Brand#4", 10, 30, 10, 35) ||
+                band("Brand#19", 20, 50, 20, 50))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
     // D5: SCD Type 2 — the events stream as a per-user status change
     // log, versioned with validity intervals.
     "d5_scd2_history" -> ((s, d) =>
@@ -937,6 +961,13 @@ object Relational {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1 ORDER BY 1""",
+    "j16_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#4' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""",
     "j13_priority_check" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o

@@ -227,6 +227,10 @@ object TrainingData {
   val MinBpePairCount = 5L
   val BpeTopK = 40
 
+  /** x71: fixed deterministic sample size — shared by the Spark plan
+    * and the generated oracle. */
+  val FixedSampleK = 100
+
   /** x66: the DSIR target domain — the curated slice the importance
     * weights pull the raw corpus toward. Shared by the Spark predicate
     * and the generated oracle. */
@@ -1317,6 +1321,18 @@ object TrainingData {
       graft.text.Bpe.fertility(Tables.documents(s, d), BpeMergeRounds)
         .orderBy("doc_id")),
 
+    // Fixed-size deterministic sample: EXACTLY k rows chosen by the
+    // md5 shuffle key — the eval-set/holdout selection that must be
+    // identical on every run of every cluster (x22's stratified cut
+    // fixes a FRACTION per stratum; this fixes a COUNT). The plan is
+    // TakeOrderedAndProject: per-partition top-k then a k-row merge,
+    // never a global sort — the only corpus-sized work is one scan.
+    "x71_fixed_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.util.Sampling.shuffleKey(col("doc_id")).as("k"))
+        .orderBy("k", "doc_id").limit(FixedSampleK)
+        .select("doc_id").orderBy("doc_id")),
+
     // Dedup-method agreement audit: how much do the MinHash (x4) and
     // SimHash (x6) near-dup detectors agree? The methods-health read a
     // curation team checks before trusting either alone — a collapse
@@ -2005,6 +2021,11 @@ object TrainingData {
           SELECT c1, c2, pair_count FROM pc
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x71_fixed_sample" ->
+      s"""SELECT doc_id FROM
+            (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+             ORDER BY k, doc_id LIMIT $FixedSampleK)
+          ORDER BY doc_id""",
     "x70_dedup_agreement" ->
       s"""WITH $minhashCte,
           $minhashCandCte,
