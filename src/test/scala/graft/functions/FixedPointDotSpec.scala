@@ -38,6 +38,25 @@ class FixedPointDotSpec extends SparkSpecBase {
     assert(mism === 0)
   }
 
+  test("property: exact-arithmetic q equals the BigDecimal HALF_UP reference on generated floats") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def ref(v: Float): Long =
+      java.math.BigDecimal.valueOf(v.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    // mix of uniform floats at embedding scale, adversarial tie/near-tie
+    // values (odd/128 lands exactly on .5; the float below 0.5 is the
+    // classic floor(x+0.5) trap), and sign flips
+    val adversarial = Seq(0.0078125f, -0.0078125f, 0.5e-6f, -0.5e-6f,
+      0.49999997f / 1e6f, 1.5f / 128f, -1.5f / 128f, 0f, -0f, 1e-7f)
+    val gen = Gen.chooseNum(-10f, 10f)
+    val samples = (0 until 5000).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(13L + i))) ++ adversarial
+    samples.foreach { v =>
+      assert(FixedPointDot.q(v) === ref(v), s"mismatch at $v")
+    }
+  }
+
   test("null semantics mirror the HOF chain: length mismatch and null element give null") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), Array(1.0f)),
