@@ -1321,6 +1321,26 @@ object TrainingData {
       graft.text.Bpe.fertility(Tables.documents(s, d), BpeMergeRounds)
         .orderBy("doc_id")),
 
+    // Count-Min sketch accuracy audit: CMS frequency estimates vs
+    // exact counts for the corpus's true top-20 tokens — the x41/x55
+    // pattern applied to the frequency sketch (est ≥ exact always;
+    // overcount = collision mass at 4×256 geometry). Occurrences
+    // collapse to the token-type table first; the counter table is
+    // d·w = 1024 rows of broadcast metadata.
+    "x72_cms_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 1)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val cached = toks.cache()
+      val top = cached.orderBy(col("cnt").desc, col("tok")).limit(20)
+      graft.util.Cms.estimate(top, graft.util.Cms.counters(cached, "tok", "cnt"), "tok")
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("cnt").as("exact"), col("est"),
+          (col("est") - col("cnt")).as("overcount"))
+        .orderBy(col("exact").desc, col("tok"))
+    }),
+
     // Fixed-size deterministic sample: EXACTLY k rows chosen by the
     // md5 shuffle key — the eval-set/holdout selection that must be
     // identical on every run of every cluster (x22's stratified cut
@@ -2021,6 +2041,25 @@ object TrainingData {
           SELECT c1, c2, pair_count FROM pc
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x72_cms_heavy_hitters" ->
+      s"""WITH $tokCte,
+          w AS (SELECT unnest(t) AS tok FROM tok),
+          counts AS (SELECT tok, count(*) AS cnt FROM w
+                     WHERE length(tok) >= 1 GROUP BY tok),
+          hashes AS (SELECT tok, cnt, i,
+                       (strpos('0123456789abcdef', substring(md5('cms' || i || '|' || tok), 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(md5('cms' || i || '|' || tok), 2, 1)) - 1) AS bucket
+                     FROM counts CROSS JOIN generate_series(0, 3) AS g(i)),
+          ctrs AS (SELECT i, bucket, CAST(SUM(cnt) AS BIGINT) AS c
+                   FROM hashes GROUP BY 1, 2),
+          top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 20),
+          est AS (SELECT h.tok, CAST(MIN(c.c) AS BIGINT) AS est
+                  FROM hashes h JOIN ctrs c USING (i, bucket)
+                  WHERE h.tok IN (SELECT tok FROM top)
+                  GROUP BY h.tok)
+          SELECT t.tok, t.cnt AS exact, e.est, e.est - t.cnt AS overcount
+          FROM top t JOIN est e USING (tok)
+          ORDER BY exact DESC, tok""",
     "x71_fixed_sample" ->
       s"""SELECT doc_id FROM
             (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
