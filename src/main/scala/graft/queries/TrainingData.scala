@@ -1321,6 +1321,33 @@ object TrainingData {
       graft.text.Bpe.fertility(Tables.documents(s, d), BpeMergeRounds)
         .orderBy("doc_id")),
 
+    // Bloom pre-screen for benchmark decontamination: the benchmark
+    // shingle set folds to its ≤4096 distinct set BITS (broadcast
+    // metadata — vs the full shingle set x28's semi-join ships); every
+    // training shingle probes the bits, and the audit compares
+    // bloom-positive counts to the exact x28 verdict per doc — bloom ≥
+    // exact always (no false negatives), the gap is the classic FP
+    // rate the exact second pass absorbs.
+    "x73_bloom_screen" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh5 = Dedup.docShingles(docs, n = 5).cache()
+      val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+      val train = sh5.filter(col("doc_id") % 20 =!= 0)
+      val bloomHits = graft.util.Bloom.passing(train, graft.util.Bloom.bits(bench, "sh"), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      val exactHits = train.join(bench, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("ne"))
+      docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(bloomHits, Seq("doc_id"), "left")
+        .join(exactHits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).as("n_bloom_hits"),
+          coalesce(col("ne"), lit(0L)).as("n_exact_hits"),
+          (coalesce(col("nb"), lit(0L)) - coalesce(col("ne"), lit(0L)))
+            .as("n_false_positives"))
+        .orderBy("doc_id")
+    }),
+
     // Count-Min sketch accuracy audit: CMS frequency estimates vs
     // exact counts for the corpus's true top-20 tokens — the x41/x55
     // pattern applied to the frequency sketch (est ≥ exact always;
@@ -2041,6 +2068,39 @@ object TrainingData {
           SELECT c1, c2, pair_count FROM pc
           WHERE pair_count >= $MinBpePairCount
           ORDER BY pair_count DESC, c1, c2 LIMIT $BpeTopK""",
+    "x73_bloom_screen" -> {
+      val hexv = "strpos('0123456789abcdef', substring(md5(%s), %d, 1)) - 1"
+      def bitExpr(salt: Int) = {
+        val key = s"'bf$salt|' || sh"
+        s"(${hexv.format(key, 1)}) * 4096 + (${hexv.format(key, 2)}) * 256 + " +
+          s"(${hexv.format(key, 3)}) * 16 + (${hexv.format(key, 4)})"
+      }
+      val bitUnion = (0 until graft.util.Bloom.NumHashes)
+        .map(i => s"SELECT doc_id, sh, ${bitExpr(i)} AS bit FROM train")
+        .mkString("\n                 UNION ALL ")
+      s"""WITH $tokCte,
+          xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+                 FROM tok WHERE len(t) >= 5),
+          sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM xg),
+          bench AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 20 = 0),
+          train AS (SELECT doc_id, sh FROM sh5 WHERE doc_id % 20 <> 0),
+          bits AS (${(0 until graft.util.Bloom.NumHashes)
+            .map(i => s"SELECT DISTINCT ${bitExpr(i)} AS bit FROM bench")
+            .mkString("\n                 UNION ")}),
+          probes AS ($bitUnion),
+          pass AS (SELECT doc_id, sh FROM probes
+                   WHERE bit IN (SELECT bit FROM bits)
+                   GROUP BY doc_id, sh
+                   HAVING count(*) = ${graft.util.Bloom.NumHashes}),
+          nb AS (SELECT doc_id, count(*) AS nb FROM pass GROUP BY doc_id),
+          ne AS (SELECT doc_id, count(*) AS ne FROM train
+                 WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(nb.nb, 0) AS n_bloom_hits,
+                 COALESCE(ne.ne, 0) AS n_exact_hits,
+                 COALESCE(nb.nb, 0) - COALESCE(ne.ne, 0) AS n_false_positives
+          FROM documents d LEFT JOIN nb USING (doc_id) LEFT JOIN ne USING (doc_id)
+          WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id"""
+    },
     "x72_cms_heavy_hitters" ->
       s"""WITH $tokCte,
           w AS (SELECT unnest(t) AS tok FROM tok),
