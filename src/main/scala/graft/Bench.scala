@@ -2,30 +2,61 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver-run benchmark. Emits one JSON line PER QUERY as its median
-  * resolves (stderr + `bench_progress.jsonl`), then the single
-  * aggregate line the driver parses on stdout — so a run killed by a
-  * timeout still leaves a usable per-query prefix instead of nothing
-  * (the round-5 failure mode: 22 minutes of measurements lost to an
-  * all-or-nothing print).
+/** Driver-run benchmark. Emits one JSON line PER RUN as it completes
+  * (stderr + `bench_progress.jsonl`), then one summary line per query,
+  * then the single aggregate line the driver parses on stdout — so a
+  * run killed by a timeout still leaves a usable per-run prefix from
+  * which medians can be reconstructed (the round-5 failure mode: 22
+  * minutes of measurements lost to an all-or-nothing print).
   *
   * Failure is recorded, never swallowed: a query that throws gets
   * `"err"` in its line and is excluded from the total — previously a
   * broken query "benched" as the time it took to raise, which is how
   * 15 erroring queries once looked impossibly fast.
   *
-  * Timing protocol per query: one untimed warmup run (Catalyst
-  * planning, whole-stage codegen compilation, JIT), then N timed runs,
-  * reporting the median. N adapts: short queries (warmup < 1 s) are
-  * the JVM-noise-prone ones and get 5 samples; long queries have
-  * stable relative noise and get 3 — the extra samples go where they
-  * buy accuracy, not wall-clock. A soft wall budget
-  * (SPARK_GRAFT_BENCH_BUDGET seconds, default 1200) degrades the run
-  * count as it is consumed (≥60% → ≤2 runs, ≥80% → 1, ≥95% → report
-  * the warmup time, flagged "degraded") so a slow host produces a
-  * complete-but-coarser artifact rather than an rc-124 corpse; a
-  * per-query watchdog (SPARK_GRAFT_BENCH_QUERY_TIMEOUT, default 180 s)
-  * cancels and error-records any single query that hangs.
+  * Timing protocol — ROUND-ROBIN PASSES, not per-query blocks. Round 7
+  * demonstrated the per-query-block failure mode: a host stall during
+  * one query's block beats its median-of-3 outright (a20 recorded
+  * 91.8 s for a 2.5 s query — three consecutive stalled runs), and the
+  * stall burned enough wall budget that 54 later queries degraded to
+  * warmup-only timings. Interleaving fixes both at once:
+  *
+  *   pass 0   warmup, all queries in order (Catalyst planning,
+  *            whole-stage codegen compile, JIT) — recorded but never
+  *            used as a timing unless the budget allows nothing else;
+  *   pass 1   one timed run of every query — runs even past the soft
+  *            budget (hard-capped at 1.5× so a pathological host still
+  *            terminates) because one real timed run beats
+  *            warmup-as-timing every time;
+  *   pass 2+  more timed runs, up to the per-query plan (5 samples for
+  *            sub-second queries — the JVM-noise-prone ones — 3
+  *            otherwise; SPARK_GRAFT_BENCH_RUNS pins it, e.g. the 10×
+  *            linearity sweep uses 1), budget-gated: pass 2 while
+  *            <80% spent, pass ≥3 while <60%.
+  *
+  * A transient stall now lands on ONE sample of many queries — where
+  * the per-query median (≥3 samples) or min (any) rejects it — instead
+  * of all samples of one query; and budget exhaustion truncates every
+  * query's sample count uniformly instead of starving whichever
+  * queries sorted last.
+  *
+  * Host-noise defenses in the artifact itself:
+  *   - per-query `min` alongside the median: min is robust to
+  *     contention (it can only overstate performance, never understate
+  *     it), so median≫min reads as "noisy host", not "slow query";
+  *   - a stall detector: median/min > 3× flags `stall_suspect` on the
+  *     query line and logs loudly — the round-7 pollution would have
+  *     announced itself;
+  *   - the aggregate separates `value` (= `total_clean`, sum of
+  *     real-timed medians) from `total_degraded` (sum of warmup-only
+  *     fallbacks) so a partially-degraded artifact can't poison
+  *     round-over-round comparison with planning+compile time.
+  *
+  * A per-query watchdog (SPARK_GRAFT_BENCH_QUERY_TIMEOUT, default
+  * 180 s) cancels and error-records any single run that hangs: a
+  * pathological plan must surface as a recorded per-query error, not
+  * hang the harness into the driver's process timeout — rc 124 leaves
+  * no verdict on WHICH query was the problem.
   *
   * Runs execute the query's OWN physical plan to completion
   * (`queryExecution.toRdd` iteration), not `df.count()`: count() builds
@@ -135,13 +166,6 @@ object Bench {
       new java.io.FileWriter("bench_progress.jsonl", false), true)
     def emit(line: String): Unit = { System.err.println(line); progress.println(line) }
 
-    // Per-query watchdog: a single pathological plan (or a host stall
-    // pinning one query) must surface as a recorded per-query error,
-    // not hang the harness into the driver's process timeout — rc 124
-    // leaves no verdict on WHICH query was the problem. The slowest
-    // sf0.1 query medians ~6 s, so the 180 s default is ~30× headroom;
-    // the 10× linearity sweep (where pair generators legitimately run
-    // minutes) raises SPARK_GRAFT_BENCH_QUERY_TIMEOUT.
     val qTimeout = sys.env.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT")
       .map(_.toDouble).getOrElse(180.0)
     def execute(n: String): Unit = {
@@ -164,66 +188,122 @@ object Bench {
             f"exceeded the $qTimeout%.1f s per-query watchdog (jobs cancelled)")
       }
     }
+    def timedRun(n: String): Double = {
+      spark.catalog.clearCache()
+      val s = System.nanoTime()
+      execute(n)
+      (System.nanoTime() - s) / 1e9
+    }
+    def fmtErr(e: Throwable): String =
+      Option(e.getMessage).map(m => s"${e.getClass.getSimpleName}: $m")
+        .getOrElse(e.getClass.getName).take(300)
 
-    val results: Seq[(String, Either[String, (Double, Int, Boolean)])] =
-      names.map { n =>
-        def timedRun(): Double = {
-          spark.catalog.clearCache()
-          val s = System.nanoTime()
-          execute(n)
-          (System.nanoTime() - s) / 1e9
-        }
-        val outcome: Either[String, (Double, Int, Boolean)] =
-          try {
-            val warm = timedRun()
-            // SPARK_GRAFT_BENCH_RUNS pins the BASE timed-run count (the
-            // 10x linearity sweep uses 1 — a linear-vs-superlinear
-            // verdict doesn't need a median at 10x the data cost);
-            // unset, it adapts to query length: short queries are the
-            // JVM-noise-prone ones and get the extra samples. Either
-            // way the wall budget still degrades the count — the driver
-            // pins runs=5, and exempting the pinned path is exactly how
-            // a loaded host turns into an rc-124 corpse again.
-            val base = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
-              .getOrElse(if (warm < 1.0) 5 else 3)
-            val frac = elapsed / budget
-            val nRuns =
-              if (frac >= 0.95) 0
-              else if (frac >= 0.8) math.min(base, 1)
-              else if (frac >= 0.6) math.min(base, 2)
-              else base
-            if (nRuns == 0) Right((warm, 0, true))
-            else {
-              val samples = Seq.fill(nRuns)(timedRun()).sorted
-              Right((samples((nRuns - 1) / 2), nRuns, false))
-            }
-          } catch {
-            case e: Throwable =>
-              Left(Option(e.getMessage).map(m => s"${e.getClass.getSimpleName}: $m")
-                .getOrElse(e.getClass.getName).take(300))
-          }
-        outcome match {
-          case Right((sec, runs, degraded)) =>
-            emit(s"""{"query":${jstr(n)},"sec":$sec,"runs":$runs,""" +
-              s""""degraded":$degraded,"err":null}""")
-          case Left(err) =>
-            emit(s"""{"query":${jstr(n)},"sec":null,"err":${jstr(err)}}""")
-        }
-        n -> outcome
+    // ---- pass 0: warmup every query (planning + codegen + JIT), in order
+    final class QState(val name: String) {
+      var warm: Double = Double.NaN
+      var planned: Int = 0
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+    }
+    val pinnedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+    val states = names.map { n =>
+      val st = new QState(n)
+      try {
+        st.warm = timedRun(n)
+        st.planned = pinnedRuns.getOrElse(if (st.warm < 1.0) 5 else 3)
+        emit(s"""{"query":${jstr(n)},"pass":0,"sec":${st.warm},"warmup":true}""")
+      } catch {
+        case e: Throwable =>
+          st.err = Some(fmtErr(e))
+          emit(s"""{"query":${jstr(n)},"pass":0,"sec":null,"err":${jstr(st.err.get)}}""")
       }
+      st
+    }
+    System.err.println(f"[bench] warmup pass done at $elapsed%.1f s " +
+      f"(${states.count(_.err.isEmpty)}/${names.size} ok)")
+
+    // ---- passes 1..max: round-robin timed runs, budget-gated per pass tier
+    val maxPasses = (states.map(_.planned) :+ 0).max
+    for (pass <- 1 to maxPasses; st <- states
+         if st.err.isEmpty && pass <= st.planned) {
+      val frac = elapsed / budget
+      val allowed =
+        if (pass == 1) frac < 1.5 // one real run beats warmup-as-timing; hard cap 1.5×
+        else if (pass == 2) frac < 0.8
+        else frac < 0.6
+      if (allowed) {
+        try {
+          val s = timedRun(st.name)
+          st.samples += s
+          emit(s"""{"query":${jstr(st.name)},"pass":$pass,"sec":$s}""")
+        } catch {
+          case e: Throwable =>
+            st.err = Some(fmtErr(e))
+            emit(s"""{"query":${jstr(st.name)},"pass":$pass,"sec":null,""" +
+              s""""err":${jstr(st.err.get)}}""")
+        }
+      }
+    }
+
+    // ---- per-query resolution: median + min of real samples; warmup
+    // fallback only when the budget allowed no timed run at all.
+    sealed trait Res
+    case class Ok(med: Double, min: Double, runs: Int, planned: Int,
+                  warm: Double, degraded: Boolean, stall: Boolean) extends Res
+    case class Err(msg: String) extends Res
+    val resolved: Seq[(String, Res)] = states.map { st =>
+      val res: Res = st.err match {
+        case Some(e) if st.samples.isEmpty && st.warm.isNaN => Err(e)
+        case _ if st.samples.nonEmpty =>
+          val sorted = st.samples.sorted
+          val med = sorted((sorted.size - 1) / 2)
+          val mn = sorted.head
+          val stall = sorted.size >= 2 && med / mn > 3.0
+          if (stall) System.err.println(
+            f"[bench][STALL] ${st.name}: median $med%.2f s vs min $mn%.2f s " +
+              f"(${med / mn}%.1f×) — host contention suspected; min is the " +
+              "trustworthy number")
+          Ok(med, mn, sorted.size, st.planned, st.warm, degraded = false, stall)
+        case Some(e) => Err(e) // warmup ok but every timed run failed
+        case None =>
+          Ok(st.warm, st.warm, 0, st.planned, st.warm, degraded = true, stall = false)
+      }
+      res match {
+        case Ok(med, mn, runs, planned, warm, deg, stall) =>
+          emit(s"""{"query":${jstr(st.name)},"sec":$med,"min":$mn,"runs":$runs,""" +
+            s""""planned":$planned,"warm":$warm,"degraded":$deg,""" +
+            s""""stall_suspect":$stall,"err":null}""")
+        case Err(e) =>
+          emit(s"""{"query":${jstr(st.name)},"sec":null,"err":${jstr(e)}}""")
+      }
+      st.name -> res
+    }
     progress.close()
 
-    val ok = results.collect { case (n, Right((sec, _, _))) => n -> sec }
-    val errs = results.collect { case (n, Left(e)) => n -> e }
-    val degraded = results.collect { case (n, Right((_, _, true))) => n }
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val ok = resolved.collect { case (n, o: Ok) => n -> o }
+    val errs = resolved.collect { case (n, Err(e)) => n -> e }
+    val clean = ok.filterNot(_._2.degraded)
+    val degraded = ok.filter(_._2.degraded)
+    val stalls = clean.filter(_._2.stall)
+    val qs = ok.map { case (k, o) => jstr(k) + ":" + o.med }.mkString("{", ",", "}")
+    val mins = clean.map { case (k, o) => jstr(k) + ":" + o.min }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val degJson = degraded.map(jstr).mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"degraded":$degJson,"n_ok":${ok.size},""" +
-      s""""n_err":${errs.size},"wall":$elapsed,"sf":${jstr(sfDir)}}""")
+    val degJson = degraded.map(p => jstr(p._1)).mkString("[", ",", "]")
+    val stallJson = stalls.map(p => jstr(p._1)).mkString("[", ",", "]")
+    val totalClean = clean.map(_._2.med).sum
+    val totalDegraded = degraded.map(_._2.med).sum
+    val totalMin = clean.map(_._2.min).sum
+    if (stalls.nonEmpty) System.err.println(
+      s"[bench][STALL] ${stalls.size} quer${if (stalls.size == 1) "y" else "ies"} " +
+        s"flagged stall_suspect (median/min > 3×): ${stalls.map(_._1).mkString(", ")}")
+    // `value` is the CLEAN total only: warmup-fallback rows (planning +
+    // codegen compile time) must not poison round-over-round comparison.
+    println(s"""{"metric":"total","value":$totalClean,"unit":"sec","queries":$qs,""" +
+      s""""mins":$mins,"total_min":$totalMin,"total_degraded":$totalDegraded,""" +
+      s""""errors":$errJson,"degraded":$degJson,"stall_suspect":$stallJson,""" +
+      s""""n_ok":${ok.size},"n_err":${errs.size},"n_degraded":${degraded.size},""" +
+      s""""wall":$elapsed,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
