@@ -40,6 +40,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query's sample count uniformly instead of starving whichever
   * queries sorted last.
   *
+  * Comparability: interleaved runs pay realistic mixed-workload state
+  * (cold CPU caches, live GC pressure) that the old
+  * consecutive-runs-per-query protocol did not, measuring ~1.4× the
+  * old tight-loop totals on identical code (see README "Protocol
+  * shift"). Compare rounds ≥8 to rounds ≤6 through that lens, or use
+  * `total_min`.
+  *
   * Host-noise defenses in the artifact itself:
   *   - per-query `min` alongside the median: min is robust to
   *     contention (it can only overstate performance, never understate

