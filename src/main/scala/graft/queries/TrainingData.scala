@@ -246,6 +246,14 @@ object TrainingData {
     * a meaningful drop set without borderline ties). */
   val SemDedupThreshold = 0.3
 
+  /** x74: semantic-contamination cosine cut — a train vector this close
+    * to any benchmark vector is flagged. Shared by the Spark plan and
+    * the generated oracle. Same value as [[SemDedupThreshold]] for the
+    * same corpus reason (within-cluster cosines peak near 0; 0.3 flags
+    * a meaningful minority without borderline ties — 0.4 leaves 7 hits
+    * at sf0.01, 0.5 none). */
+  val SemContamThreshold = 0.3
+
   /** The [[graft.text.Bpe.merges]] loop unrolled in DuckDB SQL: per
     * round, a pair aggregate over the current vocab state, a 1-row
     * argmax CTE, and a RECURSIVE replace-to-fixpoint CTE that applies
@@ -505,6 +513,30 @@ object TrainingData {
           FROM scored)
        WHERE rank <= $k ORDER BY qid, rank"""
   }
+
+  /** x74: semantic decontamination off the SAME unrolled k-means —
+    * cluster-blocked train×bench cosines (bench = every 20th vec, the
+    * x28 convention), per-train flag + neighbour stats. */
+  private def semContamOracleSql(threshold: Double, nlist: Int = 16, iters: Int = 2): String =
+    s"""WITH ${ivfKmeansCtes(nlist, iters)},
+       el AS (SELECT e.vec_id, a.cluster, e.q, e.pos FROM e JOIN a$iters a USING (vec_id)),
+       dots AS (SELECT x.vec_id AS tid, y.vec_id AS bid, SUM(x.q * y.q) AS dot
+                FROM el x JOIN el y ON y.pos = x.pos AND y.cluster = x.cluster
+                                    AND x.vec_id % 20 <> 0 AND y.vec_id % 20 = 0
+                GROUP BY 1, 2),
+       sc AS (SELECT tid, bid, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+              FROM dots JOIN norms nx ON nx.vec_id = tid
+                        JOIN norms ny ON ny.vec_id = bid),
+       agg AS (SELECT tid, count(*) FILTER (WHERE cos >= $threshold) AS nn,
+                      max(cos) AS mx
+               FROM sc GROUP BY tid)
+       SELECT t.vec_id,
+              CAST(COALESCE(agg.nn, 0) AS BIGINT) AS n_bench_near,
+              COALESCE(agg.mx, CAST(0 AS DOUBLE)) AS max_cand_cos,
+              CAST(CASE WHEN COALESCE(agg.nn, 0) > 0 THEN 1 ELSE 0 END AS INT) AS is_contaminated
+       FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 0) t
+       LEFT JOIN agg ON agg.tid = t.vec_id
+       ORDER BY t.vec_id"""
 
   /** x61: SemDeDup verdict off the SAME unrolled k-means — cluster-
     * blocked pair cosines, drop = any lower-id neighbour ≥ threshold. */
@@ -807,6 +839,37 @@ object TrainingData {
         .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
         .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
         .orderBy("split_a", "split_b")
+    }),
+
+    // Cross-source duplication matrix — the dataset-composition audit a
+    // curation team reads before setting mixture weights: which sources
+    // copy from which (mirrors, syndication, scraped re-posts), as
+    // near-dup pair counts per unordered source pair off the SAME
+    // registered MinHash pipeline as x4/x42. A heavy off-diagonal cell
+    // means the two sources double-count the same content and their
+    // combined weight overstates their diversity. least/greatest
+    // collapses pair orientation so (news,web) and (web,news)
+    // accumulate in one cell; n_docs counts the distinct documents
+    // involved (a 100-doc mirror shows as n_docs≈200 with n_pairs≈100,
+    // a single viral item re-posted everywhere as n_pairs≫n_docs).
+    // Candidate-bounded like every audit on the pair plane.
+    "x75_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      // explode each pair to its two member docs: n_pairs = rows/2 and
+      // n_docs = COUNT(DISTINCT) resolve in ONE partial-aggregated pass
+      // — no per-cell array ever materializes (a hot mirror cell has
+      // millions of pairs at corpus scale)
+      Dedup.minhashNearDups(docs, 0.5)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy("source_a", "source_b")
+        .agg((count(lit(1)) / 2).cast("bigint").as("n_pairs"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("source_a", "source_b")
     }),
 
     // The FIX for x42's leakage: key the split assignment on the
@@ -1252,6 +1315,25 @@ object TrainingData {
     "x61_semdedup" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), SemDedupThreshold,
           nlist = 16, iters = 2)
+        .orderBy("vec_id")),
+
+    // Embedding-space benchmark decontamination — the SEMANTIC leg of
+    // the decontam family (x28 exact 5-grams, x50 winnowing
+    // fingerprints, x73 Bloom pre-screen are all lexical): a training
+    // document whose embedding sits within cosine ≥ 0.3 of any
+    // benchmark embedding is flagged even when zero n-grams overlap
+    // (translations, paraphrases, templated rewrites of eval items).
+    // Candidate generation is cluster-blocked on the SAME exact-integer
+    // IVF index as x16/x47/x61 — train×bench pairs form only within a
+    // cluster, so the pair stage is Σ n_train_c·n_bench_c, never
+    // |train|·|bench|; at 100 TB nlist scales with √n (the x35
+    // discipline) and both sides shuffle once on the cluster id.
+    // Benchmark stand-in: every 20th vector (the x28 convention).
+    // Gate form pins nlist=16 (the oracle unrolls that exact k-means);
+    // production sizes nlist with √n — measured at 10× data in §6.1.
+    "x74_semantic_decontam" -> ((s, d) =>
+      Similarity.semanticContam(Tables.embeddings(s, d),
+          col("vec_id") % 20 === 0, SemContamThreshold, nlist = 16, iters = 2)
         .orderBy("vec_id")),
 
     // Two-stage SQ8 retrieval: 8-bit scalar-quantized shortlist (the
@@ -1779,6 +1861,22 @@ object TrainingData {
          FROM verified v JOIN assign a ON a.doc_id = v.doc_a
                          JOIN assign b ON b.doc_id = v.doc_b
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x75_source_overlap" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          $jaccardVerifyCte,
+          cells AS (SELECT least(sa.source, sb.source) AS source_a,
+                           greatest(sa.source, sb.source) AS source_b,
+                           v.doc_a, v.doc_b
+                    FROM verified v JOIN documents sa ON sa.doc_id = v.doc_a
+                                    JOIN documents sb ON sb.doc_id = v.doc_b),
+          ex AS (SELECT source_a, source_b, doc_a AS doc_id FROM cells
+                 UNION ALL
+                 SELECT source_a, source_b, doc_b AS doc_id FROM cells)
+          SELECT source_a, source_b,
+                 CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
     "x41_minhash_est" ->
       s"""WITH $minhashCte,
           $minhashCandCte,
@@ -2053,6 +2151,7 @@ object TrainingData {
     "x16_ivf_topk" -> ivfOracleSql(),
     "x47_cluster_profile" -> ivfProfileOracleSql(),
     "x61_semdedup" -> semDedupOracleSql(SemDedupThreshold),
+    "x74_semantic_decontam" -> semContamOracleSql(SemContamThreshold),
     "x62_pq_topk" -> pqOracleSql(),
     "x65_bpe_pairs" ->
       s"""WITH $tokCte,

@@ -97,6 +97,49 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cluster-blocked semantic-contamination screen: flag every
+    * non-benchmark vector with a benchmark neighbour at cosine ≥
+    * `threshold`, where candidates form only within an IVF cluster
+    * (the [[semDedup]] blocking applied asymmetrically) — the pair
+    * stage is Σ n_train_c·n_bench_c, never |train|·|bench|. Verdict is
+    * total: (vec_id, n_bench_near, max_cand_cos, is_contaminated) for
+    * every train vector. `nlist` follows the IVF sizing rule (√n) to
+    * keep blocks bounded as the corpus grows; recall is traded for the
+    * blocking (a cross-cluster neighbour is missed) — the same
+    * screen-vs-exact contract as every bucketed detector here. */
+  def semanticContam(emb: DataFrame, isBench: Column, threshold: Double,
+                     nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val (_, asg) = ivfIndex(emb, nlist, iters)
+    val a = asg.select(col("vec_id"), col("cluster"))
+    val bench = a.filter(isBench).select(col("vec_id").as("bid"), col("cluster"))
+    val train = a.filter(!isBench).select(col("vec_id").as("tid"), col("cluster"))
+    val cand = train.join(bench, Seq("cluster")).select("tid", "bid")
+    val agg = pairCosines(cand, emb, "tid", "bid")
+      .groupBy("tid").agg(
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("nn"),
+        max("cos").as("mx"))
+    emb.filter(!isBench).select("vec_id")
+      .join(agg.withColumnRenamed("tid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("nn"), lit(0L)).as("n_bench_near"),
+        coalesce(col("mx"), lit(0.0)).as("max_cand_cos"),
+        (coalesce(col("nn"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+  }
+
+  /** Exact fixed-point cosine for an arbitrary id-pair set: (aCol,
+    * bCol) → (aCol, bCol, cos). The bulk element-join shape
+    * ([[pairDots]] + norms) — no per-pair lambdas; pair generation is
+    * the caller's (blocked, banded, cluster-keyed — whatever bounds the
+    * candidate set at scale). */
+  def pairCosines(pairs: DataFrame, emb: DataFrame,
+                  aCol: String, bCol: String): DataFrame = {
+    val n = norms(emb)
+    pairDots(pairs, emb, emb, aCol, bCol)
+      .join(n.select(col("vec_id").as(aCol), col("nsq").as("na")), Seq(aCol))
+      .join(n.select(col("vec_id").as(bCol), col("nsq").as("nb")), Seq(bCol))
+      .select(col(aCol), col(bCol), cosExpr.as("cos"))
+  }
+
   /** Exact top-k neighbours for a set of query vectors (brute force). */
   def topK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val cand = queries.select(col("vec_id").as("qid"))
