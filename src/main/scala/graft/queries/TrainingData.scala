@@ -1499,6 +1499,44 @@ object TrainingData {
       graft.dedup.Dedup.snapshotDiff(v1, v2).orderBy("doc_id")
     }),
 
+    // Corpus-composition drift between the SAME two versions x69 diffs
+    // — the aggregate companion to its per-document verdict: per
+    // source, document count, character mass, and corpus share in
+    // integer ppm for each version plus the share delta. The
+    // re-crawl-health read before retraining on a new snapshot: a
+    // source whose share moved 10k ppm changed the mixture whether or
+    // not any individual doc changed. Integer end-to-end (share =
+    // n·10⁶ div total — no doubles, bit-identical on any engine);
+    // two group-bys + one tiny outer join on the bounded source key,
+    // totals are one-row broadcast metadata at any corpus size.
+    "x76_snapshot_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")))
+      def comp(v: DataFrame, tag: String) = {
+        val a = v.groupBy("source").agg(
+          count(lit(1)).as(s"n_$tag"),
+          sum(length(col("text")).cast("long")).as(s"chars_$tag"))
+        a.crossJoin(broadcast(a.select(sum(s"n_$tag").as("tot"))))
+          .withColumn(s"share_ppm_$tag",
+            expr(s"n_$tag * 1000000 div tot")).drop("tot")
+      }
+      comp(v1, "v1").join(comp(v2, "v2"), Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+          coalesce(col("chars_v1"), lit(0L)).as("chars_v1"),
+          coalesce(col("chars_v2"), lit(0L)).as("chars_v2"),
+          coalesce(col("share_ppm_v1"), lit(0L)).as("share_ppm_v1"),
+          coalesce(col("share_ppm_v2"), lit(0L)).as("share_ppm_v2"),
+          (coalesce(col("share_ppm_v2"), lit(0L))
+            - coalesce(col("share_ppm_v1"), lit(0L))).as("delta_ppm"))
+        .orderBy("source")
+    }),
+
     // DSIR importance weights: hashed-bigram importance of every raw
     // document against the curated target slice (lang = 'en') — the
     // data-selection ranking signal, integer end-to-end (first-order
@@ -2263,6 +2301,28 @@ object TrainingData {
                       ELSE 'changed' END AS status
           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
           ORDER BY doc_id""",
+    "x76_snapshot_drift" ->
+      """WITH v1 AS (SELECT source, count(*) AS n, CAST(SUM(length(text)) AS BIGINT) AS chars
+                     FROM documents WHERE doc_id % 10 <> 0 GROUP BY source),
+          v2 AS (SELECT source, count(*) AS n,
+                        CAST(SUM(length(CASE WHEN doc_id % 7 = 0
+                                             THEN text || ' [edited]'
+                                             ELSE text END)) AS BIGINT) AS chars
+                 FROM documents WHERE doc_id % 10 <> 1 GROUP BY source),
+          c1 AS (SELECT source, n AS n_v1, chars AS chars_v1,
+                        n * 1000000 // (SELECT SUM(n) FROM v1) AS share_ppm_v1 FROM v1),
+          c2 AS (SELECT source, n AS n_v2, chars AS chars_v2,
+                        n * 1000000 // (SELECT SUM(n) FROM v2) AS share_ppm_v2 FROM v2)
+          SELECT coalesce(c1.source, c2.source) AS source,
+                 CAST(coalesce(n_v1, 0) AS BIGINT) AS n_v1,
+                 CAST(coalesce(n_v2, 0) AS BIGINT) AS n_v2,
+                 coalesce(chars_v1, 0) AS chars_v1,
+                 coalesce(chars_v2, 0) AS chars_v2,
+                 CAST(coalesce(share_ppm_v1, 0) AS BIGINT) AS share_ppm_v1,
+                 CAST(coalesce(share_ppm_v2, 0) AS BIGINT) AS share_ppm_v2,
+                 CAST(coalesce(share_ppm_v2, 0) - coalesce(share_ppm_v1, 0) AS BIGINT) AS delta_ppm
+          FROM c1 FULL OUTER JOIN c2 ON c1.source = c2.source
+          ORDER BY source""",
     "x67_bpe_merges" -> bpeMergesOracleSql(BpeMergeRounds),
     "x68_bpe_fertility" -> bpeFertilityOracleSql(BpeMergeRounds),
     "x66_dsir_weights" ->
