@@ -1517,9 +1517,11 @@ object TrainingData {
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
             .otherwise(col("text")))
       def comp(v: DataFrame, tag: String) = {
+        // the per-source aggregate feeds both the rows and the one-row
+        // total — cache the (bounded) frame or the corpus scans twice
         val a = v.groupBy("source").agg(
           count(lit(1)).as(s"n_$tag"),
-          sum(length(col("text")).cast("long")).as(s"chars_$tag"))
+          sum(length(col("text")).cast("long")).as(s"chars_$tag")).cache()
         a.crossJoin(broadcast(a.select(sum(s"n_$tag").as("tot"))))
           .withColumn(s"share_ppm_$tag",
             expr(s"n_$tag * 1000000 div tot")).drop("tot")

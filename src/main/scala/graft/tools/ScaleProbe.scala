@@ -41,8 +41,9 @@ object ScaleProbe {
         (if (i == 0) " (warmup)" else ""))
       s
     }
+    val best = if (runs > 0) times.drop(1).min else times.head
     println(f"""{"op":"$op","dir":"$dir","param":$param,""" +
-      f""""sec":${times.drop(1).min}%.3f,"runs":$runs}""")
+      f""""sec":$best%.3f,"runs":$runs}""")
     spark.stop()
   }
 }
