@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
@@ -339,6 +339,68 @@ object TrainingData {
     * instead of a per-run signature rebuild. The exact brute-force side
     * is recomputed either way: queries×corpus is the audit's intrinsic
     * cost, bounded by the sampled query set. */
+  // ---- pair-plane tails: the post-detector stages of the dedup
+  // audits, shared by the gate queries (self-contained — the oracle
+  // covers detector + tail end-to-end) and the bench probes (the
+  // service shape: a curation stack materializes each detector's pair
+  // table ONCE and every audit joins it — the r7 adjudication's own
+  // reading of the production form) so the two cannot drift.
+
+  private def splitCol(key: Column): Column = {
+    val b = graft.util.Sampling.hashBucket(key)
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+  }
+
+  private def splitMatrix(pairs: DataFrame, assign: DataFrame): DataFrame =
+    pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+
+  /** x42 tail: leakage matrix of a near-dup pair set across a
+    * doc-id-keyed train/val/test assignment. */
+  def splitLeakage(pairs: DataFrame, docs: DataFrame): DataFrame =
+    splitMatrix(pairs,
+      docs.select(col("doc_id"), splitCol(col("doc_id")).as("split")))
+
+  /** x43 tail: the x42 matrix with the assignment keyed on the near-dup
+    * COMPONENT — every member of a dup cluster lands in one split. */
+  def componentSplit(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val p = pairs.select("doc_a", "doc_b").cache()
+    val labels = Dedup.nearDupComponents(p, docs)
+    splitMatrix(p,
+      labels.select(col("doc_id"), splitCol(col("component")).as("split")))
+  }
+
+  /** x75 tail: unordered source-pair duplication cells off the pair
+    * set (see the query scaladoc for the n_pairs/n_docs read). */
+  def sourceOverlap(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("source_a", "source_b")
+      .agg((count(lit(1)) / 2).cast("bigint").as("n_pairs"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** x70 tail: the agreement fold of two detector pair sets. */
+  def dedupAgreement(mhPairs: DataFrame, shPairs: DataFrame): DataFrame = {
+    val mh = mhPairs.select("doc_a", "doc_b").withColumn("in_mh", lit(1))
+    val sh = shPairs.select("doc_a", "doc_b").withColumn("in_sh", lit(1))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("in_sh").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
+        sum(when(col("in_mh").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+  }
+
   def annRecall(emb: DataFrame, banded: DataFrame): DataFrame = {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.topK(emb, queries, RecallK).select("qid", "vb")
@@ -831,14 +893,7 @@ object TrainingData {
     // acceptable. One extra shuffle beyond the near-dup pipeline.
     "x42_split_leakage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val b = graft.util.Sampling.hashBucket(col("doc_id"))
-      val assign = docs.select(col("doc_id"),
-        when(b < 205, "train").when(b < 230, "val").otherwise("test").as("split"))
-      Dedup.minhashNearDups(docs, 0.5)
-        .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
-        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
-        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("split_a", "split_b")
+      splitLeakage(Dedup.minhashNearDups(docs, 0.5), docs)
     }),
 
     // Cross-source duplication matrix — the dataset-composition audit a
@@ -853,23 +908,13 @@ object TrainingData {
     // involved (a 100-doc mirror shows as n_docs≈200 with n_pairs≈100,
     // a single viral item re-posted everywhere as n_pairs≫n_docs).
     // Candidate-bounded like every audit on the pair plane.
+    // Tail detail (sourceOverlap): each pair explodes to its two member
+    // docs so n_pairs = rows/2 and n_docs = COUNT(DISTINCT) resolve in
+    // ONE partial-aggregated pass — no per-cell array ever materializes
+    // (a hot mirror cell has millions of pairs at corpus scale).
     "x75_source_overlap" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val src = docs.select(col("doc_id"), col("source"))
-      // explode each pair to its two member docs: n_pairs = rows/2 and
-      // n_docs = COUNT(DISTINCT) resolve in ONE partial-aggregated pass
-      // — no per-cell array ever materializes (a hot mirror cell has
-      // millions of pairs at corpus scale)
-      Dedup.minhashNearDups(docs, 0.5)
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
-        .select(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"),
-          explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .groupBy("source_a", "source_b")
-        .agg((count(lit(1)) / 2).cast("bigint").as("n_pairs"),
-          countDistinct("doc_id").as("n_docs"))
-        .orderBy("source_a", "source_b")
+      sourceOverlap(Dedup.minhashNearDups(docs, 0.5), docs)
     }),
 
     // The FIX for x42's leakage: key the split assignment on the
@@ -880,16 +925,7 @@ object TrainingData {
     // query as x42, so the two results are directly comparable.
     "x43_component_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b").cache()
-      val labels = Dedup.nearDupComponents(pairs, docs)
-      val b = graft.util.Sampling.hashBucket(col("component"))
-      val assign = labels.select(col("doc_id"),
-        when(b < 205, "train").when(b < 230, "val").otherwise("test").as("split"))
-      pairs
-        .join(assign.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
-        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
-        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("split_a", "split_b")
+      componentSplit(Dedup.minhashNearDups(docs, 0.5), docs)
     }),
 
     // MinHash sketch-accuracy report: estimated vs exact Jaccard for
@@ -1471,17 +1507,10 @@ object TrainingData {
     // bounded, never corpus-sized) folds to a 1-row count triple.
     "x70_dedup_agreement" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val mh = Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b")
-        .withColumn("in_mh", lit(1))
-      val sh = Dedup.simhashNearDups(Dedup.simhashMd5(docs).cache(),
-          maxHamming = 3, sigBits = 32)
-        .select("doc_a", "doc_b").withColumn("in_sh", lit(1))
-      mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
-        .agg(
-          sum(when(col("in_mh").isNotNull && col("in_sh").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"),
-          sum(when(col("in_sh").isNull, 1L).otherwise(0L)).as("n_minhash_only"),
-          sum(when(col("in_mh").isNull, 1L).otherwise(0L)).as("n_simhash_only"))
+      dedupAgreement(
+        Dedup.minhashNearDups(docs, 0.5),
+        Dedup.simhashNearDups(Dedup.simhashMd5(docs).cache(),
+          maxHamming = 3, sigBits = 32))
     }),
 
     // Corpus snapshot diff: the dataset-versioning verdict between two

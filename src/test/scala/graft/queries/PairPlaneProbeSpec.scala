@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.{SparkSpecBase, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins probe ≡ gate for the six pair-table consumers the bench times
+  * in their service shape: each gate query's result must be identical
+  * when its tail runs over a parquet-persisted detector pair table
+  * instead of the inline pipeline — otherwise the timed computation is
+  * not the one the oracle verifies. */
+class PairPlaneProbeSpec extends SparkSpecBase {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("pair-table probes equal their gate queries through a parquet round trip") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("pair-plane").toString
+    Dedup.minhashNearDups(docs, 0.5).write.mode("overwrite").parquet(dir + "/mh")
+    Dedup.simhashNearDups(Dedup.simhashMd5(docs).cache(), maxHamming = 3, sigBits = 32)
+      .write.mode("overwrite").parquet(dir + "/sh")
+    val mh = spark.read.parquet(dir + "/mh")
+    val sh = spark.read.parquet(dir + "/sh")
+
+    val probes: Seq[(String, DataFrame)] = Seq(
+      "x17_dedup_clusters" -> Dedup.nearDupComponents(mh, docs).orderBy("doc_id"),
+      "x38_cluster_keeper" -> Dedup.componentKeepers(
+        Dedup.nearDupComponents(mh, docs),
+        docs.select(col("doc_id"), length(col("text")).as("len")), "len")
+        .orderBy("doc_id"),
+      "x42_split_leakage" -> TrainingData.splitLeakage(mh, docs),
+      "x43_component_split" -> TrainingData.componentSplit(mh, docs),
+      "x70_dedup_agreement" -> TrainingData.dedupAgreement(mh, sh),
+      "x75_source_overlap" -> TrainingData.sourceOverlap(mh, docs))
+    probes.foreach { case (name, probe) =>
+      assert(rows(probe) === rows(TrainingData.queries(name)(spark, sfDir)),
+        s"probe ≠ gate for $name")
+    }
+  }
+}
