@@ -100,6 +100,25 @@ import org.apache.spark.sql.functions.{col, length}
   * once, where it belongs.
   */
 object Bench {
+
+  /** Pure per-query resolution of timed samples — median + min of real
+    * samples, warmup fallback (flagged degraded) only when the budget
+    * allowed no timed run, stall_suspect when median/min > 3× (a
+    * transient host stall inflates some samples; min stays honest).
+    * Extracted for deterministic unit testing (BenchResolutionSpec) —
+    * a live contended-host demo of the 3× threshold is inherently racy. */
+  final case class Resolved(sec: Double, min: Double, runs: Int,
+                            degraded: Boolean, stall: Boolean)
+  def resolve(samples: Seq[Double], warm: Double): Resolved =
+    if (samples.isEmpty) Resolved(warm, warm, 0, degraded = true, stall = false)
+    else {
+      val sorted = samples.sorted
+      val med = sorted((sorted.size - 1) / 2)
+      val mn = sorted.head
+      Resolved(med, mn, sorted.size, degraded = false,
+        stall = sorted.size >= 2 && med / mn > 3.0)
+    }
+
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
@@ -316,20 +335,14 @@ object Bench {
     case class Err(msg: String) extends Res
     val resolved: Seq[(String, Res)] = states.map { st =>
       val res: Res = st.err match {
-        case Some(e) if st.samples.isEmpty && st.warm.isNaN => Err(e)
-        case _ if st.samples.nonEmpty =>
-          val sorted = st.samples.sorted
-          val med = sorted((sorted.size - 1) / 2)
-          val mn = sorted.head
-          val stall = sorted.size >= 2 && med / mn > 3.0
-          if (stall) System.err.println(
-            f"[bench][STALL] ${st.name}: median $med%.2f s vs min $mn%.2f s " +
-              f"(${med / mn}%.1f×) — host contention suspected; min is the " +
-              "trustworthy number")
-          Ok(med, mn, sorted.size, st.planned, st.warm, degraded = false, stall)
-        case Some(e) => Err(e) // warmup ok but every timed run failed
-        case None =>
-          Ok(st.warm, st.warm, 0, st.planned, st.warm, degraded = true, stall = false)
+        case Some(e) if st.samples.isEmpty => Err(e)
+        case _ =>
+          val r = resolve(st.samples.toSeq, st.warm)
+          if (r.stall) System.err.println(
+            f"[bench][STALL] ${st.name}: median ${r.sec}%.2f s vs min " +
+              f"${r.min}%.2f s (${r.sec / r.min}%.1f×) — host contention " +
+              "suspected; min is the trustworthy number")
+          Ok(r.sec, r.min, r.runs, st.planned, st.warm, r.degraded, r.stall)
       }
       res match {
         case Ok(med, mn, runs, planned, warm, deg, stall) =>

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic pins for the bench's per-query resolution (the
+  * host-noise defenses the r7 adjudication asked for): median + min
+  * reporting, the 3× stall detector, and the degraded warmup fallback. */
+class BenchResolutionSpec extends AnyFunSuite {
+
+  test("median and min of real samples; no stall under honest noise") {
+    val r = Bench.resolve(Seq(2.5, 2.4, 2.9), warm = 9.0)
+    assert(r.sec === 2.5 && r.min === 2.4 && r.runs === 3)
+    assert(!r.degraded && !r.stall)
+  }
+
+  test("a host stall beating the median trips the 3x detector") {
+    // the r7 signature: consecutive stalled runs dominate the sample set
+    val r = Bench.resolve(Seq(91.8, 88.0, 2.4), warm = 10.0)
+    assert(r.sec === 88.0 && r.min === 2.4)
+    assert(r.stall, "median/min = 36x must flag stall_suspect")
+  }
+
+  test("one stalled sample of three does NOT flag (median rejects it)") {
+    val r = Bench.resolve(Seq(2.4, 2.5, 30.0), warm = 10.0)
+    assert(r.sec === 2.5 && r.min === 2.4 && !r.stall)
+  }
+
+  test("exactly 3x is not a stall; just above is") {
+    assert(!Bench.resolve(Seq(1.0, 3.0, 3.0), warm = 1.0).stall)
+    assert(Bench.resolve(Seq(1.0, 3.01, 3.01), warm = 1.0).stall)
+  }
+
+  test("two samples use the lower median, so they never flag and report clean") {
+    val r = Bench.resolve(Seq(1.0, 40.0), warm = 1.0)
+    assert(r.sec === 1.0 && r.min === 1.0 && !r.stall,
+      "lower-median-of-2 IS the clean run; nothing to flag")
+  }
+
+  test("a single sample can never flag (no min to compare)") {
+    assert(!Bench.resolve(Seq(50.0), warm = 1.0).stall)
+  }
+
+  test("no samples: warmup fallback, flagged degraded") {
+    val r = Bench.resolve(Nil, warm = 7.5)
+    assert(r.sec === 7.5 && r.runs === 0 && r.degraded && !r.stall)
+  }
+}
