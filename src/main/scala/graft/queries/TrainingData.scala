@@ -1011,6 +1011,38 @@ object TrainingData {
     // (~1/1000 of each group). The naive rank-window form would funnel
     // the dominant language through a single task at 100 TB (see
     // graft.util.TopFrac; spec proves ≡ the global rank).
+    // Cross-signal calibration profile of the quality score: per
+    // population decile of the x8/x52 integer score (tile 0 = best),
+    // document count, exact-duplicate membership and mean length — the
+    // read that tells a curation team whether "low quality" is where
+    // the duplicates and the stubs actually live before trusting the
+    // score as a filter. Decile assignment is EXACT global rank without
+    // a corpus sort (TopFrac.tiles histogram refinement; the only
+    // unpartitioned window is over the metadata-sized histogram);
+    // means are integer div — deterministic end-to-end.
+    "x77_quality_deciles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = TextFunctions.withTextSignals(docs, langCol = None, nTokensCol = None)
+        .select(col("doc_id"), round(col("quality") * 1000000).cast("long").as("q_ppm"))
+      val tiled = graft.util.TopFrac.tiles(q, "q_ppm", "doc_id", 10, QualityCoarseDiv)
+      val fp = docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val dup = fp.join(fp.groupBy("fp").agg(count(lit(1)).as("nc")), Seq("fp"))
+        .select(col("doc_id"), (col("nc") > 1).cast("long").as("is_dup"))
+      tiled
+        .join(dup, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("chars")),
+          Seq("doc_id"))
+        .groupBy("tile").agg(
+          count(lit(1)).as("n_docs"),
+          sum("is_dup").as("n_dup_docs"),
+          sum("q_ppm").as("sum_q"),
+          sum("chars").as("sum_chars"))
+        .select(col("tile"), col("n_docs"), col("n_dup_docs"),
+          expr("sum_q div n_docs").as("mean_q_ppm"),
+          expr("sum_chars div n_docs").as("mean_chars"))
+        .orderBy("tile")
+    }),
+
     "x52_quality_cut" -> ((s, d) => {
       val q = TextFunctions.withTextSignals(Tables.documents(s, d),
         langCol = None, nTokensCol = None)
@@ -1784,6 +1816,28 @@ object TrainingData {
           JOIN (${b("x25_repetition")}) s25 USING (doc_id)
           JOIN (${b("x17_dedup_clusters")}) cl USING (doc_id)
           ORDER BY s7.doc_id""") +
+    ("x77_quality_deciles" ->
+      // the oracle states the SEMANTIC definition — global rank then
+      // (rn−1)·10 div n — so the hash gate also proves TopFrac.tiles'
+      // histogram refinement ≡ the single-sort definition
+      s"""WITH q AS (SELECT s8.doc_id, CAST(round(s8.quality * 1000000) AS BIGINT) AS q_ppm
+                     FROM (${b("x8_quality_score")}) s8),
+          r AS (SELECT doc_id, q_ppm,
+                       row_number() OVER (ORDER BY q_ppm DESC, doc_id) AS rn,
+                       count(*) OVER () AS n
+                FROM q),
+          t AS (SELECT doc_id, q_ppm, CAST((rn - 1) * 10 // n AS INT) AS tile FROM r),
+          fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                 FROM documents),
+          dup AS (SELECT f.doc_id, CAST(g.cnt > 1 AS BIGINT) AS is_dup
+                  FROM fp f JOIN (SELECT fp, count(*) AS cnt FROM fp GROUP BY fp) g USING (fp)),
+          j AS (SELECT t.tile, t.q_ppm, dup.is_dup, length(d.text) AS chars
+                FROM t JOIN dup USING (doc_id) JOIN documents d USING (doc_id))
+          SELECT tile, count(*) AS n_docs,
+                 CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+                 CAST(SUM(q_ppm) // count(*) AS BIGINT) AS mean_q_ppm,
+                 CAST(SUM(chars) // count(*) AS BIGINT) AS mean_chars
+          FROM j GROUP BY tile ORDER BY tile""") +
     ("x52_quality_cut" ->
       s"""WITH q AS (SELECT s8.doc_id, d.lang,
                             CAST(round(s8.quality * 1000000) AS BIGINT) AS q_ppm

@@ -71,4 +71,36 @@ object TopFrac {
         (col("__full") || (col("__bnd") && col("__rn") <= col("__take")))
           .cast("int").as("keep"))
   }
+
+  /** Exact population n-tiles by (`scoreCol` desc, `idCol` asc) —
+    * "which decile is this row in" — without a corpus-sized sort: the
+    * [[keepTopFrac]] histogram refinement, ungrouped. The tile of the
+    * row at global rank r (1-based) is (r−1)·nTiles div n (0 = best).
+    * A bucket whose whole rank span lands in one tile labels every row
+    * at once; only the ≤ nTiles−1 boundary buckets consult the
+    * bucket-partitioned rank. The single unpartitioned window runs
+    * over the METADATA-sized histogram, never the corpus. Appends an
+    * integer `tile` column; `scoreCol` must be non-negative integral. */
+  def tiles(df: DataFrame, scoreCol: String, idCol: String,
+            nTiles: Int, coarseDiv: Long = 1000L): DataFrame = {
+    val scored = df.withColumn("__cb", expr(s"$scoreCol div $coarseDiv"))
+    val hist = scored.groupBy("__cb").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__cb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val decisions = hist
+      .withColumn("__cum", sum("__c").over(wCum))
+      .crossJoin(broadcast(hist.agg(sum("__c").as("__n"))))
+      .withColumn("__start", col("__cum") - col("__c") + 1)
+      .withColumn("__ts", expr(s"(__start - 1) * $nTiles div __n"))
+      .withColumn("__te", expr(s"(__cum - 1) * $nTiles div __n"))
+      .select(col("__cb"), col("__start"), col("__ts"), col("__te"), col("__n"))
+    val wBucket = Window.partitionBy("__cb").orderBy(col(scoreCol).desc, col(idCol))
+    scored.join(broadcast(decisions), Seq("__cb"))
+      .withColumn("__rn", row_number().over(wBucket))
+      .withColumn("tile",
+        when(col("__ts") === col("__te"), col("__ts"))
+          .otherwise(expr(s"(__start + __rn - 2) * $nTiles div __n"))
+          .cast("int"))
+      .drop("__cb", "__start", "__ts", "__te", "__n", "__rn")
+  }
 }
