@@ -75,9 +75,11 @@ import org.apache.spark.sql.functions.{col, length}
   * column of every row with no driver collect. Each timed run starts
   * from a cleared DataFrame-cache so it re-does all real work.
   *
-  * Nine queries are timed in their SERVICE shape. x41 (sketch
+  * Ten queries are timed in their SERVICE shape. x41 (sketch
   * accuracy) and x55 (ANN recall) are continuous index-quality
-  * monitors, and x61 (SemDeDup) probes a trained IVF index; their
+  * monitors, and x61 (SemDeDup) + x74 (semantic decontamination) probe
+  * the SAME trained IVF assignment table (that sharing is the service
+  * argument: one index, many consumers); their
   * self-contained gate forms rebuild the whole signature pipeline /
   * k-means per run — the right thing for the oracle (the whole path
   * sits under the hash check) and the wrong thing to time (a service
@@ -160,7 +162,8 @@ object Bench {
       "x75_source_overlap")
     val probes: Map[String, (SparkSession, String) => DataFrame] =
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
-                          || n == "x61_semdedup" || pairConsumers(n))) Map.empty
+                          || n == "x61_semdedup" || n == "x74_semantic_decontam"
+                          || pairConsumers(n))) Map.empty
       else try {
         import graft.sim.Similarity
         val emb = Tables.embeddings(spark, sfDir)
@@ -180,18 +183,29 @@ object Bench {
             graft.queries.TrainingData.annRecall(
               Tables.embeddings(s, d), s.read.parquet(idxDir + "/ann_bands")))
         }
-        if (names.contains("x61_semdedup")) {
+        if (names.contains("x61_semdedup")
+            || names.contains("x74_semantic_decontam")) {
           // the standing IVF index of the vector plane — trained once,
-          // probed by every dedup pass (the same amortization as the
-          // MinHash plane above; probe ≡ gate spec-pinned)
+          // probed by every dedup/decontam pass (the same amortization
+          // as the MinHash plane above; probe ≡ gate spec-pinned). x61
+          // and x74 probe the SAME assignment table — that sharing is
+          // the service argument itself.
           val (cent, asg) = Similarity.ivfIndex(emb, nlist = 16, iters = 2)
           asg.write.mode("overwrite").parquet(idxDir + "/ivf_assign")
           Similarity.ivfUnpersist(cent, asg)
-          m += "x61_semdedup" -> ((s: SparkSession, d: String) =>
-            Similarity.semDedupOnIndex(Tables.embeddings(s, d),
-                s.read.parquet(idxDir + "/ivf_assign"),
-                graft.queries.TrainingData.SemDedupThreshold)
-              .orderBy("vec_id"))
+          if (names.contains("x61_semdedup"))
+            m += "x61_semdedup" -> ((s: SparkSession, d: String) =>
+              Similarity.semDedupOnIndex(Tables.embeddings(s, d),
+                  s.read.parquet(idxDir + "/ivf_assign"),
+                  graft.queries.TrainingData.SemDedupThreshold)
+                .orderBy("vec_id"))
+          if (names.contains("x74_semantic_decontam"))
+            m += "x74_semantic_decontam" -> ((s: SparkSession, d: String) =>
+              Similarity.semanticContamOnIndex(Tables.embeddings(s, d),
+                  s.read.parquet(idxDir + "/ivf_assign"),
+                  col("vec_id") % 20 === 0,
+                  graft.queries.TrainingData.SemContamThreshold)
+                .orderBy("vec_id"))
         }
         if (names.exists(pairConsumers)) {
           // the standing DETECTOR PAIR TABLES — in a curation stack each

@@ -110,7 +110,18 @@ object Similarity {
   def semanticContam(emb: DataFrame, isBench: Column, threshold: Double,
                      nlist: Int = 16, iters: Int = 2): DataFrame = {
     val (_, asg) = ivfIndex(emb, nlist, iters)
-    val a = asg.select(col("vec_id"), col("cluster"))
+    semanticContamOnIndex(emb, asg, isBench, threshold)
+  }
+
+  /** [[semanticContam]]'s verdict off a standing (vec_id, cluster)
+    * assignment table — the service shape, exactly [[semDedupOnIndex]]'s
+    * relationship to [[semDedup]]: the IVF index is trained once and
+    * every screen pass probes it (the bench reuses the SAME persisted
+    * assignment table for x61 and x74). Probe ≡ gate is spec-pinned
+    * across a parquet round trip. */
+  def semanticContamOnIndex(emb: DataFrame, assignments: DataFrame,
+                            isBench: Column, threshold: Double): DataFrame = {
+    val a = assignments.select(col("vec_id"), col("cluster"))
     val bench = a.filter(isBench).select(col("vec_id").as("bid"), col("cluster"))
     val train = a.filter(!isBench).select(col("vec_id").as("tid"), col("cluster"))
     val cand = train.join(bench, Seq("cluster")).select("tid", "bid")

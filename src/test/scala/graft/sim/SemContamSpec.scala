@@ -43,6 +43,21 @@ class SemContamSpec extends SparkSpecBase {
     v.unpersist()
   }
 
+  test("probe over a parquet-persisted assignment table equals the gate form") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val isBench = col("vec_id") % 20 === 0
+    val tau = TrainingData.SemContamThreshold
+    val gate = Similarity.semanticContam(emb, isBench, tau)
+      .collect().map(_.mkString("|")).toSet
+    val (cent, asg) = Similarity.ivfIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("semcontam-idx").toString
+    asg.write.mode("overwrite").parquet(dir)
+    Similarity.ivfUnpersist(cent, asg)
+    val probe = Similarity.semanticContamOnIndex(emb, spark.read.parquet(dir), isBench, tau)
+      .collect().map(_.mkString("|")).toSet
+    assert(probe === gate)
+  }
+
   test("cluster-blocked flags are a subset of brute-force contamination") {
     val emb = Tables.embeddings(spark, sfDir)
     val flagged = TrainingData.queries("x74_semantic_decontam")(spark, sfDir)
