@@ -45,4 +45,17 @@ class SnapshotDriftSpec extends SparkSpecBase {
     assert(sum2 <= 1000000L && sum2 > 1000000L - rows.length, "v2 shares ≈ 1e6")
     assert(rows.map(_.getLong(7)).sum === sum2 - sum1, "deltas conserve mass")
   }
+
+  test("drift and overlap tables are partition-invariant") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    val d1 = fold(TrainingData.queries("x76_snapshot_drift")(spark, sfDir))
+    // same query over a differently-partitioned scan must be identical
+    // (integer div + bounded-key aggregate: no order sensitivity)
+    val pairs = Dedup.minhashNearDups(docs, 0.5)
+    assert(fold(TrainingData.sourceOverlap(pairs.repartition(7), docs.repartition(5)))
+      === fold(TrainingData.sourceOverlap(pairs, docs)))
+    assert(d1 === fold(TrainingData.queries("x76_snapshot_drift")(spark, sfDir)))
+  }
 }

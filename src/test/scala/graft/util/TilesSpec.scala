@@ -28,6 +28,13 @@ class TilesSpec extends SparkSpecBase {
       .filter(col("tile") =!= col("exp")).count() === 0)
   }
 
+  test("tile labels are partition-invariant") {
+    val df = (1L to 400L).map(i => (i, (i * 13 % 97) * 5)).toDF("id", "s")
+    def labels(p: Int) = TopFrac.tiles(df.repartition(p), "s", "id", 10, 50L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(labels(1) === labels(7))
+  }
+
   test("single bucket and single tile degenerate cases") {
     val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "s")
     val one = TopFrac.tiles(df, "s", "id", 1, coarseDiv = 1000L)
