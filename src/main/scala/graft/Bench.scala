@@ -75,7 +75,7 @@ import org.apache.spark.sql.functions.{col, length}
   * column of every row with no driver collect. Each timed run starts
   * from a cleared DataFrame-cache so it re-does all real work.
   *
-  * Ten queries are timed in their SERVICE shape. x41 (sketch
+  * Eleven queries are timed in their SERVICE shape. x41 (sketch
   * accuracy) and x55 (ANN recall) are continuous index-quality
   * monitors, and x61 (SemDeDup) + x74 (semantic decontamination) probe
   * the SAME trained IVF assignment table (that sharing is the service
@@ -99,7 +99,24 @@ import org.apache.spark.sql.functions.{col, length}
   * `componentKeepers`) over the parquet scan — probe ≡ gate pinned by
   * PairPlaneProbeSpec. x4/x6 stay self-contained: they ARE the
   * detector benchmarks, so the pair-pipeline cost is still measured,
-  * once, where it belongs.
+  * once, where it belongs. The eleventh is q_bucketed_join: the
+  * prelude writes the bucketed lineitem/orders layout once, untimed —
+  * a warehouse writes its layout once, not per query — and the timed
+  * form is the exchange-free SMJ over it (BucketedLayout.bucketedJoinAgg,
+  * the same function the gate runs after materializing inline);
+  * q_join_plain_layout times the identical join over plain parquet, so
+  * BENCH carries the layout delta as a measured pair.
+  *
+  * The aggregate line is ALSO written to `target/bench_summary.json`:
+  * the driver captures only the tail of stdout, and one r8 artifact
+  * lost its per-query map to that truncation — the file makes the
+  * artifact self-sufficient regardless of what survives the pipe.
+  *
+  * A query that errors AFTER producing timed samples (e.g. a watchdog
+  * timeout on pass 3) keeps its median but carries the failure as
+  * `partial_err` on its summary line and in the aggregate's
+  * `partial_errs`/`n_partial_err` — failure is recorded, never
+  * swallowed, even when it doesn't cost the timing.
   */
 object Bench {
 
@@ -119,6 +136,18 @@ object Bench {
       val mn = sorted.head
       Resolved(med, mn, sorted.size, degraded = false,
         stall = sorted.size >= 2 && med / mn > 3.0)
+    }
+
+  /** Pure query-state resolution: an error BEFORE any timed sample is a
+    * terminal Err (Left); an error AFTER samples exist keeps the timing
+    * but carries the failure as a partial error (Right's second slot) —
+    * the late-pass-timeout case that must surface in the summary, not
+    * vanish into the per-run log (spec: BenchResolutionSpec). */
+  def resolveState(err: Option[String], samples: Seq[Double],
+                   warm: Double): Either[String, (Resolved, Option[String])] =
+    err match {
+      case Some(e) if samples.isEmpty => Left(e)
+      case partial => Right((resolve(samples, warm), partial))
     }
 
   private def jstr(s: String): String =
@@ -163,7 +192,7 @@ object Bench {
     val probes: Map[String, (SparkSession, String) => DataFrame] =
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
                           || n == "x61_semdedup" || n == "x74_semantic_decontam"
-                          || pairConsumers(n))) Map.empty
+                          || n == "q_bucketed_join" || pairConsumers(n))) Map.empty
       else try {
         import graft.sim.Similarity
         val emb = Tables.embeddings(spark, sfDir)
@@ -248,6 +277,15 @@ object Bench {
           if (names.contains("x75_source_overlap"))
             m += "x75_source_overlap" -> ((s: SparkSession, d: String) =>
               TrainingData.sourceOverlap(mhPairs(s), Tables.documents(s, d)))
+        }
+        if (names.contains("q_bucketed_join")) {
+          // the standing WAREHOUSE LAYOUT — written once, ridden by
+          // every orderkey-grain join after; the timed form is the
+          // exchange-free SMJ the gate query runs after its inline
+          // materialize (same function, BucketedLayoutSpec pins ≡)
+          graft.sources.BucketedLayout.materialize(spark, sfDir)
+          m += "q_bucketed_join" -> ((s: SparkSession, _: String) =>
+            graft.sources.BucketedLayout.bucketedJoinAgg(s))
         }
         System.err.println(f"[bench] index prelude done at $elapsed%.1f s (untimed)")
         m.result()
@@ -345,24 +383,26 @@ object Bench {
     // fallback only when the budget allowed no timed run at all.
     sealed trait Res
     case class Ok(med: Double, min: Double, runs: Int, planned: Int,
-                  warm: Double, degraded: Boolean, stall: Boolean) extends Res
+                  warm: Double, degraded: Boolean, stall: Boolean,
+                  partialErr: Option[String]) extends Res
     case class Err(msg: String) extends Res
     val resolved: Seq[(String, Res)] = states.map { st =>
-      val res: Res = st.err match {
-        case Some(e) if st.samples.isEmpty => Err(e)
-        case _ =>
-          val r = resolve(st.samples.toSeq, st.warm)
+      val res: Res = resolveState(st.err, st.samples.toSeq, st.warm) match {
+        case Left(e) => Err(e)
+        case Right((r, partial)) =>
           if (r.stall) System.err.println(
             f"[bench][STALL] ${st.name}: median ${r.sec}%.2f s vs min " +
               f"${r.min}%.2f s (${r.sec / r.min}%.1f×) — host contention " +
               "suspected; min is the trustworthy number")
-          Ok(r.sec, r.min, r.runs, st.planned, st.warm, r.degraded, r.stall)
+          Ok(r.sec, r.min, r.runs, st.planned, st.warm, r.degraded, r.stall,
+            partial)
       }
       res match {
-        case Ok(med, mn, runs, planned, warm, deg, stall) =>
+        case Ok(med, mn, runs, planned, warm, deg, stall, partial) =>
           emit(s"""{"query":${jstr(st.name)},"sec":$med,"min":$mn,"runs":$runs,""" +
             s""""planned":$planned,"warm":$warm,"degraded":$deg,""" +
-            s""""stall_suspect":$stall,"err":null}""")
+            s""""stall_suspect":$stall,"err":null,""" +
+            s""""partial_err":${partial.map(jstr).getOrElse("null")}}""")
         case Err(e) =>
           emit(s"""{"query":${jstr(st.name)},"sec":null,"err":${jstr(e)}}""")
       }
@@ -387,13 +427,28 @@ object Bench {
     if (stalls.nonEmpty) System.err.println(
       s"[bench][STALL] ${stalls.size} quer${if (stalls.size == 1) "y" else "ies"} " +
         s"flagged stall_suspect (median/min > 3×): ${stalls.map(_._1).mkString(", ")}")
+    val partials = ok.collect { case (n, o) if o.partialErr.isDefined =>
+      n -> o.partialErr.get }
+    val partialJson = partials.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    if (partials.nonEmpty) System.err.println(
+      s"[bench] ${partials.size} quer${if (partials.size == 1) "y" else "ies"} " +
+        s"errored after producing timed samples: ${partials.map(_._1).mkString(", ")}")
     // `value` is the CLEAN total only: warmup-fallback rows (planning +
     // codegen compile time) must not poison round-over-round comparison.
-    println(s"""{"metric":"total","value":$totalClean,"unit":"sec","queries":$qs,""" +
+    val aggregate =
+      s"""{"metric":"total","value":$totalClean,"unit":"sec","queries":$qs,""" +
       s""""mins":$mins,"total_min":$totalMin,"total_degraded":$totalDegraded,""" +
       s""""errors":$errJson,"degraded":$degJson,"stall_suspect":$stallJson,""" +
-      s""""n_ok":${ok.size},"n_err":${errs.size},"n_degraded":${degraded.size},""" +
-      s""""wall":$elapsed,"sf":${jstr(sfDir)}}""")
+      s""""partial_errs":$partialJson,"n_ok":${ok.size},"n_err":${errs.size},""" +
+      s""""n_degraded":${degraded.size},"n_partial_err":${partials.size},""" +
+      s""""wall":$elapsed,"sf":${jstr(sfDir)}}"""
+    println(aggregate)
+    // the stdout tail is all the driver keeps; the file is the
+    // self-sufficient copy of the same line
+    new java.io.File("target").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_summary.json"), aggregate + "\n")
     spark.stop()
   }
 }

@@ -1003,14 +1003,6 @@ object TrainingData {
     "x51_bigram_lm" -> ((s, d) =>
       graft.text.BigramLm.scoreDocs(Tables.documents(s, d)).orderBy("doc_id")),
 
-    // Exact per-language top-30% quality cut — dynamic data-mix
-    // curation where the threshold is RESOLVED FROM THE DATA, selected
-    // exactly, and never sorts a group in one task: coarse score
-    // histogram (map-combined, metadata-sized) → cumulative bucket
-    // decisions → exact rank window over ONLY the boundary bucket
-    // (~1/1000 of each group). The naive rank-window form would funnel
-    // the dominant language through a single task at 100 TB (see
-    // graft.util.TopFrac; spec proves ≡ the global rank).
     // Cross-signal calibration profile of the quality score: per
     // population decile of the x8/x52 integer score (tile 0 = best),
     // document count, exact-duplicate membership and mean length — the
@@ -1043,6 +1035,14 @@ object TrainingData {
         .orderBy("tile")
     }),
 
+    // Exact per-language top-30% quality cut — dynamic data-mix
+    // curation where the threshold is RESOLVED FROM THE DATA, selected
+    // exactly, and never sorts a group in one task: coarse score
+    // histogram (map-combined, metadata-sized) → cumulative bucket
+    // decisions → exact rank window over ONLY the boundary bucket
+    // (~1/1000 of each group). The naive rank-window form would funnel
+    // the dominant language through a single task at 100 TB (see
+    // graft.util.TopFrac; spec proves ≡ the global rank).
     "x52_quality_cut" -> ((s, d) => {
       val q = TextFunctions.withTextSignals(Tables.documents(s, d),
         langCol = None, nTokensCol = None)

@@ -18,13 +18,20 @@ object Skew {
   /** Salted equi-join: the big side gets a salt in [0, saltFactor); the
     * small side is replicated saltFactor× with every salt value, so a hot
     * key's rows spread over saltFactor tasks instead of one. Use when the
-    * small side is too big to broadcast but small enough to replicate. */
+    * small side is too big to broadcast but small enough to replicate.
+    *
+    * `smallHint` (e.g. Some("shuffle_hash")) attaches a join-strategy
+    * hint to the replicated side — at test scale the replicated dim
+    * would still broadcast, which silently removes the very shuffle the
+    * salt exists to spread; the hint pins the shuffled strategy the
+    * 100 TB regime forces anyway. */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
-                 saltFactor: Int = 8): DataFrame = {
+                 saltFactor: Int = 8, smallHint: Option[String] = None): DataFrame = {
     val saltedBig = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
-    val replicatedSmall = small.withColumn("__salt",
+    val replicated = small.withColumn("__salt",
       explode(lit((0L until saltFactor.toLong).toArray)))
+    val replicatedSmall = smallHint.fold(replicated)(replicated.hint(_))
     saltedBig.join(replicatedSmall,
         saltedBig(bigKey) === replicatedSmall(smallKey) &&
         saltedBig("__salt") === replicatedSmall("__salt"))

@@ -44,4 +44,26 @@ class BenchResolutionSpec extends AnyFunSuite {
     val r = Bench.resolve(Nil, warm = 7.5)
     assert(r.sec === 7.5 && r.runs === 0 && r.degraded && !r.stall)
   }
+
+  test("an error before any timed sample is terminal") {
+    assert(Bench.resolveState(Some("boom on warmup"), Nil, warm = 1.0) ===
+      Left("boom on warmup"))
+  }
+
+  test("an error AFTER timed samples keeps the timing and surfaces as partial_err") {
+    // the late-pass-watchdog case: pass 1+2 succeeded, pass 3 timed out —
+    // previously the summary reported err:null and the failure survived
+    // only in per-run progress lines
+    val Right((r, partial)) =
+      Bench.resolveState(Some("exceeded the 180.0 s per-query watchdog"),
+        Seq(2.4, 2.5), warm = 9.0): @unchecked
+    assert(r.sec === 2.4 && r.runs === 2 && !r.degraded)
+    assert(partial === Some("exceeded the 180.0 s per-query watchdog"))
+  }
+
+  test("no error resolves with no partial_err") {
+    val Right((r, partial)) =
+      Bench.resolveState(None, Seq(1.0), warm = 1.0): @unchecked
+    assert(r.runs === 1 && partial.isEmpty)
+  }
 }

@@ -41,6 +41,23 @@ class SkewSpec extends SparkSpecBase {
     }
   }
 
+  test("q_skew_plain ≡ q_skew_salted, and both actually shuffle (no broadcast escape)") {
+    val plain = graft.queries.Relational.queries("q_skew_plain")(spark, sfDir)
+    val salted = graft.queries.Relational.queries("q_skew_salted")(spark, sfDir)
+    assert(plain.collect().map(_.toString).toSeq ===
+           salted.collect().map(_.toString).toSeq)
+    Seq("plain" -> plain, "salted" -> salted).foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"),
+        s"$n must keep the shuffled strategy the 100 TB regime forces:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$n silently broadcast — the skew demo measures nothing:\n$p")
+    }
+    // the salted join key really is (key, salt): both columns in the join
+    val saltedPlan = salted.queryExecution.executedPlan.toString
+    assert(saltedPlan.contains("__salt"), s"salt column missing from plan:\n$saltedPlan")
+  }
+
   test("twoPhaseCollectSet equals the sorted plain collect_set per key") {
     val direct = orders.groupBy("o_custkey")
       .agg(array_sort(collect_set("o_orderstatus")).as("set_o_orderstatus"))
