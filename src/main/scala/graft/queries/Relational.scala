@@ -889,6 +889,53 @@ object Relational {
         .orderBy(desc("custdist"), desc("c_count"))
     }),
 
+    // J20 (TPC-H Q16 shape): supplier-part relationship counts — the
+    // NOT IN exclusion subquery plus COUNT(DISTINCT) over the
+    // relationship grain. The oracle keeps the NOT IN form; with a
+    // non-nullable key (s_suppkey, by schema) NOT IN ≡ LEFT ANTI, which
+    // is what the engine plans — the anti join runs against the
+    // BROADCAST 6-row exclusion set BEFORE the part join, so excluded
+    // suppliers' pairs never shuffle further. (A nullable exclusion
+    // key would need Spark's null-aware anti join — the SQL entry
+    // point plans exactly that from the same NOT IN text.) The
+    // relationship grain dedups (partkey, suppkey) in one fact
+    // shuffle; COUNT(DISTINCT suppkey) then rides the
+    // (brand, type, size) aggregate with suppkey as the expand key.
+    "j20_supplier_part_counts" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val badSupp = broadcast(Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey"))
+      val qualParts = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#3" && !col("p_type").like("PROMO%") &&
+          col("p_size").isin(5, 10, 15, 20, 25, 30))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      ps.join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(qualParts, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // J21 (TPC-H Q11 shape): value concentration — HAVING against a
+    // scalar subquery over the SAME aggregate (parts whose revenue
+    // exceeds 1/1500 of the corpus total). The per-part aggregate is
+    // built ONCE; the global total re-aggregates that same subtree, so
+    // Catalyst's ReuseExchange collapses the two identical partial-agg
+    // exchanges into one — the fact is scanned and shuffled once, not
+    // twice (spec pins the ReusedExchange/table-cache-free reuse). The
+    // threshold comparison is float-free: value·1500 > Σvalue in exact
+    // decimal, identical on both engines; the 1-row total broadcasts.
+    "j21_part_value_share" -> ((s, d) => {
+      val pv = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value"))
+      val total = pv.agg(sum("value").as("total"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value") * 1500 > col("total"))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
+        .orderBy(desc("value"), col("l_partkey"))
+    }),
+
     // Q-SKEW (SURVEY §6.1 mitigation row, measured): the same
     // deliberately skewed join — ~80% of the fact collapsed onto ONE
     // supplier key — computed plain and salted. `shuffle_hash` on the
@@ -1370,6 +1417,24 @@ object Relational {
                GROUP BY c_custkey) cc
          GROUP BY c_count
          ORDER BY custdist DESC, c_count DESC""",
+    // the NOT IN form — with non-null keys ≡ the engine's LEFT ANTI
+    "j20_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+           AND p_size IN (5, 10, 15, 20, 25, 30)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // the scalar subquery re-reads the same aggregate the outer query
+    // groups — the exchange-reuse shape, float-free threshold
+    "j21_part_value_share" ->
+      """WITH pv AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+                     FROM lineitem GROUP BY 1)
+         SELECT l_partkey, CAST(value AS DOUBLE) AS value
+         FROM pv WHERE value * 1500 > (SELECT SUM(value) FROM pv)
+         ORDER BY value DESC, l_partkey""",
     // one oracle, two plans: plain and salted must hash-match it
     "q_skew_plain" -> SkewOracle,
     "q_skew_salted" -> SkewOracle,

@@ -75,6 +75,37 @@ class TpchSubquerySpec extends SparkSpecBase {
     }
   }
 
+  test("j20: Dataset LEFT ANTI ≡ the SQL NOT IN form (non-null key), anti before part join") {
+    val api = Relational.queries("j20_supplier_part_counts")(spark, sfDir)
+    Tables.registerAll(spark, sfDir)
+    // the same query through the SQL entry point, NOT IN text intact —
+    // Spark plans the null-aware variant from this form; with a
+    // non-nullable key both must produce identical rows
+    val sql = spark.sql(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+           AND p_size IN (5, 10, 15, 20, 25, 30)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    assert(api.collect().map(_.toString).toSeq === sql.collect().map(_.toString).toSeq)
+    val plan = api.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$plan")
+  }
+
+  test("j21: the scalar-subquery aggregate reuses the outer aggregate's exchange") {
+    val df = Relational.queries("j21_part_value_share")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    // pre-AQE the identical partial-agg exchanges appear twice; at
+    // runtime stage reuse must collapse them so the fact shuffles once
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"expected the duplicated partial-agg exchange to be reused:\n$plan")
+  }
+
   test("j19: LEFT OUTER survives, residual stays in the join (zero-count customers kept)") {
     val df = Relational.queries("j19_order_distribution")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
