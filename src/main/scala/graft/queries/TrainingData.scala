@@ -716,6 +716,27 @@ object TrainingData {
         floor(col("start_offset") / budget).as("bin_id"))
   }
 
+  /** The deterministic PII plant for x78: text prefix + id-derived
+    * email (always), second email (id%3=0), phone (id%2=0), IPv4
+    * (id%5=0). The oracle re-plants the identical text in SQL, so the
+    * hash gate verifies the SCRUB, not the synthesis. */
+  private def piiPlanted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 80),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or mail"), (col("doc_id") % 100).cast("string"), lit("@site.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(", call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(lit("")),
+        lit(" end")).as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- deduplication ----------------
@@ -1033,6 +1054,30 @@ object TrainingData {
           expr("sum_q div n_docs").as("mean_q_ppm"),
           expr("sum_chars div n_docs").as("mean_chars"))
         .orderBy("tile")
+    }),
+
+    // X91: PII scrub — typed redaction (emails / IPv4s / phone-shaped
+    // numbers → placeholders) with per-type audit counts, the stage
+    // every public-web corpus passes before tokenization. The driver
+    // corpus is letters-and-spaces word salad with no PII to find, so
+    // the query PLANTS deterministic PII derived from doc_id (the same
+    // device as the multimodal fake-codec rows: the plumbing is real,
+    // the payload synthetic) — conditional plants (second email on
+    // id%3, phone on id%2, IP on id%5) so counts VARY per doc and the
+    // oracle reproduces the identical planted text before scrubbing.
+    // Everything is per-row codegen'd projection — no shuffle, the
+    // at-scale cost is pure regex CPU (graft.text.PiiScrub; patterns
+    // single-sourced into both engines' plans).
+    "x78_pii_scrub" -> ((s, d) => {
+      import graft.text.PiiScrub
+      val planted = piiPlanted(Tables.documents(s, d))
+      planted.select(
+        col("doc_id"),
+        PiiScrub.count(col("text"), PiiScrub.EmailPattern).as("n_emails"),
+        PiiScrub.count(col("text"), PiiScrub.IpPattern).as("n_ips"),
+        PiiScrub.count(col("text"), PiiScrub.PhonePattern).as("n_phones"),
+        PiiScrub.scrub(col("text")).as("clean"))
+        .orderBy("doc_id")
     }),
 
     // Exact per-language top-30% quality cut — dynamic data-mix
@@ -2486,6 +2531,35 @@ object TrainingData {
                      + 0.4 * (1.0 - np / greatest(length(text), 1))
                      + 0.2 * (nstop / greatest(len(t), 1)), 6) AS quality
           FROM m ORDER BY doc_id""",
+    // identical planted text, identical pattern strings (single-sourced
+    // from PiiScrub) — the hash gate verifies the scrub itself
+    "x78_pii_scrub" -> {
+      import graft.text.PiiScrub._
+      s"""WITH planted AS (
+            SELECT doc_id,
+                   substr(text, 1, 80)
+                   || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' or mail' || CAST(doc_id % 100 AS VARCHAR) || '@site.org'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN ', call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                           ELSE '' END
+                   || ' end' AS text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$EmailPattern')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$IpPattern')) AS INT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '$PhonePattern')) AS INT) AS n_phones,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '$EmailPattern', '<EMAIL>', 'g'),
+                   '$IpPattern', '<IP>', 'g'),
+                   '$PhonePattern', '<PHONE>', 'g') AS clean
+          FROM planted ORDER BY doc_id"""
+    },
     "x9_token_stats" ->
       """SELECT doc_id,
                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_ws_tokens,

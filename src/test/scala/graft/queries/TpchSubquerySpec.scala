@@ -23,6 +23,11 @@ class TpchSubquerySpec extends SparkSpecBase {
       s"the all-time and 1997 aggregates must share one fact scan:\n$plan")
     assert("LeftSemi".r.findAllIn(plan).length === 2,
       s"expected the nation gate + qualifying-pairs chain as two semi joins:\n$plan")
+    // the dim filters must reach their parquet scans, not evaluate post-scan
+    assert(plan.contains("StringStartsWith(p_name,small)"),
+      s"part-name prefix not pushed:\n$plan")
+    assert(plan.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter not pushed:\n$plan")
   }
 
   test("j17: qualifying pairs respect the excess rule against a direct recompute") {
