@@ -310,12 +310,33 @@ object Relational {
     }),
 
     // A3 at scale: HLL approximate distinct (the 100 TB path for
-    // uniqueness checks). Approximation is engine-specific → rows-only.
-    "a15_approx_distinct" -> ((s, d) =>
+    // uniqueness checks), gated as its ACCURACY AUDIT — the x41/x55
+    // pattern: the exact side is the audit's intrinsic cost, the
+    // production form is approx-only (A3 carries the exact surface).
+    // The HLL++ estimate itself is engine-specific, so it can't be
+    // hash-compared — but it IS deterministic (register merges are max:
+    // commutative, associative, partition-order-insensitive;
+    // A15DeterminismSpec pins estimate invariance under repartition),
+    // so the RELATIVE-ERROR VERDICT against the exact count is a
+    // deterministic boolean both engines can state: the oracle asserts
+    // the exact counts and TRUE; a drifting sketch flips the bit and
+    // the hash gate goes red. rsd=0.02 keeps ~2.5× margin on the 5 %
+    // verdict bound at every tested cardinality (2k-147k).
+    "a15_approx_distinct" -> ((s, d) => {
+      def within5pct(approx: org.apache.spark.sql.Column,
+                     exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        abs(approx.cast("double") - exact.cast("double")) <=
+          exact.cast("double") * 0.05
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orderkeys"),
-        approx_count_distinct(col("l_partkey")).as("approx_partkeys"),
-        count(lit(1)).as("n_rows"))),
+          countDistinct(col("l_orderkey")).as("exact_orderkeys"),
+          countDistinct(col("l_partkey")).as("exact_partkeys"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          count(lit(1)).as("n_rows"))
+        .select(col("exact_orderkeys"), col("exact_partkeys"), col("n_rows"),
+          within5pct(col("ao"), col("exact_orderkeys")).as("orderkeys_within_5pct"),
+          within5pct(col("ap"), col("exact_partkeys")).as("partkeys_within_5pct"))
+    }),
 
     // W2: RANGE-framed window (30-day trailing spend per customer) —
     // value-based frames, unlike W1's row frames.
@@ -1417,6 +1438,15 @@ object Relational {
                GROUP BY c_custkey) cc
          GROUP BY c_count
          ORDER BY custdist DESC, c_count DESC""",
+    // the audit form: exact counts verified outright; the HLL verdict
+    // bits must be TRUE or the sketch drifted past its bound
+    "a15_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orderkeys,
+                count(DISTINCT l_partkey) AS exact_partkeys,
+                count(*) AS n_rows,
+                TRUE AS orderkeys_within_5pct,
+                TRUE AS partkeys_within_5pct
+         FROM lineitem""",
     // the NOT IN form — with non-null keys ≡ the engine's LEFT ANTI
     "j20_supplier_part_counts" ->
       """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
