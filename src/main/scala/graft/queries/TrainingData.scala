@@ -737,6 +737,20 @@ object TrainingData {
           .otherwise(lit("")),
         lit(" end")).as("text"))
 
+  /** The deterministic line plant for x79: per-doc prefix line, one
+    * global boilerplate line (df = n), one even-docs line (df = n/2),
+    * one unique signature line (df = 1). The oracle re-plants the
+    * identical text, so the hash gate verifies split + df cut +
+    * order-preserving reassembly, not the synthesis. */
+  private def linePlanted(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 60),
+        lit("\nsubscribe to our newsletter today"),
+        when(col("doc_id") % 2 === 0, lit("\nfollow us on social media"))
+          .otherwise(lit("")),
+        lit("\nsignature of doc "), col("doc_id").cast("string")).as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- deduplication ----------------
@@ -1054,6 +1068,43 @@ object TrainingData {
           expr("sum_q div n_docs").as("mean_q_ppm"),
           expr("sum_chars div n_docs").as("mean_chars"))
         .orderBy("tile")
+    }),
+
+    // X92: line-level boilerplate removal (the CCNet line-dedup stage)
+    // — the REWRITING companion to X48's boilerplate detection: split
+    // every document into lines, drop each line whose document
+    // frequency exceeds 5 % of the corpus (nav/footer/subscribe chrome
+    // repeats across unrelated pages; real content doesn't), and
+    // REASSEMBLE the surviving lines in original order. The driver
+    // corpus is single-line word salad, so the query plants a
+    // deterministic line structure (per-doc prefix + one global
+    // boilerplate line + one even-docs-only line + a unique signature
+    // line; the oracle re-plants identically — the gate verifies the
+    // line split, the df cut and the ORDER-PRESERVING reassembly).
+    // Shuffle structure: one line-keyed df aggregate (map-combined:
+    // boilerplate lines concentrate COUNTS, not rows), the df verdict
+    // joins back on the line key, and reassembly is one doc-keyed
+    // aggregate whose array_sort runs over lines-per-doc, never the
+    // corpus. The 5 % cut is integer (df·20 ≤ n_docs, broadcast 1-row
+    // total) — no float threshold to disagree on.
+    "x79_line_dedup" -> ((s, d) => {
+      val planted = linePlanted(Tables.documents(s, d))
+      val lines = planted.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      val lineDf = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      lines
+        .join(lineDf, Seq("line"))
+        .crossJoin(broadcast(total))
+        .filter(col("line_df") * 20 <= col("n_docs"))
+        .groupBy("doc_id")
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+              x => x.getField("line")), "\n").as("clean"),
+          count(lit(1)).as("n_kept"))
+        .orderBy("doc_id")
     }),
 
     // X91: PII scrub — typed redaction (emails / IPv4s / phone-shaped
@@ -2531,6 +2582,29 @@ object TrainingData {
                      + 0.4 * (1.0 - np / greatest(length(text), 1))
                      + 0.2 * (nstop / greatest(len(t), 1)), 6) AS quality
           FROM m ORDER BY doc_id""",
+    // identical planted lines; the gate verifies split + 5% df cut +
+    // ORDER BY pos reassembly (string_agg with explicit ordering)
+    "x79_line_dedup" ->
+      """WITH planted AS (
+            SELECT doc_id,
+                   substr(text, 1, 60)
+                   || chr(10) || 'subscribe to our newsletter today'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'follow us on social media'
+                           ELSE '' END
+                   || chr(10) || 'signature of doc ' || CAST(doc_id AS VARCHAR) AS text
+            FROM documents),
+          larr AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted),
+          lines AS (SELECT doc_id, i - 1 AS pos, arr[i] AS line
+                    FROM larr, unnest(range(1, len(arr) + 1)) AS u(i)),
+          df AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1),
+          tot AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean,
+                 count(*) AS n_kept
+          FROM lines JOIN df USING (line), tot
+          WHERE line_df * 20 <= n_docs
+          GROUP BY doc_id ORDER BY doc_id""",
     // identical planted text, identical pattern strings (single-sourced
     // from PiiScrub) — the hash gate verifies the scrub itself
     "x78_pii_scrub" -> {
