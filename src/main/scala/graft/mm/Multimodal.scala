@@ -41,6 +41,26 @@ object Multimodal {
         i => media.substr(i * stride + 1, lit(frameLen))))
       .otherwise(array().cast("array<binary>"))
 
+  /** Byte-domain decimation "resize" — the thumbnail operator (every
+    * stride-th byte of the payload, at most `target` of them, emitted
+    * as a lowercase hex string) expressed as a pure codegen'd
+    * expression: stride = max(1, ⌊n/target⌋), so any payload collapses
+    * to ≤ target bytes. A real image resize happens inside the codec
+    * ([[decodeFeatures]]'s per-partition shape); this is the
+    * payload-side decimation a pipeline uses for cheap dedup keys and
+    * previews without decoding — and it keeps blobs OUT of shuffles
+    * (ship the ≤ target-byte thumb, not the media). */
+  def resizeHex(media: Column, target: Int = 16): Column = {
+    val n = length(media)
+    val stride = greatest(lit(1), floor(n / lit(target)).cast("int"))
+    val lastIdx = least(lit(target - 1), floor((n - lit(1)) / stride).cast("int"))
+    when(n > 0,
+      array_join(
+        transform(sequence(lit(0), lastIdx),
+          i => lower(hex(media.substr(i * stride + 1, lit(1))))), ""))
+      .otherwise(lit(""))
+  }
+
   /** One extracted feature row per media item. `feat` is the stub
     * "embedding" (see [[decodeFeatures]]). */
   case class MediaFeature(doc_id: Long, n_bytes: Int, n_frames: Int, feat: Array[Double])

@@ -1882,6 +1882,21 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // X93: payload resize/decimation — the thumbnail operator (byte-
+    // domain stride decimation to ≤16 bytes, hex-encoded) as a pure
+    // codegen'd expression; the cheap preview/dedup key a pipeline
+    // derives WITHOUT decoding, and the blob-free column that travels
+    // through shuffles in the media's place. Oracle recomputes the
+    // identical decimation from the hex encoding.
+    "x80_mm_resize" -> ((s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d))
+      media.select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        Multimodal.resizeHex(col("media"), 16).as("thumb_hex"))
+        .orderBy("doc_id")
+    }),
+
     // mapPartitions decode stub (per-partition codec-init shape) —
     // deterministic fake features. The feat vector explodes to one
     // scalar row per element so every column is hashable, and the
@@ -2858,6 +2873,21 @@ object TrainingData {
          SELECT h.doc_id, h.n_bytes, h.n_frames, f.feat_idx, f.val
          FROM hdr h LEFT JOIN flat f USING (doc_id)
          ORDER BY doc_id, feat_idx""",
+    // identical decimation recomputed from the hex encoding
+    "x80_mm_resize" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                           octet_length(encode(text)) AS n
+                    FROM documents),
+          p AS (SELECT doc_id, hx, n, greatest(1, n // 16) AS stride FROM b),
+          idx AS (SELECT doc_id, hx, stride,
+                         unnest(generate_series(0, least(15, (n - 1) // stride))) AS i
+                  FROM p WHERE n > 0),
+          th AS (SELECT doc_id,
+                        string_agg(lower(substring(hx, i * stride * 2 + 1, 2)), '' ORDER BY i) AS thumb_hex
+                 FROM idx GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n AS INT) AS n_bytes,
+                coalesce(th.thumb_hex, '') AS thumb_hex
+         FROM b LEFT JOIN th USING (doc_id) ORDER BY doc_id""",
     "x14_mm_features" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS n_bytes,

@@ -26,6 +26,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(lens.map(_.getInt(0)).toSet === Set(64))
   }
 
+  test("resizeHex decimates to at most 16 bytes and round-trips the stride rule") {
+    val res = media.select(col("doc_id"), length(col("media")).as("n"),
+      Multimodal.resizeHex(col("media"), 16).as("thumb"))
+    // ≤ 16 bytes = ≤ 32 hex chars, and non-empty payloads yield non-empty thumbs
+    assert(res.filter(length(col("thumb")) > 32).count() === 0)
+    assert(res.filter(col("n") > 0 && length(col("thumb")) === 0).count() === 0)
+    // payloads of ≥ 16 bytes always fill all 16 sample slots
+    assert(res.filter(col("n") >= 16 && length(col("thumb")) =!= 32).count() === 0)
+    // spot-check the stride rule on one row against a driver-side recompute
+    val row = media.select(col("media"), Multimodal.resizeHex(col("media"), 16))
+      .first()
+    val bytes = row.getAs[Array[Byte]](0)
+    val stride = math.max(1, bytes.length / 16)
+    val expect = (0 to math.min(15, (bytes.length - 1) / stride))
+      .map(i => f"${bytes(i * stride) & 0xff}%02x").mkString
+    assert(row.getString(1) === expect)
+  }
+
   test("decodeFeatures is deterministic and emits 3 features per frame") {
     val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
