@@ -957,6 +957,212 @@ object Relational {
         .orderBy(desc("value"), col("l_partkey"))
     }),
 
+    // J22 (TPC-H Q7 shape): volume shipping between two nations — the
+    // DISJUNCTIVE nation-pair predicate ((n1,n2) OR (n2,n1)) over a
+    // two-year shipdate slice. Both dim sides pre-filter to the two
+    // nations BEFORE touching the fact: the supplier side broadcasts
+    // (suppliers of 2/25 nations are dim-sized at any scale) and prunes
+    // the fact at the scan join; the customer side arrives through the
+    // orders join and the disjunction collapses to a cheap
+    // supp≠cust residual on two already-restricted slim attributes —
+    // the fact is never joined against un-filtered dims.
+    "j22_volume_shipping" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+      val supp = broadcast(Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          yr("l_shipdate").as("l_year"))
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // J23 (TPC-H Q8 shape): national market share — the CASE-inside-
+    // aggregate RATIO per group (share of one supplier nation within a
+    // region's customers for one part type). Both sums ride ONE
+    // conditional aggregate over a single fact pass; the ratio is
+    // emitted as an exact integer ppm (floor to whole currency units,
+    // then integer division — float-free, so the hash gate covers the
+    // division itself). Headroom: nation_rev is whole units, so the
+    // ×1e6 stays in BIGINT up to ~9.2e12 revenue units per year.
+    "j23_market_share" -> ((s, d) => {
+      val amCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+      val ecoParts = broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+      val suppNat = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(ecoParts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(yr("o_orderdate").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).as("num"),
+          sum(vol.cast("decimal(28,6)")).as("den"))
+        .select(col("o_year"),
+          floor(col("num")).cast("long").as("nation_rev"),
+          floor(col("den")).cast("long").as("total_rev"))
+        .withColumn("share_ppm", expr("nation_rev * 1000000 div total_rev"))
+        .orderBy("o_year")
+    }),
+
+    // J24 (TPC-H Q9 shape): product profit by nation and year. This
+    // schema has no partsupp.supplycost; the analog is the best
+    // historical UNIT price per (part, supplier): min(extendedprice /
+    // quantity) over the pair's own lines. Q9's agg-then-rejoin is
+    // expressed as a per-pair WINDOW MIN instead — the filtered fact
+    // pays ONE (partkey, suppkey) shuffle and is scanned once, vs the
+    // textbook form's second scan + second shuffle for the cost table
+    // (the oracle states that textbook form; hash-equality proves the
+    // window formulation exact, min being duplicate- and
+    // order-insensitive). The part-name filter broadcasts and prunes
+    // the fact before the window shuffle. Unlike the pure-revenue
+    // queries, the per-row profit carries a DIVISION-derived double
+    // (unit_cost), whose 6-decimal ROUNDING is not engine-portable —
+    // so the measure is fixed-pointed with floor(x·1e6) instead:
+    // floor of an identical IEEE double is bit-identical everywhere,
+    // and the BIGINT micro sum is order-independent.
+    "j24_product_profit" -> ((s, d) => {
+      val redParts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").like("%red%")).select("p_partkey"))
+      val w = Window.partitionBy("l_partkey", "l_suppkey")
+      Tables.lineitem(s, d)
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .withColumn("unit_cost",
+          min(col("l_extendedprice") / col("l_quantity")).over(w))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), yr("o_orderdate").as("o_year"))
+        .agg(sum(
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1e6)) -
+            floor(col("unit_cost") * col("l_quantity") * lit(1e6)))
+          .as("profit_micro"))
+        .orderBy(col("nation"), desc("o_year"))
+    }),
+
+    // J25 (TPC-H Q10 shape): returned-item customer ranking — revenue
+    // lost to returns in one quarter, top 20 customers. The fact
+    // aggregates to customer grain BEFORE the customer join (the
+    // agg-below-join discipline of j12/Q18): the wide customer
+    // attributes join a customers-sized aggregate, never the fact. The
+    // LIMIT rides (revenue DESC, c_custkey) — a total order, so the
+    // cut is deterministic across engines.
+    "j25_returned_items" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)),
+
+    // J26 (TPC-H Q14 shape): promotion revenue share — the single-row
+    // CASE-ratio over a one-month slice. Same exact-ppm discipline as
+    // j23: both sums in one conditional aggregate, floor to whole
+    // units, integer division.
+    "j26_promo_share" -> ((s, d) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).as("num"),
+          sum(vol.cast("decimal(28,6)")).as("den"))
+        .select(floor(col("num")).cast("long").as("promo_rev"),
+          floor(col("den")).cast("long").as("total_rev"))
+        .withColumn("promo_ppm", expr("promo_rev * 1000000 div total_rev"))
+    }),
+
+    // J27 (TPC-H Q15 shape): top supplier — suppliers whose quarterly
+    // revenue EQUALS the global max of that same aggregate. Like j21,
+    // the per-supplier aggregate subtree is built once and re-read for
+    // the scalar max, so ReuseExchange collapses the two partial-agg
+    // exchanges; the 1-row max broadcasts and the equality compares
+    // exact decimals (ties all surface, ordered by s_suppkey).
+    "j27_top_supplier" -> ((s, d) => {
+      // the isNotNull sits on the SHARED base (not implied by the later
+      // supplier join alone) so both consumers' partial-agg exchanges
+      // canonicalize identically — without it the join-side branch
+      // picks up the constraint and AQE cannot reuse the stage
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+          col("l_suppkey").isNotNull)
+        .groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,6)")).as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max("total_rev").as("mx"))))
+        .filter(col("total_rev") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // J28 (TPC-H Q6 shape): forecast-revenue change — the pure
+    // scan-filter-aggregate (no join at all): every predicate reaches
+    // the parquet scan as a pushed filter, the aggregate is one
+    // map-side-combined pass. Included to complete the TPC-H surface;
+    // with j22-j27 every Q expressible on this schema is covered (Q12
+    // alone needs l_shipmode/commit/receipt dates, which the generated
+    // tables do not carry).
+    "j28_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsumExpr(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
     // Q-SKEW (SURVEY §6.1 mitigation row, measured): the same
     // deliberately skewed join — ~80% of the fact collapsed onto ONE
     // supplier key — computed plain and salted. `shuffle_hash` on the
@@ -1465,6 +1671,118 @@ object Relational {
          SELECT l_partkey, CAST(value AS DOUBLE) AS value
          FROM pv WHERE value * 1500 > (SELECT SUM(value) FROM pv)
          ORDER BY value DESC, l_partkey""",
+    // disjunctive nation-pair kept disjunctive — the engine's
+    // pre-filtered supp≠cust residual must reproduce it exactly
+    "j22_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                      EXTRACT(year FROM l_shipdate) AS l_year,
+                      l_extendedprice, l_discount
+               FROM lineitem
+                    JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ns ON s_nationkey = ns.n_nationkey
+                    JOIN nation nc ON c_nationkey = nc.n_nationkey
+               WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01') t
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // CASE-ratio as exact integer ppm — the division itself is under
+    // the hash gate, not just the two sums
+    "j23_market_share" ->
+      """WITH f AS (
+           SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                  CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                                THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+                                ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DECIMAL(38,6)) AS num,
+                  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS den
+           FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+           WHERE p_type = 'ECONOMY'
+             AND o_custkey IN (SELECT c_custkey FROM customer
+                               WHERE c_nationkey IN
+                                 (SELECT n_nationkey FROM nation
+                                  JOIN region ON n_regionkey = r_regionkey
+                                  WHERE r_name = 'AMERICA'))
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1)
+         SELECT o_year,
+                CAST(floor(num) AS BIGINT) AS nation_rev,
+                CAST(floor(den) AS BIGINT) AS total_rev,
+                CAST(floor(num) AS BIGINT) * 1000000 // CAST(floor(den) AS BIGINT) AS share_ppm
+         FROM f ORDER BY o_year""",
+    // the textbook agg-then-rejoin cost table — hash-equality proves
+    // the engine's one-shuffle window formulation exact
+    "j24_product_profit" ->
+      """WITH rl AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+                            l_extendedprice, l_discount
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_name LIKE '%red%'),
+              c AS (SELECT l_partkey, l_suppkey,
+                           MIN(l_extendedprice / l_quantity) AS unit_cost
+                    FROM rl GROUP BY 1, 2)
+         SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+                CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT)
+                       - CAST(floor((unit_cost * l_quantity) * 1000000.0) AS BIGINT)) AS BIGINT) AS profit_micro
+         FROM rl JOIN c USING (l_partkey, l_suppkey)
+                 JOIN orders   ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation   ON s_nationkey = n_nationkey
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "j25_returned_items" ->
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name, c_mktsegment
+         FROM (SELECT o_custkey,
+                      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE l_returnflag = 'R'
+                 AND o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-04-01'
+               GROUP BY o_custkey) r
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "j26_promo_share" ->
+      """WITH f AS (
+           SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+                                ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DECIMAL(38,6)) AS num,
+                  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS den
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             AND l_shipdate < TIMESTAMP '1997-10-01')
+         SELECT CAST(floor(num) AS BIGINT) AS promo_rev,
+                CAST(floor(den) AS BIGINT) AS total_rev,
+                CAST(floor(num) AS BIGINT) * 1000000 // CAST(floor(den) AS BIGINT) AS promo_ppm
+         FROM f""",
+    // the scalar max re-reads the same aggregate (Q15's view) — exact
+    // decimal equality, so min-cost-style ties all surface
+    "j27_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS total_rev
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-04-01'
+                        AND l_suppkey IS NOT NULL
+                      GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+    "j28_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
     // one oracle, two plans: plain and salted must hash-match it
     "q_skew_plain" -> SkewOracle,
     "q_skew_salted" -> SkewOracle,
