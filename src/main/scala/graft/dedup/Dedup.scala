@@ -117,6 +117,54 @@ object Dedup {
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
   }
 
+  /** Prefix-filtered exact Jaccard self-join (AllPairs / PPJoin family:
+    * Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search";
+    * Xiao et al., WWW'08 PPJoin). The LOSSLESS counterpart to
+    * [[dropStopShingles]]: instead of dropping hot shingles (bounded
+    * candidates, small recall loss), each document indexes only its
+    * PREFIX — the first |x| − ⌈t·|x|⌉ + 1 shingles under one global
+    * canonical order (ascending document frequency, ties by shingle) —
+    * and the inverted-index self-join runs over prefixes only.
+    *
+    * Why it is exact: J(x,y) ≥ t forces an overlap of at least
+    * max(⌈t·|x|⌉, ⌈t·|y|⌉), and under a shared total order two sets
+    * with that much overlap must collide inside both prefixes
+    * (pigeonhole on the suffix sizes) — so candidate generation loses
+    * nothing and [[verifiedPairs]] makes the final call on full
+    * shingle sets. Why it scales: a shingle shared by k documents
+    * contributes candidate rows only for documents RARE enough to rank
+    * it inside their prefix — hot boilerplate shingles sort LAST in
+    * the canonical order and fall out of every prefix, so the worst
+    * join key shrinks from k² without dropping a single true pair.
+    * The length filter (t·|x| ≤ |y| ≤ |x|/t) prunes cross-size pairs
+    * inside the join condition. Shuffles: df count + per-doc
+    * row_number (doc-partitioned window, bounded by doc length) +
+    * prefix self-join + the verify joins — same order as x2, smaller
+    * worst key. */
+  def prefixJaccardPairs(shingleTab: DataFrame, threshold: Double): DataFrame =
+    verifiedPairs(shingleTab, prefixCandidates(shingleTab, threshold), threshold)
+
+  /** Candidate pairs of [[prefixJaccardPairs]] before verification —
+    * exposed for the reduction audit (spec measures candidates vs the
+    * full inverted index's). */
+  private[graft] def prefixCandidates(shingleTab: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingleTab.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfTab = shingleTab.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = shingleTab
+      .join(dfTab, Seq("sh"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "sh", "n")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n").cast("double") >= lit(threshold) * col("a.n") &&
+          col("a.n").cast("double") >= lit(threshold) * col("b.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   val NumHashes = 32

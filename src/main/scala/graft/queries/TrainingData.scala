@@ -776,6 +776,19 @@ object TrainingData {
           Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap).cache(), 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Prefix-filtered exact Jaccard (AllPairs/PPJoin, Bayardo WWW'07):
+    // the LOSSLESS alternative to x36's df-cap — each doc indexes only
+    // its |x|−⌈t|x|⌉+1 rarest shingles under one global (df, shingle)
+    // order, so hot boilerplate shingles fall out of every prefix and
+    // the self-join's worst key shrinks WITHOUT dropping true pairs.
+    // The oracle is x2's naive full-index form — hash-equality proves
+    // prefix filtering exact; PrefixJoinSpec pins candidates ⊆ the
+    // full index's and measures the reduction.
+    "x81_prefix_pairs" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(
+        Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
+        .orderBy("doc_a", "doc_b")),
+
     // Asymmetric containment (Broder): C(A→B) = |A∩B|/|A| — surfaces a
     // short document quoted inside a long one, which symmetric Jaccard
     // buries (the union is dominated by the long side). Same df-capped
@@ -1978,6 +1991,13 @@ object TrainingData {
                 min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY fp ORDER BY fp""",
     "x2_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          $jaccardTail""",
+    // deliberately the NAIVE full-index form — hash-equality proves the
+    // engine's prefix filtering (x81) loses no pair and adds none
+    "x81_prefix_pairs" ->
       s"""WITH $shingleCte,
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
