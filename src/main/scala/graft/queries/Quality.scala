@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.quality.QualityChecks
@@ -51,7 +51,61 @@ object Quality {
     // strategies; a long tail into high buckets is the flooded-task
     // signature.
     "q_skew_profile" -> ((s, d) =>
-      graft.util.Skew.keyHistogram(Tables.lineitem(s, d), "l_orderkey")))
+      graft.util.Skew.keyHistogram(Tables.lineitem(s, d), "l_orderkey")),
+
+    // k-anonymity audit — the privacy read taken before any data
+    // release: group sizes over the quasi-identifier tuple
+    // (segment, nation, account-balance band), collapsed to a k →
+    // (groups, rows) histogram. Two map-combined aggregates; the
+    // histogram is bounded by max group size, metadata-sized at any
+    // corpus scale. A mass at small k is the re-identification
+    // surface (rows whose QI tuple is nearly unique); the release
+    // gate is "no rows below k=threshold", read directly off the
+    // first histogram rows.
+    "q_k_anonymity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_groups"))
+        .select(col("k"), col("n_groups"), (col("k") * col("n_groups")).as("n_rows"))
+        .orderBy("k")),
+
+    // Right-to-be-forgotten sweep — the multi-table cascade audit run
+    // before executing a deletion batch: per table, rows before /
+    // rows the cascade removes / rows after, for the deletion list
+    // "customers with custkey ≡ 0 (mod 97)" cascading through
+    // orders → lineitem. Scale shape: the deletion list and its order
+    // set are deletion-batch-sized — both BROADCAST — so each fact
+    // pays one scan with a broadcast left join and a conditional
+    // count; the fact⋈fact join a naive cascade would do (lineitem
+    // against ALL orders) never happens. Orphan lineitems (no parent
+    // order) are untouched by design — their owner is unknown, so
+    // deleting them would over-delete; j4/q_fk_orphan_summary is the
+    // audit that owns them.
+    "q_deletion_sweep" -> ((s, d) => {
+      val del = broadcast(Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("del_key")))
+      val delOrders = broadcast(Tables.orders(s, d)
+        .join(del, col("o_custkey") === col("del_key"), "left_semi")
+        .select(col("o_orderkey").as("del_okey")))
+      def row(name: String, df: DataFrame, deleted: Column) =
+        df.agg(count(lit(1)).as("n_before"), sum(deleted.cast("long")).as("n_deleted"))
+          .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
+            (col("n_before") - col("n_deleted")).as("n_after"))
+      row("customer", Tables.customer(s, d), col("c_custkey") % 97 === 0)
+        .union(row("orders",
+          Tables.orders(s, d).join(del, col("o_custkey") === col("del_key"), "left"),
+          col("del_key").isNotNull))
+        .union(row("lineitem",
+          Tables.lineitem(s, d)
+            .join(delOrders, col("l_orderkey") === col("del_okey"), "left"),
+          col("del_okey").isNotNull))
+        .orderBy("table_name")
+    }))
 
   def oracles: Map[String, String] = Map(
     "a5_null_profile" -> {
@@ -82,5 +136,38 @@ object Quality {
           b AS (SELECT CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket, cnt FROM kc)
           SELECT log2_bucket, count(*) AS n_keys, min(cnt) AS min_rows,
                  max(cnt) AS max_rows, CAST(SUM(cnt) AS BIGINT) AS sum_rows
-          FROM b GROUP BY 1 ORDER BY 1""")
+          FROM b GROUP BY 1 ORDER BY 1""",
+    "q_k_anonymity" ->
+      """WITH qi AS (SELECT c_mktsegment, c_nationkey,
+                            CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+                     FROM customer),
+           g AS (SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS k
+                 FROM qi GROUP BY 1, 2, 3)
+         SELECT k, count(*) AS n_groups, k * count(*) AS n_rows
+         FROM g GROUP BY k ORDER BY k""",
+    // the textbook correlated-IN cascade — the engine's broadcast
+    // left-join conditional counts must reproduce it exactly
+    "q_deletion_sweep" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+           dord AS (SELECT o_orderkey FROM orders
+                    WHERE o_custkey IN (SELECT c_custkey FROM del))
+         SELECT * FROM (
+           SELECT 'customer' AS table_name,
+                  (SELECT count(*) FROM customer) AS n_before,
+                  (SELECT count(*) FROM del) AS n_deleted,
+                  (SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS n_after
+           UNION ALL
+           SELECT 'orders',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM dord),
+                  (SELECT count(*) FROM orders) - (SELECT count(*) FROM dord)
+           UNION ALL
+           SELECT 'lineitem',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM dord)),
+                  (SELECT count(*) FROM lineitem) -
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM dord))
+         ) ORDER BY table_name""")
 }

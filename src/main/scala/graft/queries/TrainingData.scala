@@ -1308,6 +1308,68 @@ object TrainingData {
     // Rule-based document statistics + keep/drop flag (mean token
     // length, numeric-token fraction, symbols per token, length floor) —
     // the heuristic-rules companion to the x8 score, all per-row math.
+    // Per-language 3-sigma length-outlier screen — the truncated/
+    // garbage-doc detector run before quality scoring. EXACT integer
+    // sums (n, Σx, Σx²) per language in one map-combined pass; the
+    // per-doc test (n·x − Σx)² > 9·(n·Σx² − (Σx)²) is algebra on
+    // those sums — (x−μ)² > 9σ² cleared of divisions — evaluated in
+    // doubles built from identical integers with an identical op
+    // sequence on both engines, so the flag is bit-deterministic
+    // without any decimal rounding. The language stats table is
+    // bounded (#languages) and broadcasts; the corpus is scanned
+    // twice (stats + flags) with no shuffle on the second pass.
+    "x82_length_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val g = docs.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_tokens")).as("sx"),
+        sum(col("n_tokens") * col("n_tokens")).as("sxx"))
+      val dev = col("n").cast("double") * col("n_tokens").cast("double") -
+        col("sx").cast("double")
+      docs.join(broadcast(g), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (dev * dev > lit(9.0) * (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+            .cast("int").as("is_outlier"))
+        .orderBy("doc_id")
+    }),
+
+    // Approx-percentile accuracy audit — the quantile leg of the
+    // sketch-audit family (a15 audits HLL, x41 MinHash): GK
+    // approx_percentile at accuracy=1000 vs the exact percentiles, on
+    // the price column. The ESTIMATE is engine-specific (GK merge
+    // order), so the audited artifact is the RANK-ERROR VERDICT: the
+    // estimate's true rank (one conditional count per cut) must sit
+    // within 2·n/accuracy + 1 of the target rank — twice GK's ε·n
+    // guarantee, slack for tie/definition edges — and the oracle
+    // asserts the verdicts are literally TRUE alongside the exact
+    // percentiles it can recompute. Two passes: sketch, then exact +
+    // ranks in one aggregate against the broadcast 1-row estimate.
+    "x83_quantile_audit" -> ((s, d) => {
+      val acc = 1000
+      val est = Tables.lineitem(s, d).agg(
+        expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), $acc)")
+          .as("e"))
+        .select(col("e")(0).as("e50"), col("e")(1).as("e90"), col("e")(2).as("e99"))
+      def rank(e: String) =
+        sum(when(col("l_extendedprice") <= col(e), 1L).otherwise(0L))
+      def within(r: Column, p: Double) =
+        (abs(r.cast("double") - col("n_rows").cast("double") * p) <=
+          col("n_rows").cast("double") * 2.0 / acc + 1.0).cast("int")
+      Tables.lineitem(s, d).crossJoin(broadcast(est)).agg(
+        count(lit(1)).as("n_rows"),
+        expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.9D)").as("exact_p90"),
+        expr("percentile(l_extendedprice, 0.99D)").as("exact_p99"),
+        rank("e50").as("r50"), rank("e90").as("r90"), rank("e99").as("r99"))
+        .select(col("n_rows"), col("exact_p50"), col("exact_p90"), col("exact_p99"),
+          within(col("r50"), 0.5).as("p50_within"),
+          within(col("r90"), 0.9).as("p90_within"),
+          within(col("r99"), 0.99).as("p99_within"))
+    }),
+
     "x26_quality_rules" -> ((s, d) => {
       // tokenize once into a named column; each ratio is pure codegen —
       // no HOF lambdas (aggregate/filter are interpreted per row and
@@ -2774,6 +2836,31 @@ object TrainingData {
                            THEN CAST(a.total - a.dn AS DOUBLE) / CAST(a.total AS DOUBLE)
                            ELSE 0.0 END, 6) AS rep_ratio
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+    // the 3-sigma test restated verbatim on the same exact integer
+    // sums — identical double op sequence, so the flag hash-matches
+    "x82_length_outliers" ->
+      s"""WITH $tokCte,
+          dd AS (SELECT tok.doc_id, d.lang, CAST(len(tok.t) AS BIGINT) AS n_tokens
+                 FROM tok JOIN documents d USING (doc_id)),
+          g AS (SELECT lang, count(*) AS n,
+                       CAST(SUM(n_tokens) AS BIGINT) AS sx,
+                       CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS sxx
+                FROM dd GROUP BY lang)
+          SELECT dd.doc_id, dd.lang, dd.n_tokens,
+                 CAST((CAST(n AS DOUBLE) * CAST(n_tokens AS DOUBLE) - CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(n_tokens AS DOUBLE) - CAST(sx AS DOUBLE))
+                    > 9.0 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS INT) AS is_outlier
+          FROM dd JOIN g USING (lang) ORDER BY dd.doc_id""",
+    // exact percentiles recomputed outright; the GK rank-error verdicts
+    // must be TRUE or the sketch drifted past twice its guarantee
+    "x83_quantile_audit" ->
+      """SELECT count(*) AS n_rows,
+                quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+                quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+                quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+                1 AS p50_within, 1 AS p90_within, 1 AS p99_within
+         FROM lineitem""",
     "x26_quality_rules" ->
       s"""WITH $tokCte,
           m AS (SELECT doc_id,
