@@ -69,6 +69,19 @@ object TrainingData {
   private val jaccardTail =
     s"""$jaccardVerifyCte
        SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"""
+
+  /** One unrolled PageRank iteration for the x84 oracle: the identical
+    * all-floor-division update the engine loop applies
+    * (150000 + 850000·Σ⌊pr/deg⌋ // 1e6, LEFT JOIN keeping isolated
+    * docs at the teleport floor). */
+  private def pagerankIterCte(i: Int): String =
+    s"""pr$i AS (SELECT d.doc_id,
+            CAST(150000 + 850000 * COALESCE(f.inflow, 0) // 1000000 AS BIGINT) AS pr
+          FROM documents d LEFT JOIN (
+            SELECT u.dst, SUM(p.pr // g.deg) AS inflow
+            FROM und u JOIN pr${i - 1} p ON u.src = p.doc_id
+                       JOIN deg g ON u.src = g.src
+            GROUP BY u.dst) f ON d.doc_id = f.dst)"""
   private val minhashCandCte = // LSH bands → cand(doc_a, doc_b)
     s"""bands AS (SELECT doc_id, h_idx // ${Dedup.NumHashes / Dedup.NumBands} AS band_idx,
                          md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY h_idx)) AS band_hash
@@ -860,6 +873,23 @@ object TrainingData {
     // tokens to cut". DupSpansSpec pins the island merge synthetically.
     "x60_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d)).orderBy("doc_id", "span_start")),
+
+    // Dup-graph PageRank (Page et al. 1999): centrality over the
+    // near-dup pair plane in exact integer ppm — a doc inside a dense
+    // duplication neighborhood (mirror farm, template family) scores
+    // high, the "mass-replicated content" signal pairwise dedup and
+    // flat components cannot grade. Four damped iterations, each ONE
+    // edge⋈rank join + one aggregate (the relational Pregel loop);
+    // all-floor-division arithmetic so the oracle's unrolled CTE chain
+    // reproduces it bit-for-bit. PageRankSpec pins star/triangle/
+    // isolated geometry and partition invariance.
+    "x84_dup_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.PageRank.pagerankPpm(
+        Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b"),
+        docs.select("doc_id"), iters = 4)
+        .orderBy("doc_id")
+    }),
 
     // Near-dup clusters: LSH pairs → min-label components → keeper flag.
     "x17_dedup_clusters" -> ((s, d) => {
@@ -2147,6 +2177,21 @@ object TrainingData {
       s"""WITH $minhashCte,
           $minhashCandCte,
           $jaccardTail""",
+    // the same verified pair plane, then four UNROLLED damped
+    // iterations in pure integer floor division — bit-equality proves
+    // the engine's loop exact, isolated docs settling at the teleport
+    // floor included
+    "x84_dup_pagerank" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          $jaccardVerifyCte,
+          und AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM verified),
+          deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+          pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM documents),
+          ${(1 to 4).map(pagerankIterCte).mkString(",\n          ")}
+          SELECT doc_id, pr AS pr_ppm FROM pr4 ORDER BY doc_id""",
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
     "x43_component_split" ->
