@@ -338,6 +338,36 @@ object Relational {
           within5pct(col("ap"), col("exact_partkeys")).as("partkeys_within_5pct"))
     }),
 
+    // X100: ANALYZE-style column statistics — the optimizer-stats
+    // collection pass (n, exact NDV, min/max, exact quartiles) for
+    // every numeric fact measure, in ONE fact scan: all per-column
+    // aggregates ride a single map-combined HashAggregate, then the
+    // wide 1-row result unpivots to the catalog's long form with
+    // `stack` (pure projection, no second pass). At 100 TB this is the
+    // stats job a CBO schedules after load; exact NDV pays one expand
+    // — swap approx_count_distinct per a15's audited pattern when ±2 %
+    // is acceptable. Quartiles via the exact interpolating percentile
+    // (a17's engine-portable pattern).
+    "x85_column_stats" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"ndv_$c"),
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          expr(s"percentile($c, 0.25D)").as(s"p25_$c"),
+          expr(s"percentile($c, 0.5D)").as(s"p50_$c"),
+          expr(s"percentile($c, 0.75D)").as(s"p75_$c"))
+      } :+ count(lit(1)).as("n_rows")
+      val stackExpr = cols.map(c =>
+        s"'$c', ndv_$c, min_$c, max_$c, p25_$c, p50_$c, p75_$c").mkString(", ")
+      Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.length}, $stackExpr) AS " +
+            "(column_name, ndv, min_val, max_val, p25, p50, p75)"))
+        .select(col("column_name"), col("n_rows"), col("ndv"),
+          col("min_val"), col("max_val"), col("p25"), col("p50"), col("p75"))
+        .orderBy("column_name")
+    }),
+
     // W2: RANGE-framed window (30-day trailing spend per customer) —
     // value-based frames, unlike W1's row frames.
     "w2_window_range" -> ((s, d) => {
@@ -1783,6 +1813,17 @@ object Relational {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "x85_column_stats" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+                   count(DISTINCT $c) AS ndv,
+                   min($c) AS min_val, max($c) AS max_val,
+                   quantile_cont($c, 0.25) AS p25,
+                   quantile_cont($c, 0.5) AS p50,
+                   quantile_cont($c, 0.75) AS p75
+            FROM lineitem""").mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
     // one oracle, two plans: plain and salted must hash-match it
     "q_skew_plain" -> SkewOracle,
     "q_skew_salted" -> SkewOracle,
