@@ -221,6 +221,30 @@ object Relational {
         .orderBy("o_custkey", "rn")
     }),
 
+    // W3: the rest of the SQL analytic-function surface in one window
+    // pass — dense_rank / lead / ntile / percent_rank / cume_dist /
+    // first_value / nth_value (w1 carries row_number, lag and the
+    // running frame). All seven share ONE (custkey) partitioning, so
+    // the plan pays a single window exchange; the order key
+    // (o_orderdate, o_orderkey) is unique per partition, making every
+    // rank/tile/navigation value deterministic, and the only doubles
+    // are pass-throughs or exact-integer ratios (percent_rank,
+    // cume_dist) — one IEEE division of identical integers per row.
+    "w3_analytic_suite" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drnk"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first_value(col("o_totalprice")).over(wf).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // F1-F5 (`spark_etl.py:29-72`): numeric cleaning chain in one projection.
     "f_numeric_clean" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -340,32 +364,70 @@ object Relational {
 
     // X100: ANALYZE-style column statistics — the optimizer-stats
     // collection pass (n, exact NDV, min/max, exact quartiles) for
-    // every numeric fact measure, in ONE fact scan: all per-column
-    // aggregates ride a single map-combined HashAggregate, then the
-    // wide 1-row result unpivots to the catalog's long form with
-    // `stack` (pure projection, no second pass). At 100 TB this is the
-    // stats job a CBO schedules after load; exact NDV pays one expand
-    // — swap approx_count_distinct per a15's audited pattern when ±2 %
-    // is acceptable. Quartiles via the exact interpolating percentile
-    // (a17's engine-portable pattern).
+    // every numeric fact measure. NDV/min/max/n for ALL columns ride
+    // one map-combined HashAggregate; the exact quartiles go through
+    // util.ExactQuantiles — the histogram-bucketed two-phase extract —
+    // because Spark's built-in `percentile` collects the whole column
+    // into ONE reducer buffer (measured 20.6 s for 12 cuts at sf0.1,
+    // the worst query on the surface, and an OOM at 100 TB); the
+    // two-phase form is 1 aggregate + one bounded-bucket window per
+    // column and produces bit-identical quantile_cont values (the
+    // oracle still states plain quantile_cont — the hash gate proves
+    // the reformulation exact). Collects are metadata only: 1 stats
+    // row + a 256-row histogram per column (the x43/x61 discipline).
     "x85_column_stats" -> ((s, d) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val li = Tables.lineitem(s, d)
       val aggs = cols.flatMap { c =>
         Seq(countDistinct(col(c)).as(s"ndv_$c"),
-          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          expr(s"percentile($c, 0.25D)").as(s"p25_$c"),
-          expr(s"percentile($c, 0.5D)").as(s"p50_$c"),
-          expr(s"percentile($c, 0.75D)").as(s"p75_$c"))
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
       } :+ count(lit(1)).as("n_rows")
-      val stackExpr = cols.map(c =>
-        s"'$c', ndv_$c, min_$c, max_$c, p25_$c, p50_$c, p75_$c").mkString(", ")
-      Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-        .select(col("n_rows"), expr(
-          s"stack(${cols.length}, $stackExpr) AS " +
-            "(column_name, ndv, min_val, max_val, p25, p50, p75)"))
-        .select(col("column_name"), col("n_rows"), col("ndv"),
-          col("min_val"), col("max_val"), col("p25"), col("p50"), col("p75"))
+      val head = li.agg(aggs.head, aggs.tail: _*).head()
+      val rows = cols.map { c =>
+        val qs = graft.util.ExactQuantiles.values(li, c, Seq(0.25, 0.5, 0.75))
+        (c, head.getAs[Long]("n_rows"), head.getAs[Long](s"ndv_$c"),
+          head.getAs[Double](s"min_$c"), head.getAs[Double](s"max_$c"),
+          qs(0), qs(1), qs(2))
+      }
+      import s.implicits._
+      rows.toDF("column_name", "n_rows", "ndv", "min_val", "max_val",
+          "p25", "p50", "p75")
         .orderBy("column_name")
+    }),
+
+    // X101: time-series gap fill (calendar densification) — the
+    // resampling step every per-entity daily series needs before
+    // trend/forecast work: each active customer's March-1997 spend as
+    // a DENSE 31-day series, missing days zero-filled, plus the
+    // running cumulative over the filled series. The day spine is
+    // GENERATED per entity (sequence + explode — |entities|×31 narrow
+    // rows, no calendar table shuffle) and the left join back to the
+    // sparse aggregate co-partitions on (custkey, day). Spend stays
+    // exact decimal through the cumulative window (running sums of
+    // doubles would be order-sensitive) and casts to double only at
+    // output.
+    "x86_gap_fill" -> ((s, d) => {
+      val m0 = lit("1997-03-01").cast("date")
+      val m1 = lit("1997-03-31").cast("date")
+      val daily = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
+          count(lit(1)).as("n_orders"))
+      val spine = daily.select("o_custkey").distinct()
+        .select(col("o_custkey"), explode(sequence(m0, m1)).as("day"))
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("o_custkey", "day"), "left")
+        .select(col("o_custkey"), col("day"),
+          coalesce(col("spend"), lit(0).cast("decimal(18,2)")).as("spend_dec"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .withColumn("cum_spend", sum(col("spend_dec")).over(w))
+        .select(col("o_custkey"), col("day"),
+          col("spend_dec").cast("double").as("spend"), col("n_orders"),
+          col("cum_spend").cast("double").as("cum_spend"))
+        .orderBy("o_custkey", "day")
     }),
 
     // W2: RANGE-framed window (30-day trailing spend per customer) —
@@ -1824,6 +1886,43 @@ object Relational {
                    quantile_cont($c, 0.75) AS p75
             FROM lineitem""").mkString("", " UNION ALL ", " ORDER BY column_name")
     },
+    "w3_analytic_suite" ->
+      """SELECT o_custkey, o_orderkey,
+                dense_rank() OVER w AS drnk,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cdist,
+                first_value(o_totalprice) OVER wf AS first_price,
+                nth_value(o_totalprice, 2) OVER wf AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "x86_gap_fill" ->
+      """WITH daily AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+                  count(*) AS n_orders
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+             AND o_orderdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1, 2),
+          spine AS (
+           SELECT o_custkey, CAST(unnest(generate_series(
+                    DATE '1997-03-01', DATE '1997-03-31', INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT DISTINCT o_custkey FROM daily)),
+          filled AS (
+           SELECT s.o_custkey, s.day,
+                  COALESCE(d.spend, CAST(0 AS DECIMAL(18,2))) AS spend_dec,
+                  COALESCE(d.n_orders, 0) AS n_orders
+           FROM spine s LEFT JOIN daily d
+             ON s.o_custkey = d.o_custkey AND s.day = d.day)
+         SELECT o_custkey, day, CAST(spend_dec AS DOUBLE) AS spend, n_orders,
+                CAST(SUM(spend_dec) OVER (PARTITION BY o_custkey ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+         FROM filled ORDER BY o_custkey, day""",
     // one oracle, two plans: plain and salted must hash-match it
     "q_skew_plain" -> SkewOracle,
     "q_skew_salted" -> SkewOracle,
