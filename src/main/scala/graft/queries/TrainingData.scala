@@ -1375,26 +1375,30 @@ object TrainingData {
     // within 2·n/accuracy + 1 of the target rank — twice GK's ε·n
     // guarantee, slack for tie/definition edges — and the oracle
     // asserts the verdicts are literally TRUE alongside the exact
-    // percentiles it can recompute. Two passes: sketch, then exact +
-    // ranks in one aggregate against the broadcast 1-row estimate.
+    // percentiles it can recompute. The exact values come from
+    // util.ExactQuantiles (the histogram two-phase extract), NOT
+    // Spark's single-buffer `percentile` — same bit-exact
+    // quantile_cont values, none of the one-reducer collect.
     "x83_quantile_audit" -> ((s, d) => {
       val acc = 1000
-      val est = Tables.lineitem(s, d).agg(
+      val li = Tables.lineitem(s, d)
+      val est = li.agg(
         expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), $acc)")
           .as("e"))
         .select(col("e")(0).as("e50"), col("e")(1).as("e90"), col("e")(2).as("e99"))
+      val ex = graft.util.ExactQuantiles.values(
+        li, "l_extendedprice", Seq(0.5, 0.9, 0.99))
       def rank(e: String) =
         sum(when(col("l_extendedprice") <= col(e), 1L).otherwise(0L))
       def within(r: Column, p: Double) =
         (abs(r.cast("double") - col("n_rows").cast("double") * p) <=
           col("n_rows").cast("double") * 2.0 / acc + 1.0).cast("int")
-      Tables.lineitem(s, d).crossJoin(broadcast(est)).agg(
+      li.crossJoin(broadcast(est)).agg(
         count(lit(1)).as("n_rows"),
-        expr("percentile(l_extendedprice, 0.5D)").as("exact_p50"),
-        expr("percentile(l_extendedprice, 0.9D)").as("exact_p90"),
-        expr("percentile(l_extendedprice, 0.99D)").as("exact_p99"),
         rank("e50").as("r50"), rank("e90").as("r90"), rank("e99").as("r99"))
-        .select(col("n_rows"), col("exact_p50"), col("exact_p90"), col("exact_p99"),
+        .select(col("n_rows"),
+          lit(ex(0)).as("exact_p50"), lit(ex(1)).as("exact_p90"),
+          lit(ex(2)).as("exact_p99"),
           within(col("r50"), 0.5).as("p50_within"),
           within(col("r90"), 0.9).as("p90_within"),
           within(col("r99"), 0.99).as("p99_within"))
