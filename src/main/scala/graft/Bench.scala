@@ -75,7 +75,7 @@ import org.apache.spark.sql.functions.{col, length}
   * column of every row with no driver collect. Each timed run starts
   * from a cleared DataFrame-cache so it re-does all real work.
   *
-  * Eleven queries are timed in their SERVICE shape. x41 (sketch
+  * Twelve queries are timed in their SERVICE shape. x41 (sketch
   * accuracy) and x55 (ANN recall) are continuous index-quality
   * monitors, and x61 (SemDeDup) + x74 (semantic decontamination) probe
   * the SAME trained IVF assignment table (that sharing is the service
@@ -89,8 +89,8 @@ import org.apache.spark.sql.functions.{col, length}
   * amortized across every consumer — and the timed forms are the SAME
   * functions (`DedupPlane.accuracy`, `TrainingData.annRecall`,
   * `Similarity.semDedupOnIndex`) over the parquet scan (probe ≡ gate
-  * results, spec-checked). The same amortization applies to the six
-  * PAIR-TABLE consumers (x17/x38/x42/x43/x70/x75): a curation stack
+  * results, spec-checked). The same amortization applies to the seven
+  * PAIR-TABLE consumers (x17/x38/x42/x43/x70/x75/x84): a curation stack
   * materializes each detector's near-dup pair output once and every
   * audit joins it, so the prelude persists the MinHash (and, for x70,
   * SimHash) pair tables and the timed forms are the shared tail
@@ -99,7 +99,7 @@ import org.apache.spark.sql.functions.{col, length}
   * `componentKeepers`) over the parquet scan — probe ≡ gate pinned by
   * PairPlaneProbeSpec. x4/x6 stay self-contained: they ARE the
   * detector benchmarks, so the pair-pipeline cost is still measured,
-  * once, where it belongs. The eleventh is q_bucketed_join: the
+  * once, where it belongs. The twelfth is q_bucketed_join: the
   * prelude writes the bucketed lineitem/orders layout once, untimed —
   * a warehouse writes its layout once, not per query — and the timed
   * form is the exchange-free SMJ over it (BucketedLayout.bucketedJoinAgg,
@@ -188,7 +188,7 @@ object Bench {
       .toString
     val pairConsumers = Set("x17_dedup_clusters", "x38_cluster_keeper",
       "x42_split_leakage", "x43_component_split", "x70_dedup_agreement",
-      "x75_source_overlap")
+      "x75_source_overlap", "x84_dup_pagerank")
     val probes: Map[String, (SparkSession, String) => DataFrame] =
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
                           || n == "x61_semdedup" || n == "x74_semantic_decontam"
@@ -277,6 +277,12 @@ object Bench {
           if (names.contains("x75_source_overlap"))
             m += "x75_source_overlap" -> ((s: SparkSession, d: String) =>
               TrainingData.sourceOverlap(mhPairs(s), Tables.documents(s, d)))
+          if (names.contains("x84_dup_pagerank"))
+            m += "x84_dup_pagerank" -> ((s: SparkSession, d: String) =>
+              graft.operators.PageRank.pagerankPpm(
+                  mhPairs(s).select("doc_a", "doc_b"),
+                  Tables.documents(s, d).select("doc_id"), iters = 4)
+                .orderBy("doc_id"))
         }
         if (names.contains("q_bucketed_join")) {
           // the standing WAREHOUSE LAYOUT — written once, ridden by

@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Pins probe ≡ gate for the six pair-table consumers the bench times
+/** Pins probe ≡ gate for the seven pair-table consumers the bench times
   * in their service shape: each gate query's result must be identical
   * when its tail runs over a parquet-persisted detector pair table
   * instead of the inline pipeline — otherwise the timed computation is
@@ -33,7 +33,10 @@ class PairPlaneProbeSpec extends SparkSpecBase {
       "x42_split_leakage" -> TrainingData.splitLeakage(mh, docs),
       "x43_component_split" -> TrainingData.componentSplit(mh, docs),
       "x70_dedup_agreement" -> TrainingData.dedupAgreement(mh, sh),
-      "x75_source_overlap" -> TrainingData.sourceOverlap(mh, docs))
+      "x75_source_overlap" -> TrainingData.sourceOverlap(mh, docs),
+      "x84_dup_pagerank" -> graft.operators.PageRank.pagerankPpm(
+        mh.select("doc_a", "doc_b"), docs.select("doc_id"), iters = 4)
+        .orderBy("doc_id"))
     probes.foreach { case (name, probe) =>
       assert(rows(probe) === rows(TrainingData.queries(name)(spark, sfDir)),
         s"probe ≠ gate for $name")
