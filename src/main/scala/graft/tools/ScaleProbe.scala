@@ -30,6 +30,22 @@ object ScaleProbe {
         graft.sim.Similarity.semanticContam(graft.Tables.embeddings(spark, dir),
           col("vec_id") % 20 === 0, graft.queries.TrainingData.SemContamThreshold,
           nlist = param, iters = 2)
+      // x81's reason to exist, measured: the same exact-Jaccard join
+      // on a corpus where EVERY document carries `param` words of
+      // shared boilerplate (df = n shingles — the web-corpus footer
+      // case). naivejoin indexes them (its hot key goes n², candidate
+      // pairs ≈ all-pairs); prefixjoin ranks them last so they leave
+      // every prefix. param = boilerplate word count (0 = none).
+      case "naivejoin" | "prefixjoin" =>
+        val boiler = (1 to param).map(i => s"boiler$i").mkString(" ")
+        val docs0 = graft.Tables.documents(spark, dir)
+        val docs = if (param == 0) docs0
+          else docs0.select(col("doc_id"),
+            org.apache.spark.sql.functions.concat(col("text"),
+              org.apache.spark.sql.functions.lit(s" $boiler")).as("text"))
+        val sh = graft.dedup.Dedup.docShingles(docs).cache()
+        if (op == "prefixjoin") graft.dedup.Dedup.prefixJaccardPairs(sh, 0.5)
+        else graft.dedup.Dedup.jaccardPairs(sh, 0.5)
       case other => sys.error(s"unknown op $other")
     }
     val times = (0 to runs).map { i =>
