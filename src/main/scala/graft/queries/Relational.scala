@@ -430,6 +430,84 @@ object Relational {
         .orderBy("o_custkey", "day")
     }),
 
+    // X102: Benford first-digit audit — the fraud/synthetic-data
+    // screen run over money columns: observed first-significant-digit
+    // distribution vs Benford's law, everything in exact integers.
+    // The digit comes from the integer part's decimal string (integer
+    // → string is engine-identical; double → string is NOT), the
+    // expectation is ⌊log10(1+1/d)·1e6⌋ baked as LITERALS (log10 at
+    // runtime would hash-differ across libm builds), and shares are
+    // floor-ppm. One scan, one 9-row aggregate.
+    "x87_benford_audit" -> ((s, d) => {
+      val exp = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+      val expCol = exp.foldLeft(lit(0L)) { case (acc, (dg, p)) =>
+        when(col("digit") === dg, lit(p)).otherwise(acc) }
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      // the 9-row total re-reads the same aggregate (j21's reuse shape)
+      counts.crossJoin(broadcast(counts.agg(sum("n_obs").as("total"))))
+        .withColumn("obs_ppm", expr("n_obs * 1000000 div total"))
+        .withColumn("expected_ppm", expCol)
+        .withColumn("delta_ppm", abs(col("obs_ppm") - col("expected_ppm")))
+        .select("digit", "n_obs", "obs_ppm", "expected_ppm", "delta_ppm")
+        .orderBy("digit")
+    }),
+
+    // X103: LOCF imputation (last observation carried forward) — the
+    // gap-filling rule for STATE-like series where x86's zero-fill is
+    // wrong (a balance persists through silent days; a spend does
+    // not). Same per-entity generated day spine; the carried value is
+    // `last(·, ignoreNulls)` over the dense series — the ignoreNulls
+    // navigation w1/w3 don't exercise — partitioned per entity, one
+    // window exchange. Days before the first observation stay NULL
+    // (LOCF has nothing to carry — a lead-in default would be LOCB).
+    "x88_locf_impute" -> ((s, d) => {
+      val m0 = lit("1997-03-01").cast("date")
+      val m1 = lit("1997-03-31").cast("date")
+      val daily = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("day"))
+        .agg(max("o_totalprice").as("day_price"))
+      val spine = daily.select("o_custkey").distinct()
+        .select(col("o_custkey"), explode(sequence(m0, m1)).as("day"))
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("o_custkey", "day"), "left")
+        .select(col("o_custkey"), col("day"), col("day_price"),
+          last(col("day_price"), ignoreNulls = true).over(w).as("locf_price"))
+        .orderBy("o_custkey", "day")
+    }),
+
+    // X104: equi-width value histogram — the CBO selectivity histogram
+    // beside x85's equi-depth quartiles: 32 fixed-width buckets over
+    // (min, max), bucket id by the same monotonic per-row projection
+    // ExactQuantiles buckets with (one IEEE sequence over identical
+    // doubles — engine-portable, floor not round). One stats aggregate
+    // (broadcast 1-row) + one bucketed count; bucket edges derive from
+    // the same (mn, bw) pair so the oracle reproduces them exactly.
+    "x89_histogram" -> ((s, d) => {
+      val stats = Tables.lineitem(s, d)
+        .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      Tables.lineitem(s, d).crossJoin(broadcast(stats))
+        .select(least(floor((col("l_extendedprice") - col("mn")) /
+            (col("mx") - col("mn")) * 32).cast("long"), lit(31L)).as("bucket"),
+          col("mn"), col("mx"))
+        .groupBy("bucket", "mn", "mx")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("bucket"),
+          (col("mn") + col("bucket").cast("double") *
+            ((col("mx") - col("mn")) / 32.0)).as("lo_edge"),
+          (col("mn") + (col("bucket") + 1).cast("double") *
+            ((col("mx") - col("mn")) / 32.0)).as("hi_edge"),
+          col("n_rows"))
+        .orderBy("bucket")
+    }),
+
     // W2: RANGE-framed window (30-day trailing spend per customer) —
     // value-based frames, unlike W1's row frames.
     "w2_window_range" -> ((s, d) => {
@@ -1900,6 +1978,54 @@ object Relational {
                 wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey, o_orderkey""",
+    // Benford expectations stated as the same integer literals — log10
+    // at runtime would be libm-dependent on either engine
+    "x87_benford_audit" ->
+      """WITH digits AS (
+           SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice >= 1.0),
+          counts AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit),
+          t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM counts),
+          e(digit, expected_ppm) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
+            (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+         SELECT c.digit, c.n_obs,
+                c.n_obs * 1000000 // t.total AS obs_ppm,
+                CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+                abs(c.n_obs * 1000000 // t.total - e.expected_ppm) AS delta_ppm
+         FROM counts c JOIN e ON c.digit = e.digit, t
+         ORDER BY c.digit""",
+    "x88_locf_impute" ->
+      """WITH daily AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  max(o_totalprice) AS day_price
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+             AND o_orderdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1, 2),
+          spine AS (
+           SELECT o_custkey, CAST(unnest(generate_series(
+                    DATE '1997-03-01', DATE '1997-03-31', INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT DISTINCT o_custkey FROM daily))
+         SELECT s.o_custkey, s.day, d.day_price,
+                last_value(d.day_price IGNORE NULLS) OVER (
+                  PARTITION BY s.o_custkey ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_price
+         FROM spine s LEFT JOIN daily d
+           ON s.o_custkey = d.o_custkey AND s.day = d.day
+         ORDER BY s.o_custkey, s.day""",
+    // identical (mn, bw) arithmetic, floor not round — bucket ids and
+    // edges reproduce bit-for-bit
+    "x89_histogram" ->
+      """WITH st AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                     FROM lineitem),
+          b AS (SELECT least(CAST(floor((l_extendedprice - mn) / (mx - mn) * 32) AS BIGINT),
+                             31) AS bucket, mn, mx
+                FROM lineitem, st)
+         SELECT bucket,
+                mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 32.0) AS lo_edge,
+                mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 32.0) AS hi_edge,
+                count(*) AS n_rows
+         FROM b GROUP BY bucket, mn, mx ORDER BY bucket""",
     "x86_gap_fill" ->
       """WITH daily AS (
            SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
