@@ -73,6 +73,24 @@ object Quality {
         .select(col("k"), col("n_groups"), (col("k") * col("n_groups")).as("n_rows"))
         .orderBy("k")),
 
+    // Join-explosion guard — the pre-flight read before any
+    // many-to-many join: the EXACT output cardinality of A⋈B on key k
+    // is Σ_k cnt_A(k)·cnt_B(k), computable from two map-combined key
+    // histograms without running the join (here the lineitem partkey
+    // self-join, the x2-style inverted-index shape). Emits the top-10
+    // contributing keys — the rows a rewrite (df-cap, prefix filter,
+    // salt) must address — with the predicted total on every row
+    // (j21's exchange-reuse shape). The guard costs one aggregate;
+    // the join it predicts can cost n², which is the point.
+    "q_join_explosion" -> ((s, d) => {
+      val c = Tables.lineitem(s, d).groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("l_partkey"), col("cnt"), (col("cnt") * col("cnt")).as("contrib"))
+      c.crossJoin(broadcast(c.agg(sum("contrib").as("predicted_total"))))
+        .orderBy(desc("contrib"), col("l_partkey"))
+        .limit(10)
+    }),
+
     // Right-to-be-forgotten sweep — the multi-table cascade audit run
     // before executing a deletion batch: per table, rows before /
     // rows the cascade removes / rows after, for the deletion list
@@ -145,6 +163,13 @@ object Quality {
                  FROM qi GROUP BY 1, 2, 3)
          SELECT k, count(*) AS n_groups, k * count(*) AS n_rows
          FROM g GROUP BY k ORDER BY k""",
+    "q_join_explosion" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt,
+                           count(*) * count(*) AS contrib
+                    FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, cnt, contrib,
+                (SELECT CAST(SUM(contrib) AS BIGINT) FROM c) AS predicted_total
+         FROM c ORDER BY contrib DESC, l_partkey LIMIT 10""",
     // the textbook correlated-IN cascade — the engine's broadcast
     // left-join conditional counts must reproduce it exactly
     "q_deletion_sweep" ->

@@ -78,6 +78,20 @@ class AuditOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_join_explosion: the histogram prediction equals the join it never ran") {
+    val out = Quality.queries("q_join_explosion")(spark, sfDir).collect()
+    val predicted = out.head.getAs[Long]("predicted_total")
+    // actually run the self-join the guard priced (cheap at this SF)
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey")
+    val actual = li.as("a").join(li.as("b"), col("a.l_partkey") === col("b.l_partkey")).count()
+    assert(predicted === actual,
+      s"predicted $predicted != actual join output $actual")
+    // per-key contributions are internally consistent
+    out.foreach { r =>
+      assert(r.getAs[Long]("contrib") === r.getAs[Long]("cnt") * r.getAs[Long]("cnt"))
+    }
+  }
+
   test("q_deletion_sweep: internal consistency, true cascade counts, broadcast-only fact joins") {
     val df = Quality.queries("q_deletion_sweep")(spark, sfDir)
     val rows = df.collect().map(r => r.getString(0) ->
