@@ -684,6 +684,32 @@ object Relational {
           sum("u_purchase").as("n_purchase_after_click"))
     }),
 
+    // X106: TIME-BOUNDED conversion — a21's ordered funnel with the
+    // constraint real attribution adds: the purchase must land within
+    // one hour of a PRECEDING view (the MATCH_RECOGNIZE-style
+    // pattern-with-deadline). Same one-user-keyed-window discipline —
+    // the running max carries the latest view TIMESTAMP (not a flag),
+    // and the deadline is pure interval arithmetic (ts ≤ last_view +
+    // 1h, exact micros on both engines — no epoch-seconds truncation
+    // games). No per-stage self-join: one fact shuffle, map-combined
+    // final counts.
+    "x90_timed_conversion" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("last_view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("conv",
+          when(col("event_type") === "purchase" && col("last_view_ts").isNotNull &&
+            col("ts") <= col("last_view_ts") + expr("INTERVAL 1 HOUR"), 1)
+            .otherwise(0))
+        .agg(count(lit(1)).as("n_events"),
+          sum("conv").as("n_conversions"),
+          countDistinct(when(col("conv") === 1, col("user_id")))
+            .as("n_converting_users"))
+    }),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -1520,6 +1546,21 @@ object Relational {
                 CAST(SUM(u_click) AS BIGINT) AS n_click_after_view,
                 CAST(SUM(u_purchase) AS BIGINT) AS n_purchase_after_click
          FROM pu""",
+    "x90_timed_conversion" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+          st AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_view_ts FROM ev),
+          c AS (SELECT user_id,
+                       CASE WHEN event_type = 'purchase' AND last_view_ts IS NOT NULL
+                                 AND ts <= last_view_ts + INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END AS conv
+                FROM st)
+         SELECT count(*) AS n_events,
+                CAST(SUM(conv) AS BIGINT) AS n_conversions,
+                count(DISTINCT CASE WHEN conv = 1 THEN user_id END) AS n_converting_users
+         FROM c""",
     "a22_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                              CAST(date_trunc('week', date_trunc('microseconds', ts)) AS DATE) AS activity_week

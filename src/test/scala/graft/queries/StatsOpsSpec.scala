@@ -34,6 +34,34 @@ class StatsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x90: the deadline governs against the LATEST preceding view, planted sequences") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1000000000000L + min * 60000L)
+    // A converts (30 min), B misses (120 min), C has purchase BEFORE
+    // view (never converts), D converts off its SECOND view (75 min
+    // after the first, 15 after the second — latest view governs)
+    val ev = Seq(
+      (1L, 10L, "view", ts(0)), (2L, 10L, "purchase", ts(30)),
+      (3L, 20L, "view", ts(0)), (4L, 20L, "purchase", ts(120)),
+      (5L, 30L, "purchase", ts(0)), (6L, 30L, "view", ts(10)),
+      (7L, 40L, "view", ts(0)), (8L, 40L, "view", ts(60)), (9L, 40L, "purchase", ts(75)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val conv = ev
+      .withColumn("last_view_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("conv",
+        when(col("event_type") === "purchase" && col("last_view_ts").isNotNull &&
+          col("ts") <= col("last_view_ts") + expr("INTERVAL 1 HOUR"), 1).otherwise(0))
+      .filter(col("conv") === 1)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(conv === Set(10L, 40L), s"converting users: $conv")
+  }
+
   test("x89: buckets tile [min,max] and counts partition the fact") {
     val rows = Relational.queries("x89_histogram")(spark, sfDir).collect()
     val n = Tables.lineitem(spark, sfDir).count()
