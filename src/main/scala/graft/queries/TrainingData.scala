@@ -1569,6 +1569,44 @@ object TrainingData {
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
     }),
 
+    // Label-vs-cluster agreement, Cohen's kappa (Cohen 1960) — the
+    // label-QC read AFTER x64's prototype screen: map each IVF cluster
+    // (the SAME exact-integer k-means as x16/x47/x61) to its majority
+    // label (ties → min label), then score chance-CORRECTED agreement
+    // between supervised labels and unsupervised structure. Low kappa
+    // = labels carry little geometric signal (or clustering is broken
+    // — x68's recall audit separates the two). All counts exact; po/pe
+    // as floor-ppm integers; the final kappa is ONE IEEE division of
+    // two exact integers (engine-portable; integer div would floor-vs-
+    // truncate differently on negative kappa). Every aggregate after
+    // the assignment join is bounded by #labels × #clusters.
+    "x91_label_kappa" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (_, asg) = Similarity.ivfIndex(emb, nlist = 16, iters = 2)
+      val joined = emb.select(col("vec_id"), col("label"))
+        .join(asg.select("vec_id", "cluster"), Seq("vec_id"))
+      val mapping = joined.groupBy("cluster", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("cluster")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("cluster"), (-col("m.neg")).as("pred_label"))
+      val pred = joined.join(broadcast(mapping), Seq("cluster"))
+      val tot = pred.agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("pred_label"), 1L).otherwise(0L)).as("n_match"))
+      val rm = pred.groupBy("label").agg(count(lit(1)).as("r"))
+      val cm = pred.groupBy(col("pred_label").as("label")).agg(count(lit(1)).as("c"))
+      val pe = rm.join(cm, Seq("label"))
+        .crossJoin(broadcast(tot.select("n")))
+        .select(expr("((r * 1000000 div n) * (c * 1000000 div n)) div 1000000").as("pc"))
+        .agg(coalesce(sum("pc"), lit(0L)).as("pe_ppm"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n"), col("n_match"),
+          expr("n_match * 1000000 div n").as("po_ppm"), col("pe_ppm"))
+        .select(col("n"), col("n_match"), col("po_ppm"), col("pe_ppm"),
+          ((col("po_ppm") - col("pe_ppm")).cast("double") /
+            (lit(1000000L) - col("pe_ppm")).cast("double")).as("kappa"))
+    }),
+
     // Corpus segmentation stats off the SAME IVF index as x16: per
     // cluster, how many vectors and how much norm mass (member count,
     // Σ‖v‖², ‖centroid‖² — all exact fixed-point integers). The
@@ -2514,6 +2552,34 @@ object TrainingData {
                   '/$', '') AS canon_url
          FROM s3 ORDER BY doc_id""",
     "x16_ivf_topk" -> ivfOracleSql(),
+    // the SAME unrolled k-means; majority map + exact-ppm kappa chain,
+    // final kappa one IEEE division of two exact integers
+    "x91_label_kappa" ->
+      s"""WITH ${ivfKmeansCtes(16, 2)},
+          j AS (SELECT a.vec_id, a.cluster, emb.label
+                FROM a2 a JOIN embeddings emb ON emb.vec_id = a.vec_id),
+          mc AS (SELECT cluster, label, count(*) AS cnt FROM j GROUP BY 1, 2),
+          mp AS (SELECT cluster, label AS pred_label FROM (
+                   SELECT cluster, label,
+                          row_number() OVER (PARTITION BY cluster
+                            ORDER BY cnt DESC, label) AS rn
+                   FROM mc) WHERE rn = 1),
+          p AS (SELECT j.vec_id, j.label, mp.pred_label
+                FROM j JOIN mp USING (cluster)),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN label = pred_label THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+                FROM p),
+          r AS (SELECT label, CAST(count(*) AS BIGINT) AS r FROM p GROUP BY 1),
+          c AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+          pe AS (SELECT CAST(COALESCE(SUM(
+                   ((r.r * 1000000 // t.n) * (c.c * 1000000 // t.n)) // 1000000), 0) AS BIGINT) AS pe_ppm
+                 FROM r JOIN c USING (label), t)
+          SELECT t.n, t.n_match,
+                 t.n_match * 1000000 // t.n AS po_ppm,
+                 pe.pe_ppm,
+                 CAST(t.n_match * 1000000 // t.n - pe.pe_ppm AS DOUBLE)
+                   / CAST(1000000 - pe.pe_ppm AS DOUBLE) AS kappa
+          FROM t, pe""",
     "x47_cluster_profile" -> ivfProfileOracleSql(),
     "x61_semdedup" -> semDedupOracleSql(SemDedupThreshold),
     "x74_semantic_decontam" -> semContamOracleSql(SemContamThreshold),
