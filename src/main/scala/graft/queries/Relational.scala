@@ -710,6 +710,34 @@ object Relational {
             .as("n_converting_users"))
     }),
 
+    // X108: per-customer spend trend — the churn/decline screen: least-
+    // squares slope of monthly 1997 spend per customer, a19's
+    // determinism discipline applied per entity. Months collapse to
+    // exact integer cents first (one fact shuffle), the per-customer
+    // sums (n, Σx, Σy, Σxy, Σx²) are exact longs over ≤12 points, and
+    // the slope is ONE IEEE division of two exact integers — no
+    // regression-library float accumulation anywhere. Customers with a
+    // single active month drop (slope undefined); the decliner flag is
+    // a deterministic sign test.
+    "x92_spend_trend" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey"), (month(col("o_orderdate")) - 1).cast("long").as("x"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("y"))
+      m.groupBy("o_custkey").agg(
+          count(lit(1)).as("n_months"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n_months") >= 2)
+        .select(col("o_custkey"), col("n_months"),
+          ((col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents"))
+        .withColumn("declining", (col("slope_cents") < 0.0).cast("int"))
+        .orderBy("o_custkey")
+    }),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -1546,6 +1574,24 @@ object Relational {
                 CAST(SUM(u_click) AS BIGINT) AS n_click_after_view,
                 CAST(SUM(u_purchase) AS BIGINT) AS n_purchase_after_click
          FROM pu""",
+    "x92_spend_trend" ->
+      """WITH m AS (SELECT o_custkey,
+                           CAST(EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,
+                           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+                    FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                      AND o_orderdate < TIMESTAMP '1998-01-01'
+                    GROUP BY 1, 2),
+          g AS (SELECT o_custkey, count(*) AS n_months,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM m GROUP BY 1)
+         SELECT o_custkey, n_months,
+                CAST(n_months * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope_cents,
+                CAST(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_months * sxx - sx * sx AS DOUBLE) < 0.0 AS INT) AS declining
+         FROM g WHERE n_months >= 2 ORDER BY o_custkey""",
     "x90_timed_conversion" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
                             date_trunc('microseconds', ts) AS ts FROM events),

@@ -62,6 +62,29 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(conv === Set(10L, 40L), s"converting users: $conv")
   }
 
+  test("x92: the slope formula recovers planted linear trends exactly") {
+    import spark.implicits._
+    // y = 100 - 10x (declining), y = 5x + 7 (growing), constant y
+    val m = Seq.tabulate(12)(x => (1L, x.toLong, 100L - 10L * x)) ++
+      Seq.tabulate(6)(x => (2L, x.toLong, 5L * x + 7L)) ++
+      Seq.tabulate(4)(x => (3L, x.toLong, 42L))
+    val g = m.toDF("o_custkey", "x", "y").groupBy("o_custkey").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("o_custkey"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g(1L) === -10.0 && g(2L) === 5.0 && g(3L) === 0.0, s"$g")
+    // and the surface query's flag is the sign of its slope
+    val out = Relational.queries("x92_spend_trend")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("declining") === (if (r.getAs[Double]("slope_cents") < 0) 1 else 0))
+      assert(r.getAs[Long]("n_months") >= 2)
+    }
+  }
+
   test("x89: buckets tile [min,max] and counts partition the fact") {
     val rows = Relational.queries("x89_histogram")(spark, sfDir).collect()
     val n = Tables.lineitem(spark, sfDir).count()
