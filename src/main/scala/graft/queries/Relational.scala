@@ -738,6 +738,37 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // X109: event-lateness profile — the measurement that SIZES a
+    // watermark (SURVEY §2.8 T3/T4's delay is otherwise a guess): how
+    // far events arrive behind the running per-key event-time
+    // high-water mark, in seconds, bucketed log2 (the q_skew_profile
+    // read: integer binary-string length, no log()), so "a watermark
+    // of 2^k seconds captures all but the top buckets' rows" reads
+    // straight off the histogram. The generated events are written in
+    // perfect time order, so the ARRIVAL sequence is the x78/x79-style
+    // deterministic plant: a replay through the md5-shuffled ingestion
+    // order (util.Sampling.shuffleKey — the oracle re-derives the same
+    // permutation, so the hash gate verifies the lateness computation,
+    // not the synthesis). One user-partitioned window exchange + a
+    // bounded aggregate; seconds floor on EACH side (not of the
+    // difference) — the one form both engines compute identically.
+    "x93_lateness_profile" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(graft.util.Sampling.shuffleKey(col("event_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("hwm", max("ts").over(w))
+        .select((unix_timestamp(col("hwm")) - unix_timestamp(col("ts")))
+          .as("late_sec"))
+        .select(
+          when(col("late_sec") <= 0, lit(-1))
+            .otherwise(length(bin(col("late_sec"))) - 1).as("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("log2_bucket")
+    }),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -1574,6 +1605,19 @@ object Relational {
                 CAST(SUM(u_click) AS BIGINT) AS n_click_after_view,
                 CAST(SUM(u_purchase) AS BIGINT) AS n_purchase_after_click
          FROM pu""",
+    "x93_lateness_profile" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                            date_trunc('microseconds', ts) AS ts,
+                            md5(CAST(event_id AS VARCHAR)) AS sk FROM events),
+          h AS (SELECT *, max(ts) OVER (PARTITION BY user_id ORDER BY sk
+                  ROWS UNBOUNDED PRECEDING) AS hwm FROM ev),
+          l AS (SELECT CAST(floor(epoch(hwm)) AS BIGINT)
+                       - CAST(floor(epoch(ts)) AS BIGINT) AS late_sec FROM h),
+          b AS (SELECT CASE WHEN late_sec <= 0 THEN -1
+                            ELSE CAST(length(bin(late_sec)) - 1 AS INT)
+                       END AS log2_bucket FROM l)
+         SELECT log2_bucket, count(*) AS n_events
+         FROM b GROUP BY 1 ORDER BY 1""",
     "x92_spend_trend" ->
       """WITH m AS (SELECT o_custkey,
                            CAST(EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS x,

@@ -85,6 +85,33 @@ class StatsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x93: lateness buckets are exact on a hand-built arrival sequence") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    // arrival order (by sk column stand-in): we pin the WINDOW LOGIC by
+    // ordering on an explicit arrival column: events arrive t=100,
+    // t=0 (100 s late → bucket 6), t=40 (60 s late → bucket 5), t=200
+    // (new hwm → -1)
+    val ev = Seq((1L, ts(100)), (2L, ts(0)), (3L, ts(40)), (4L, ts(200)))
+      .zipWithIndex.map { case ((id, t), arr) => (id, 1L, t, arr) }
+      .toDF("event_id", "user_id", "ts", "arrival")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("arrival")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val buckets = ev.withColumn("hwm", max("ts").over(w))
+      .select((unix_timestamp(col("hwm")) - unix_timestamp(col("ts"))).as("late_sec"))
+      .select(when(col("late_sec") <= 0, lit(-1))
+        .otherwise(length(bin(col("late_sec"))) - 1).as("b"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(buckets === Seq(-1, -1, 5, 6), s"got $buckets")
+    // surface query: histogram partitions the event count
+    val out = Relational.queries("x93_lateness_profile")(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum ===
+      graft.Tables.events(spark, sfDir).count())
+  }
+
   test("x89: buckets tile [min,max] and counts partition the fact") {
     val rows = Relational.queries("x89_histogram")(spark, sfDir).collect()
     val n = Tables.lineitem(spark, sfDir).count()
