@@ -508,6 +508,31 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // X110: winsorized mean — the robust KPI beside the 3σ (x82) and
+    // Benford (x87) screens: clamp the price column to its exact
+    // [p05, p95] (util.ExactQuantiles — no single-buffer percentile)
+    // and take the exact-decimal mean of the clamped values, next to
+    // the raw mean so the outlier influence is the visible delta. The
+    // clamp bounds come back as two scalars (metadata), so the final
+    // pass is one map-combined aggregate over a per-row least/greatest
+    // — no second shuffle. Means are davg-style: exact decimal sums,
+    // one IEEE division each.
+    "x94_robust_mean" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qs = graft.util.ExactQuantiles.values(
+        li, "l_extendedprice", Seq(0.05, 0.95))
+      val clamped = greatest(least(col("l_extendedprice"), lit(qs(1))), lit(qs(0)))
+      li.agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("rs"),
+          sum(clamped.cast("decimal(18,2)")).as("ws"),
+          sum(when(col("l_extendedprice") < qs(0) ||
+            col("l_extendedprice") > qs(1), 1L).otherwise(0L)).as("n_clamped"))
+        .select(col("n"), col("n_clamped"),
+          lit(qs(0)).as("p05"), lit(qs(1)).as("p95"),
+          (col("rs").cast("double") / col("n")).as("raw_mean"),
+          (col("ws").cast("double") / col("n")).as("winsorized_mean"))
+    }),
+
     // W2: RANGE-framed window (30-day trailing spend per customer) —
     // value-based frames, unlike W1's row frames.
     "w2_window_range" -> ((s, d) => {
@@ -1605,6 +1630,20 @@ object Relational {
                 CAST(SUM(u_click) AS BIGINT) AS n_click_after_view,
                 CAST(SUM(u_purchase) AS BIGINT) AS n_purchase_after_click
          FROM pu""",
+    // quantile_cont bounds restated outright; clamp + exact-decimal
+    // means must reproduce the two-phase path bit-for-bit
+    "x94_robust_mean" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS p05,
+                           quantile_cont(l_extendedprice, 0.95) AS p95
+                    FROM lineitem)
+         SELECT count(*) AS n,
+                CAST(SUM(CASE WHEN l_extendedprice < q.p05
+                               OR l_extendedprice > q.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+                q.p05 AS p05, q.p95 AS p95,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS raw_mean,
+                CAST(SUM(CAST(greatest(least(l_extendedprice, q.p95), q.p05)
+                              AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS winsorized_mean
+         FROM lineitem, q GROUP BY q.p05, q.p95""",
     "x93_lateness_profile" ->
       """WITH ev AS (SELECT event_id, user_id,
                             date_trunc('microseconds', ts) AS ts,

@@ -112,6 +112,16 @@ class StatsOpsSpec extends SparkSpecBase {
       graft.Tables.events(spark, sfDir).count())
   }
 
+  test("x94: winsorized mean resists a planted outlier the raw mean follows") {
+    val r = Relational.queries("x94_robust_mean")(spark, sfDir).collect().head
+    assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+    assert(r.getAs[Long]("n_clamped") <= r.getAs[Long]("n") / 9,
+      "5%+5% tails clamp at most ~11% of rows")
+    // both means sit inside the clamp band... the winsorized one must
+    val wm = r.getAs[Double]("winsorized_mean")
+    assert(wm >= r.getAs[Double]("p05") && wm <= r.getAs[Double]("p95"))
+  }
+
   test("x89: buckets tile [min,max] and counts partition the fact") {
     val rows = Relational.queries("x89_histogram")(spark, sfDir).collect()
     val n = Tables.lineitem(spark, sfDir).count()
