@@ -794,6 +794,30 @@ object Relational {
         .orderBy("log2_bucket")
     }),
 
+    // X111: time-to-convert distribution — the latency histogram behind
+    // x90's conversion verdict: for every qualifying purchase (within
+    // 1 h of the latest preceding view), seconds from that view,
+    // collapsed to log2 buckets (x93's integer read). The product
+    // question "do converts happen in seconds or minutes" reads off
+    // the histogram; same single user-keyed window, bounded aggregate.
+    "x95_convert_latency" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("last_view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" && col("last_view_ts").isNotNull &&
+          col("ts") <= col("last_view_ts") + expr("INTERVAL 1 HOUR"))
+        .select((unix_timestamp(col("ts")) - unix_timestamp(col("last_view_ts")))
+          .as("lat_sec"))
+        .select(when(col("lat_sec") <= 0, lit(-1))
+          .otherwise(length(bin(col("lat_sec"))) - 1).as("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy("log2_bucket")
+    }),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -1644,6 +1668,22 @@ object Relational {
                 CAST(SUM(CAST(greatest(least(l_extendedprice, q.p95), q.p05)
                               AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS winsorized_mean
          FROM lineitem, q GROUP BY q.p05, q.p95""",
+    "x95_convert_latency" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+          st AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_view_ts FROM ev),
+          c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(last_view_ts)) AS BIGINT) AS lat_sec
+                FROM st
+                WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
+                  AND ts <= last_view_ts + INTERVAL 1 HOUR),
+          b AS (SELECT CASE WHEN lat_sec <= 0 THEN -1
+                            ELSE CAST(length(bin(lat_sec)) - 1 AS INT)
+                       END AS log2_bucket FROM c)
+         SELECT log2_bucket, count(*) AS n_conversions
+         FROM b GROUP BY 1 ORDER BY 1""",
     "x93_lateness_profile" ->
       """WITH ev AS (SELECT event_id, user_id,
                             date_trunc('microseconds', ts) AS ts,

@@ -1477,6 +1477,42 @@ object TrainingData {
     // 5-gram with the benchmark set (stand-in: every 20th document).
     // Candidate generation is a semi-join on the shingle — one shuffle
     // keyed by n-gram, never an all-pairs comparison.
+    // Transitive contamination spread — decontam (x28's 5-gram seeds)
+    // COMPOSED with the near-dup graph: contamination travels through
+    // duplicate links (a paraphrased copy of a contaminated page is
+    // itself suspect even with zero direct benchmark n-grams), so
+    // every training doc gets its HOP DISTANCE to the nearest seed
+    // (0 = direct hit, 1/2 = one/two near-dup links away, NULL =
+    // clear) via two unrolled min-distance propagation rounds over the
+    // pair plane — the same bounded Pregel loop as x84, min-combining
+    // instead of summing. least() ignores NULLs identically on both
+    // engines, so the relaxation is engine-portable as-is.
+    "x96_contam_spread" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh5 = Dedup.docShingles(docs, n = 5).cache()
+      val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+      val seeds = sh5.filter(col("doc_id") % 20 =!= 0)
+        .join(bench, Seq("sh"), "left_semi").select("doc_id").distinct()
+      val tp = Dedup.minhashNearDups(docs, 0.5)
+        .filter(col("doc_a") % 20 =!= 0 && col("doc_b") % 20 =!= 0)
+      val und = tp.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(tp.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var dist = docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(seeds.withColumn("d0", lit(0)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("d0").as("dist"))
+      for (_ <- 1 to 2) {
+        val relaxed = und
+          .join(dist.filter(col("dist").isNotNull), col("src") === col("doc_id"))
+          .groupBy(col("dst")).agg(min(col("dist") + 1).as("nd"))
+        dist = dist.join(relaxed, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"), least(col("dist"), col("nd")).as("dist"))
+      }
+      dist.select(col("doc_id"), col("dist").as("hop_dist"),
+          col("dist").isNotNull.cast("int").as("is_suspect"))
+        .orderBy("doc_id")
+    }),
+
     "x28_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // both the benchmark and training branches read the shingle
@@ -3041,6 +3077,39 @@ object TrainingData {
                 md5(string_agg(fp, '|' ORDER BY start_offset)) AS shard_md5
          FROM p JOIN f USING (doc_id)
          GROUP BY bin_id ORDER BY bin_id""",
+    // the same verified pair plane + the same 5-gram seeds (renamed
+    // CTEs — the minhash chain already owns tok/xg/sh), then two
+    // unrolled min-distance relaxations; least() NULL semantics match
+    "x96_contam_spread" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          $jaccardVerifyCte,
+          xg5 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+                  FROM tok WHERE len(t) >= 5),
+          sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM xg5),
+          bench5 AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 20 = 0),
+          seeds AS (SELECT DISTINCT doc_id FROM sh5
+                    WHERE doc_id % 20 <> 0 AND sh IN (SELECT sh FROM bench5)),
+          tp AS (SELECT doc_a, doc_b FROM verified
+                 WHERE doc_a % 20 <> 0 AND doc_b % 20 <> 0),
+          und AS (SELECT doc_a AS src, doc_b AS dst FROM tp
+                  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM tp),
+          d0 AS (SELECT d.doc_id, CASE WHEN s.doc_id IS NOT NULL THEN 0 END AS dist
+                 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+                 LEFT JOIN seeds s USING (doc_id)),
+          r1 AS (SELECT u.dst AS doc_id, min(d.dist + 1) AS nd
+                 FROM und u JOIN d0 d ON u.src = d.doc_id
+                 WHERE d.dist IS NOT NULL GROUP BY 1),
+          d1 AS (SELECT d0.doc_id, least(d0.dist, r1.nd) AS dist
+                 FROM d0 LEFT JOIN r1 USING (doc_id)),
+          r2 AS (SELECT u.dst AS doc_id, min(d.dist + 1) AS nd
+                 FROM und u JOIN d1 d ON u.src = d.doc_id
+                 WHERE d.dist IS NOT NULL GROUP BY 1),
+          d2 AS (SELECT d1.doc_id, least(d1.dist, r2.nd) AS dist
+                 FROM d1 LEFT JOIN r2 USING (doc_id))
+         SELECT doc_id, dist AS hop_dist,
+                CAST(dist IS NOT NULL AS INT) AS is_suspect
+         FROM d2 ORDER BY doc_id""",
     "x28_decontam" ->
       s"""WITH $tokCte,
           xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
