@@ -802,6 +802,25 @@ object TrainingData {
         Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Threshold sweep — the τ-tuning read a curation team takes BEFORE
+    // fixing the near-dup cut: pair counts at every candidate
+    // threshold (0.5 … 0.9), from ONE pass over the verified pair
+    // table (conditional counts over the exact jaccard scores x2
+    // already computes — no per-τ rerun). The knee of this curve is
+    // where τ goes; rerunning the detector per candidate τ costs
+    // |sweep|× the join, which is the anti-pattern this query exists
+    // to replace.
+    "x97_threshold_sweep" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(
+        Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
+      pairs.agg(
+        count(lit(1)).as("n_050"),
+        sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_060"),
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_070"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_080"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_090"))
+    }),
+
     // Asymmetric containment (Broder): C(A→B) = |A∩B|/|A| — surfaces a
     // short document quoted inside a long one, which symmetric Jaccard
     // buries (the union is dominated by the long side). Same df-capped
@@ -2185,6 +2204,19 @@ object TrainingData {
           FROM inter JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
           WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
           ORDER BY doc_a, doc_b""",
+    // conditional counts over the same verified scores — one pass,
+    // never a per-threshold rerun
+    "x97_threshold_sweep" ->
+      s"""WITH $shingleCte,
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          $jaccardVerifyCte
+          SELECT count(*) AS n_050,
+                 CAST(SUM(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_060,
+                 CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_070,
+                 CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_080,
+                 CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_090
+          FROM verified""",
     "x56_containment" ->
       s"""WITH $shingleCte,
           keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
