@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, length}
+import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
 
 /** Driver-run benchmark. Emits one JSON line PER RUN as it completes
   * (stderr + `bench_progress.jsonl`), then one summary line per query,
@@ -75,7 +75,7 @@ import org.apache.spark.sql.functions.{col, length}
   * column of every row with no driver collect. Each timed run starts
   * from a cleared DataFrame-cache so it re-does all real work.
   *
-  * Twelve queries are timed in their SERVICE shape. x41 (sketch
+  * Fourteen queries are timed in their SERVICE shape. x41 (sketch
   * accuracy) and x55 (ANN recall) are continuous index-quality
   * monitors, and x61 (SemDeDup) + x74 (semantic decontamination) probe
   * the SAME trained IVF assignment table (that sharing is the service
@@ -89,8 +89,8 @@ import org.apache.spark.sql.functions.{col, length}
   * amortized across every consumer — and the timed forms are the SAME
   * functions (`DedupPlane.accuracy`, `TrainingData.annRecall`,
   * `Similarity.semDedupOnIndex`) over the parquet scan (probe ≡ gate
-  * results, spec-checked). The same amortization applies to the seven
-  * PAIR-TABLE consumers (x17/x38/x42/x43/x70/x75/x84): a curation stack
+  * results, spec-checked). The same amortization applies to the nine
+  * PAIR-TABLE consumers (x17/x38/x42/x43/x70/x75/x84/x96/x97): a curation stack
   * materializes each detector's near-dup pair output once and every
   * audit joins it, so the prelude persists the MinHash (and, for x70,
   * SimHash) pair tables and the timed forms are the shared tail
@@ -99,7 +99,7 @@ import org.apache.spark.sql.functions.{col, length}
   * `componentKeepers`) over the parquet scan — probe ≡ gate pinned by
   * PairPlaneProbeSpec. x4/x6 stay self-contained: they ARE the
   * detector benchmarks, so the pair-pipeline cost is still measured,
-  * once, where it belongs. The twelfth is q_bucketed_join: the
+  * once, where it belongs. The fourteenth is q_bucketed_join: the
   * prelude writes the bucketed lineitem/orders layout once, untimed —
   * a warehouse writes its layout once, not per query — and the timed
   * form is the exchange-free SMJ over it (BucketedLayout.bucketedJoinAgg,
@@ -188,7 +188,8 @@ object Bench {
       .toString
     val pairConsumers = Set("x17_dedup_clusters", "x38_cluster_keeper",
       "x42_split_leakage", "x43_component_split", "x70_dedup_agreement",
-      "x75_source_overlap", "x84_dup_pagerank")
+      "x75_source_overlap", "x84_dup_pagerank", "x96_contam_spread",
+      "x97_threshold_sweep")
     val probes: Map[String, (SparkSession, String) => DataFrame] =
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
                           || n == "x61_semdedup" || n == "x74_semantic_decontam"
@@ -283,6 +284,20 @@ object Bench {
                   mhPairs(s).select("doc_a", "doc_b"),
                   Tables.documents(s, d).select("doc_id"), iters = 4)
                 .orderBy("doc_id"))
+          if (names.contains("x96_contam_spread"))
+            m += "x96_contam_spread" -> ((s: SparkSession, d: String) =>
+              TrainingData.contamSpreadOnPairs(
+                Tables.documents(s, d), mhPairs(s)))
+          if (names.contains("x97_threshold_sweep"))
+            // LSH ≡ exact at 0.5 (DedupSpec) — the sweep's conditional
+            // counts read the standing pair plane directly
+            m += "x97_threshold_sweep" -> ((s: SparkSession, _: String) =>
+              mhPairs(s).agg(
+                count(lit(1)).as("n_050"),
+                sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_060"),
+                sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_070"),
+                sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_080"),
+                sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_090")))
         }
         if (names.contains("q_bucketed_join")) {
           // the standing WAREHOUSE LAYOUT — written once, ridden by

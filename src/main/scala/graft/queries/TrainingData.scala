@@ -764,6 +764,36 @@ object TrainingData {
           .otherwise(lit("")),
         lit("\nsignature of doc "), col("doc_id").cast("string")).as("text"))
 
+  /** x96's verdict off an arbitrary standing (doc_a, doc_b) pair table
+    * — the service shape (the bench reads the persisted pair plane;
+    * the gate passes the inline detector). Seeds re-derive from the
+    * 5-gram benchmark overlap; two unrolled min-distance relaxations
+    * over the undirected pair graph (see the x96 scaladoc). */
+  def contamSpreadOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh5 = Dedup.docShingles(docs, n = 5).cache()
+    val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+    val seeds = sh5.filter(col("doc_id") % 20 =!= 0)
+      .join(bench, Seq("sh"), "left_semi").select("doc_id").distinct()
+    val tp = pairs
+      .filter(col("doc_a") % 20 =!= 0 && col("doc_b") % 20 =!= 0)
+    val und = tp.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(tp.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var dist = docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+      .join(seeds.withColumn("d0", lit(0)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("d0").as("dist"))
+    for (_ <- 1 to 2) {
+      val relaxed = und
+        .join(dist.filter(col("dist").isNotNull), col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("dist") + 1).as("nd"))
+      dist = dist.join(relaxed, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), least(col("dist"), col("nd")).as("dist"))
+    }
+    dist.select(col("doc_id"), col("dist").as("hop_dist"),
+        col("dist").isNotNull.cast("int").as("is_suspect"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- deduplication ----------------
@@ -1508,28 +1538,7 @@ object TrainingData {
     // engines, so the relaxation is engine-portable as-is.
     "x96_contam_spread" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh5 = Dedup.docShingles(docs, n = 5).cache()
-      val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
-      val seeds = sh5.filter(col("doc_id") % 20 =!= 0)
-        .join(bench, Seq("sh"), "left_semi").select("doc_id").distinct()
-      val tp = Dedup.minhashNearDups(docs, 0.5)
-        .filter(col("doc_a") % 20 =!= 0 && col("doc_b") % 20 =!= 0)
-      val und = tp.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(tp.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .cache()
-      var dist = docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
-        .join(seeds.withColumn("d0", lit(0)), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("d0").as("dist"))
-      for (_ <- 1 to 2) {
-        val relaxed = und
-          .join(dist.filter(col("dist").isNotNull), col("src") === col("doc_id"))
-          .groupBy(col("dst")).agg(min(col("dist") + 1).as("nd"))
-        dist = dist.join(relaxed, col("doc_id") === col("dst"), "left")
-          .select(col("doc_id"), least(col("dist"), col("nd")).as("dist"))
-      }
-      dist.select(col("doc_id"), col("dist").as("hop_dist"),
-          col("dist").isNotNull.cast("int").as("is_suspect"))
-        .orderBy("doc_id")
+      contamSpreadOnPairs(docs, Dedup.minhashNearDups(docs, 0.5))
     }),
 
     "x28_decontam" -> ((s, d) => {

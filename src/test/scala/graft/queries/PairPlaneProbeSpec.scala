@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Pins probe ≡ gate for the seven pair-table consumers the bench times
+/** Pins probe ≡ gate for the nine pair-table consumers the bench times
   * in their service shape: each gate query's result must be identical
   * when its tail runs over a parquet-persisted detector pair table
   * instead of the inline pipeline — otherwise the timed computation is
@@ -36,7 +36,14 @@ class PairPlaneProbeSpec extends SparkSpecBase {
       "x75_source_overlap" -> TrainingData.sourceOverlap(mh, docs),
       "x84_dup_pagerank" -> graft.operators.PageRank.pagerankPpm(
         mh.select("doc_a", "doc_b"), docs.select("doc_id"), iters = 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id"),
+      "x96_contam_spread" -> TrainingData.contamSpreadOnPairs(docs, mh),
+      "x97_threshold_sweep" -> mh.agg(
+        count(lit(1)).as("n_050"),
+        sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_060"),
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_070"),
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_080"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_090")))
     probes.foreach { case (name, probe) =>
       assert(rows(probe) === rows(TrainingData.queries(name)(spark, sfDir)),
         s"probe ≠ gate for $name")
