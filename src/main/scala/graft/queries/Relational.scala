@@ -818,6 +818,94 @@ object Relational {
         .orderBy("log2_bucket")
     }),
 
+    // X112: batch sessionization — the gap rule (new session when >30
+    // min since the user's previous event) computed as the classic
+    // lag + running-sum pair over ONE user-keyed window exchange; the
+    // streaming twin is t3's session window, this is the backfill/
+    // reprocessing shape every events warehouse runs nightly. The gap
+    // test is pure interval arithmetic on exact micros (no
+    // epoch-seconds truncation), sessions collapse to a per-session
+    // event count, and the surfaced result is the bounded
+    // events-per-session histogram — the engagement distribution a
+    // product team reads. All three windows/aggregates share the
+    // user_id partitioning, so Catalyst plans ONE exchange for the
+    // fact; the histogram aggregate is map-side combined over at most
+    // max-session-length rows.
+    "x98_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("events_per_session"))
+        .groupBy("events_per_session")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("events_per_session")
+    }),
+
+    // X113: event-type transition matrix — P(next type | type) from
+    // per-user ordered event streams: lead() over the SAME user-keyed
+    // window discipline as x90/x95 (ts, event_id total order), pair
+    // counts in one map-combined aggregate, and the row-normalizing
+    // total via a window over the BOUNDED |types|² matrix (never a
+    // second fact pass). Probabilities are exact integer ppm
+    // (count·1e6 // row_total) so the hash gate covers the division.
+    // The Markov-chain read of product flows: which step follows
+    // which, and how often.
+    "x99_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val rowTotal = Window.partitionBy("from_type")
+      pairs
+        .withColumn("row_total", sum("n_pairs").over(rowTotal))
+        .withColumn("p_ppm", expr("n_pairs * 1000000 div row_total"))
+        .drop("row_total")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // X114: rolling-window anomaly days — per event type, flag days
+    // whose count leaves the trailing 7-day 3σ band. The z-test runs
+    // ENTIRELY in integer arithmetic: with window n, sum S, sum of
+    // squares Q over the trailing week, |x−μ| > 3σ ⇔ (n·x−S)² >
+    // 9·(n·Q−S²) after multiplying through by n² — so the verdict bit
+    // is hash-exact on both engines with no stddev float anywhere
+    // (same move as x92's slope and j23's ppm). The fact collapses to
+    // the bounded (type, day) grain in its only shuffle; the rolling
+    // window runs over that metadata-sized table partitioned by type.
+    // Only full 7-day windows judge (rn ≥ 7) — the warm-up edge is
+    // not a verdict.
+    "x100_rolling_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val trail = w.rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("wn", count(lit(1)).over(trail))
+        .withColumn("ws", sum("n_events").over(trail))
+        .withColumn("wq", sum(col("n_events") * col("n_events")).over(trail))
+        .filter(col("rn") >= 7)
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("ws").as("win_sum"),
+          ((col("wn") * col("n_events") - col("ws")) *
+            (col("wn") * col("n_events") - col("ws")) >
+            (col("wn") * col("wq") - col("ws") * col("ws")) * 9L)
+            .cast("int").as("anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -1455,9 +1543,9 @@ object Relational {
     // scan-filter-aggregate (no join at all): every predicate reaches
     // the parquet scan as a pushed filter, the aggregate is one
     // map-side-combined pass. Included to complete the TPC-H surface;
-    // with j22-j27 every Q expressible on this schema is covered (Q12
-    // alone needs l_shipmode/commit/receipt dates, which the generated
-    // tables do not carry).
+    // with j22-j27 every Q expressible on this schema is covered
+    // directly; Q12's canonical columns (l_shipmode/commit/receipt
+    // dates) are absent, so its SHAPE is carried by j29 on stand-ins.
     "j28_forecast_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1466,6 +1554,34 @@ object Relational {
           col("l_quantity") < 24)
         .agg(dsumExpr(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n_lines"))),
+
+    // J29 (TPC-H Q12 shape): shipping-mode service-level audit — the
+    // two-class CASE conditional aggregate over the fact⋈orders join.
+    // The generated schema carries no l_shipmode/l_commitdate/
+    // l_receiptdate, so the SHAPE runs on stand-ins: l_returnflag is
+    // the 2-value IN-filtered mode column, o_orderpriority drives the
+    // high/low split. Both counts ride ONE conditional aggregate in a
+    // single fact pass; the mode IN-list and the shipdate year slice
+    // reach the parquet scan as pushed filters BEFORE the join, so
+    // only ~1/3 of one year of the fact shuffles. At 100 TB the join
+    // shuffles on orderkey either way; with both tables bucketed on
+    // orderkey (sources.BucketedLayout, measured in q_bucketed_join)
+    // it is exchange-free.
+    "j29_shipmode_priority" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag").as("shipmode"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("shipmode")),
 
     // Q-SKEW (SURVEY §6.1 mitigation row, measured): the same
     // deliberately skewed join — ~80% of the fact collapsed onto ONE
@@ -1730,6 +1846,54 @@ object Relational {
                 CAST(SUM(conv) AS BIGINT) AS n_conversions,
                 count(DISTINCT CASE WHEN conv = 1 THEN user_id END) AS n_converting_users
          FROM c""",
+    // the gap rule restated verbatim: lag + running sum + two group-bys
+    "x98_sessionize" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+          g AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_ts FROM ev),
+          ns AS (SELECT *, CASE WHEN prev_ts IS NULL
+                                  OR ts > prev_ts + INTERVAL 30 MINUTES
+                                THEN 1 ELSE 0 END AS new_sess FROM g),
+          sid AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+                  FROM ns),
+          per AS (SELECT user_id, sess_id, count(*) AS events_per_session
+                  FROM sid GROUP BY 1, 2)
+         SELECT events_per_session, count(*) AS n_sessions
+         FROM per GROUP BY 1 ORDER BY 1""",
+    // pair counts + ppm row-normalization over the bounded matrix
+    "x99_transition_matrix" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+          nx AS (SELECT event_type AS from_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS to_type FROM ev),
+          pc AS (SELECT from_type, to_type, count(*) AS n_pairs
+                 FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_pairs,
+                CAST(n_pairs * 1000000 //
+                  SUM(n_pairs) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+         FROM pc ORDER BY from_type, to_type""",
+    // the 3-sigma test in the multiplied-through integer form
+    "x100_rolling_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(date_trunc('microseconds', ts) AS DATE) AS day,
+                               count(*) AS n_events
+                        FROM events GROUP BY 1, 2),
+          w AS (SELECT *,
+                       row_number() OVER tw AS rn,
+                       count(*) OVER t7 AS wn,
+                       CAST(SUM(n_events) OVER t7 AS BIGINT) AS ws,
+                       CAST(SUM(n_events * n_events) OVER t7 AS BIGINT) AS wq
+                FROM daily
+                WINDOW tw AS (PARTITION BY event_type ORDER BY day),
+                       t7 AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, n_events, ws AS win_sum,
+                CAST((wn * n_events - ws) * (wn * n_events - ws)
+                     > (wn * wq - ws * ws) * 9 AS INT) AS anomaly
+         FROM w WHERE rn >= 7 ORDER BY event_type, day""",
     "a22_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                              CAST(date_trunc('week', date_trunc('microseconds', ts)) AS DATE) AS activity_week
@@ -2163,6 +2327,19 @@ object Relational {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    // Q12's CASE-pair conditional aggregate on the schema's stand-ins
+    "j29_shipmode_priority" ->
+      """SELECT l_returnflag AS shipmode,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_returnflag IN ('A', 'R')
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag
+         ORDER BY shipmode""",
     "x85_column_stats" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map(c =>

@@ -159,4 +159,30 @@ class TpchCompletionSpec extends SparkSpecBase {
       plan.contains("LessThan(l_quantity,24.0)"),
       s"discount/quantity band not pushed to the scan:\n$plan")
   }
+
+  test("j29 (Q12 shape): mode IN-list + year slice pushed before the join; one fact pass") {
+    val plan = Relational.queries("j29_shipmode_priority")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("lineitem\\.parquet".r.findAllIn(plan).length === 1,
+      s"both CASE branches must ride ONE fact scan:\n$plan")
+    assert(plan.contains("In(l_returnflag") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"mode IN-list / shipdate slice not pushed to the scan:\n$plan")
+    // semantics: the two conditional counts partition the joined rows —
+    // recompute each class as its own filtered count and compare
+    val got = Relational.queries("j29_shipmode_priority")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val joined = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+    for (m <- Seq("A", "R")) {
+      val hi = joined.filter(col("l_returnflag") === m &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+      val lo = joined.filter(col("l_returnflag") === m &&
+        !col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+      assert(got(m) === ((hi, lo)), s"class counts for mode $m")
+    }
+  }
 }
