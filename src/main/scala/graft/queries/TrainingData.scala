@@ -1092,6 +1092,38 @@ object TrainingData {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(20)),
 
+    // Inverted-index construction — the IR/dedup-infra build step: per
+    // term, document frequency, total term frequency, and a CAPPED
+    // posting list (the 20 smallest doc ids). The cap is computed
+    // SKEW-PROOF: a stop-word's millions of postings never sort in one
+    // task — phase 1 ranks within (term, doc_id%16) slices and keeps
+    // 20 per slice, so the global smallest-20 (contained in the ≤320
+    // survivors) re-ranks in bounded windows regardless of term
+    // frequency (the x37 two-phase discipline, keyed by doc_id order
+    // instead of the md5 draw). df/tf aggregate map-side over the
+    // (term, doc) grain; only the bounded survivors ever collect into
+    // an array. At 100 TB the full postings would write out sharded by
+    // term — the capped head is the surfaced sample of that layout.
+    "x101_postings" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val td = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf_doc"))
+      val stats = td.groupBy("term").agg(
+        count(lit(1)).as("df"), sum("tf_doc").as("tf"))
+      val slice = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(16)))
+        .orderBy("doc_id")
+      val global = Window.partitionBy("term").orderBy("doc_id")
+      val head = td
+        .withColumn("__r1", row_number().over(slice)).filter(col("__r1") <= 20)
+        .withColumn("__r2", row_number().over(global)).filter(col("__r2") <= 20)
+        .groupBy("term")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      stats.join(head, "term")
+        .select("term", "df", "tf", "postings")
+        .orderBy("term")
+    }),
+
     // Vocabulary coverage / out-of-vocabulary rate — per-doc fraction
     // of token OCCURRENCES outside the corpus top-K vocabulary (the
     // "will the tokenizer shred this document" signal; high OOV ⇒
@@ -2422,6 +2454,17 @@ object TrainingData {
       """SELECT tok, count(*) AS n FROM
            (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    // the naive statement of the capped inverted index — list the 20
+    // smallest doc ids per term outright; the engine's two-phase
+    // sliced rank must produce the identical arrays
+    "x101_postings" ->
+      s"""WITH $tokCte,
+          e AS (SELECT doc_id, unnest(t) AS term FROM tok),
+          td AS (SELECT term, doc_id, count(*) AS tf_doc FROM e GROUP BY 1, 2)
+         SELECT term, count(*) AS df,
+                CAST(SUM(tf_doc) AS BIGINT) AS tf,
+                (list(doc_id ORDER BY doc_id))[1:20] AS postings
+         FROM td GROUP BY term ORDER BY term""",
     "x48_zorder_key" ->
       s"""WITH b AS (SELECT doc_id,
               least(255, n_chars // 4) AS len_bucket,
