@@ -875,28 +875,32 @@ object Relational {
     }),
 
     // X114: rolling-window anomaly days — per event type, flag days
-    // whose count leaves the trailing 7-day 3σ band. The z-test runs
-    // ENTIRELY in integer arithmetic: with window n, sum S, sum of
-    // squares Q over the trailing week, |x−μ| > 3σ ⇔ (n·x−S)² >
-    // 9·(n·Q−S²) after multiplying through by n² — so the verdict bit
-    // is hash-exact on both engines with no stddev float anywhere
-    // (same move as x92's slope and j23's ppm). The fact collapses to
-    // the bounded (type, day) grain in its only shuffle; the rolling
-    // window runs over that metadata-sized table partitioned by type.
-    // Only full 7-day windows judge (rn ≥ 7) — the warm-up edge is
+    // whose count leaves the PRIOR week's 3σ band. The baseline window
+    // is the 7 preceding days EXCLUDING the day under test — include
+    // it and a spike dilutes the very variance it is judged against
+    // (the planted-spike spec fails on the inclusive form: a 10× day
+    // inside its own 7-window computes z ≈ 2.4 and passes). The z-test
+    // runs ENTIRELY in integer arithmetic: with baseline n, sum S, sum
+    // of squares Q, |x−μ| > 3σ ⇔ (n·x−S)² > 9·(n·Q−S²) after
+    // multiplying through by n² — so the verdict bit is hash-exact on
+    // both engines with no stddev float anywhere (same move as x92's
+    // slope and j23's ppm). The fact collapses to the bounded
+    // (type, day) grain in its only shuffle; the rolling window runs
+    // over that metadata-sized table partitioned by type. Only days
+    // with a full 7-day baseline judge (rn ≥ 8) — the warm-up edge is
     // not a verdict.
     "x100_rolling_anomaly" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
       val w = Window.partitionBy("event_type").orderBy("day")
-      val trail = w.rowsBetween(-6, Window.currentRow)
+      val trail = w.rowsBetween(-7, -1)
       daily
         .withColumn("rn", row_number().over(w))
         .withColumn("wn", count(lit(1)).over(trail))
         .withColumn("ws", sum("n_events").over(trail))
         .withColumn("wq", sum(col("n_events") * col("n_events")).over(trail))
-        .filter(col("rn") >= 7)
+        .filter(col("rn") >= 8)
         .select(col("event_type"), col("day"), col("n_events"),
           col("ws").as("win_sum"),
           ((col("wn") * col("n_events") - col("ws")) *
@@ -1889,11 +1893,11 @@ object Relational {
                 FROM daily
                 WINDOW tw AS (PARTITION BY event_type ORDER BY day),
                        t7 AS (PARTITION BY event_type ORDER BY day
-                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
          SELECT event_type, day, n_events, ws AS win_sum,
                 CAST((wn * n_events - ws) * (wn * n_events - ws)
                      > (wn * wq - ws * ws) * 9 AS INT) AS anomaly
-         FROM w WHERE rn >= 7 ORDER BY event_type, day""",
+         FROM w WHERE rn >= 8 ORDER BY event_type, day""",
     "a22_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                              CAST(date_trunc('week', date_trunc('microseconds', ts)) AS DATE) AS activity_week

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Planted-data end-to-end pins for the sequence/anomaly/index batch
+  * (x98 sessionization, x99 transition matrix, x100 rolling anomaly,
+  * x101 capped postings). Each test writes a tiny synthetic table in
+  * the driver layout and runs the REGISTERED query against it, so the
+  * full pipeline — not a re-implementation — is what's asserted.
+  * Corpus-scale values are under the oracle hash-gate. */
+class SequenceOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  private def eventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("x98: the 30-min gap rule splits planted streams exactly") {
+    // user 1: events at 0,10,20 | 60,65 | 200 → sessions of 3, 2, 1
+    // user 2: single event → session of 1
+    // boundary: user 3 at 0 and exactly 30 → SAME session (rule is >30)
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "view"), (3L, ts(20), 1L, "click"),
+      (4L, ts(60), 1L, "view"), (5L, ts(65), 1L, "purchase"),
+      (6L, ts(200), 1L, "view"),
+      (7L, ts(0), 2L, "view"),
+      (8L, ts(0), 3L, "view"), (9L, ts(30), 3L, "view")))
+    val got = Relational.queries("x98_sessionize")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L),
+      s"histogram: two 1-event sessions (u1 tail, u2), two 2-event (u1 mid, u3), one 3-event: $got")
+  }
+
+  test("x99: pair counts and ppm rows from a planted chain") {
+    // user 1: a→b→a→b ; user 2: a→a → pairs a→b ×2, b→a ×1, a→a ×1
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "b"),
+      (3L, ts(2), 1L, "a"), (4L, ts(3), 1L, "b"),
+      (5L, ts(0), 2L, "a"), (6L, ts(1), 2L, "a")))
+    val got = Relational.queries("x99_transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("a", "a") -> ((1L, 333333L)),   // 1 of 3 from-a pairs
+      ("a", "b") -> ((2L, 666666L)),
+      ("b", "a") -> ((1L, 1000000L))), s"matrix: $got")
+  }
+
+  test("x100: a planted spike day is the only anomaly; flat series never flags") {
+    // one type, 10 consecutive days (midnight-aligned) of count 5,
+    // except index 8 has 50. Day 8 judges against the flat prior week
+    // (variance 0, x≠μ) → flags; day 9 judges against a baseline that
+    // CONTAINS the spike and must not flag — the exclusion-window
+    // design the inclusive form gets wrong on both counts.
+    def tsd(d: Int, i: Int) = // 2023-11-15 00:00 UTC + d days + i min
+      new java.sql.Timestamp(1700006400000L + (d * 24 * 60 + i) * 60000L)
+    val rows = (0 until 10).flatMap { d =>
+      val n = if (d == 8) 50 else 5
+      (0 until n).map(i => (d * 100L + i, tsd(d, i), 1L, "steady"))
+    }
+    val dir = eventsDir(rows)
+    val got = Relational.queries("x100_rolling_anomaly")(spark, dir)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n_events"), r.getAs[Int]("anomaly")))).toMap
+    assert(got.size === 3, s"only days 7-9 carry a full 7-day baseline: $got")
+    val flagged = got.collect { case (day, (_, 1)) => day }
+    assert(flagged.toSeq === Seq("2023-11-23"),
+      s"only the spike day (planted index 8) flags: $got")
+    assert(got("2023-11-23")._1 === 50L)
+  }
+
+  test("x101: two-phase capped postings equal the naive smallest-20; df/tf exact") {
+    // 'hot' appears in 50 docs (twice in each even doc), 'rare' in 3
+    val docs = (0 until 50).map { i =>
+      val hot = if (i % 2 == 0) "hot hot" else "hot"
+      val rare = if (i < 3) " rare" else ""
+      (i.toLong, s"$hot$rare", "en", s"src_${i % 4}", 10L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_post").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.queries("x101_postings")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(got("hot")._1 === 50L, "df counts distinct docs")
+    assert(got("hot")._2 === 75L, "tf counts occurrences (25 doubles + 25 singles)")
+    assert(got("hot")._3 === (0L until 20L), "capped head = 20 smallest doc ids")
+    assert(got("rare") === ((3L, 3L, Seq(0L, 1L, 2L))))
+  }
+
+  test("x98/x100 plans: one fact-wide exchange; anomaly windows run on the bounded grain") {
+    val sess = Relational.queries("x98_sessionize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the session windows and the (user, sess) aggregate share the
+    // user_id partitioning — no exchange between them
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(sess).length === 1,
+      s"fact partitioned by user exactly once:\n$sess")
+    val anom = Relational.queries("x100_rolling_anomaly")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only pre-window aggregate is map-side combined: partial_count
+    // appears below the (type, day) exchange
+    assert(anom.contains("partial_count"),
+      s"daily grain must combine map-side before its exchange:\n$anom")
+  }
+}
