@@ -818,7 +818,7 @@ object Relational {
         .orderBy("log2_bucket")
     }),
 
-    // X112: batch sessionization — the gap rule (new session when >30
+    // X114: batch sessionization — the gap rule (new session when >30
     // min since the user's previous event) computed as the classic
     // lag + running-sum pair over ONE user-keyed window exchange; the
     // streaming twin is t3's session window, this is the backfill/
@@ -849,7 +849,7 @@ object Relational {
         .orderBy("events_per_session")
     }),
 
-    // X113: event-type transition matrix — P(next type | type) from
+    // X115: event-type transition matrix — P(next type | type) from
     // per-user ordered event streams: lead() over the SAME user-keyed
     // window discipline as x90/x95 (ts, event_id total order), pair
     // counts in one map-combined aggregate, and the row-normalizing
@@ -874,7 +874,7 @@ object Relational {
         .orderBy("from_type", "to_type")
     }),
 
-    // X114: rolling-window anomaly days — per event type, flag days
+    // X116: rolling-window anomaly days — per event type, flag days
     // whose count leaves the PRIOR week's 3σ band. The baseline window
     // is the 7 preceding days EXCLUDING the day under test — include
     // it and a spike dilutes the very variance it is judged against
@@ -908,6 +908,84 @@ object Relational {
             (col("wn") * col("wq") - col("ws") * col("ws")) * 9L)
             .cast("int").as("anomaly"))
         .orderBy("event_type", "day")
+    }),
+
+    // X118: time-weighted average (TWAP) — the aggregate for irregular
+    // time series where a plain mean over-weights busy periods: each
+    // observation holds from its event until the user's next one, so
+    // the weight is the exact interval in MICROSECONDS (unix_micros
+    // longs — no seconds truncation, no float time math) and the last
+    // observation carries none. Values collapse to exact integer cents
+    // first; the weighted sum runs in decimal(38,0) (per-row products
+    // ~1e15 fit a long, corpus sums don't), and the average is ONE
+    // IEEE division of two exact integers at the very end — the
+    // finance/sensor read (x92's discipline on a weighted mean). One
+    // user-keyed window exchange; the aggregate reuses the same
+    // partitioning, so the fact shuffles once.
+    "x102_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("vc", round(col("value") * 100).cast("long"))
+        // events.ts loads as NTZ; the session is pinned UTC so the
+        // cast is the identity relabeling unix_micros needs
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dt_us", col("next_us") - col("us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("vc") * col("dt_us")).cast("decimal(38,0)")).as("wsum"),
+          sum("dt_us").as("tsum"))
+        .select(col("user_id"), col("n_intervals"),
+          (col("wsum").cast("double") / col("tsum").cast("double"))
+            .as("twap_cents"))
+        .orderBy("user_id")
+    }),
+
+    // X119: A/B experiment analysis — deterministic md5 arm assignment
+    // (no RNG state: the same user lands in the same arm on every
+    // engine and every run), per-arm conversion in exact integer ppm,
+    // and the 2×2 chi-square statistic computed from the four EXACT
+    // cell counts with a fixed IEEE op order (counts < 2^53 cast to
+    // double, left-associated products, one division) — both engines
+    // produce the bit-identical statistic, so even the significance
+    // test sits under the hash gate. The outcome is x90's TIMED
+    // conversion (purchase ≤1 h after the latest preceding view) —
+    // any-purchase is degenerate on this data (every user converts
+    // eventually, zeroing a chi-square margin); composing the
+    // attribution definition is also what a real experiment reads.
+    // One user-keyed window pass collapses the fact to user grain;
+    // everything after is a four-cell aggregate.
+    "x103_ab_lift" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("last_view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("conv",
+          when(col("event_type") === "purchase" && col("last_view_ts").isNotNull &&
+            col("ts") <= col("last_view_ts") + expr("INTERVAL 1 HOUR"), 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(max(col("conv")).as("converted"))
+        .withColumn("arm",
+          pmod(graft.util.Sampling.hashBucket(col("user_id")), lit(2)))
+        .agg(
+          sum(when(col("arm") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("a_conv"),
+          sum(when(col("arm") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("a_no"),
+          sum(when(col("arm") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("b_conv"),
+          sum(when(col("arm") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("b_no"))
+        .withColumn("a_ppm", expr("a_conv * 1000000 div (a_conv + a_no)"))
+        .withColumn("b_ppm", expr("b_conv * 1000000 div (b_conv + b_no)"))
+        .withColumn("lift_ppm", col("b_ppm") - col("a_ppm"))
+        .withColumn("chi2", expr(
+          """CAST(a_conv + a_no + b_conv + b_no AS DOUBLE)
+             * CAST(a_conv * b_no - a_no * b_conv AS DOUBLE)
+             * CAST(a_conv * b_no - a_no * b_conv AS DOUBLE)
+             / (CAST(a_conv + a_no AS DOUBLE) * CAST(b_conv + b_no AS DOUBLE)
+                * CAST(a_conv + b_conv AS DOUBLE) * CAST(a_no + b_no AS DOUBLE))"""))
     }),
 
     // A22: cohort retention — users bucketed by first-seen week, counted
@@ -1898,6 +1976,54 @@ object Relational {
                 CAST((wn * n_events - ws) * (wn * n_events - ws)
                      > (wn * wq - ws * ws) * 9 AS INT) AS anomaly
          FROM w WHERE rn >= 8 ORDER BY event_type, day""",
+    // interval weights in exact micros; cents; one terminal division
+    "x102_twap" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                            date_trunc('microseconds', ts) AS ts,
+                            CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+          l AS (SELECT user_id, vc, epoch_us(ts) AS us,
+                       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS next_us FROM ev),
+          iv AS (SELECT user_id, vc, next_us - us AS dt_us
+                 FROM l WHERE next_us IS NOT NULL)
+         SELECT user_id, count(*) AS n_intervals,
+                CAST(SUM(vc * dt_us) AS DOUBLE)
+                  / CAST(SUM(dt_us) AS DOUBLE) AS twap_cents
+         FROM iv GROUP BY 1 ORDER BY user_id""",
+    // same md5 arm split as x22's bucket; chi-square restated with the
+    // identical fixed-order IEEE expression over the exact cells
+    "x103_ab_lift" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+          st AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_view_ts FROM ev),
+          u AS (SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase' AND last_view_ts IS NOT NULL
+                                     AND ts <= last_view_ts + INTERVAL 1 HOUR
+                                THEN 1 ELSE 0 END) AS converted
+                FROM st GROUP BY 1),
+          arm AS (SELECT converted,
+                         ((strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)) % 2 AS arm
+                  FROM u),
+          c AS (SELECT
+                  CAST(SUM(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_conv,
+                  CAST(SUM(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_no,
+                  CAST(SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_conv,
+                  CAST(SUM(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_no
+                FROM arm)
+         SELECT a_conv, a_no, b_conv, b_no,
+                CAST(a_conv * 1000000 // (a_conv + a_no) AS BIGINT) AS a_ppm,
+                CAST(b_conv * 1000000 // (b_conv + b_no) AS BIGINT) AS b_ppm,
+                CAST(b_conv * 1000000 // (b_conv + b_no) AS BIGINT)
+                  - CAST(a_conv * 1000000 // (a_conv + a_no) AS BIGINT) AS lift_ppm,
+                CAST(a_conv + a_no + b_conv + b_no AS DOUBLE)
+                  * CAST(a_conv * b_no - a_no * b_conv AS DOUBLE)
+                  * CAST(a_conv * b_no - a_no * b_conv AS DOUBLE)
+                  / (CAST(a_conv + a_no AS DOUBLE) * CAST(b_conv + b_no AS DOUBLE)
+                     * CAST(a_conv + b_conv AS DOUBLE) * CAST(a_no + b_no AS DOUBLE)) AS chi2
+         FROM c""",
     "a22_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
                              CAST(date_trunc('week', date_trunc('microseconds', ts)) AS DATE) AS activity_week

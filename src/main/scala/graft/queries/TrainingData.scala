@@ -1092,7 +1092,7 @@ object TrainingData {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(20)),
 
-    // Inverted-index construction — the IR/dedup-infra build step: per
+    // X117: inverted-index construction — the IR/dedup-infra build step: per
     // term, document frequency, total term frequency, and a CAPPED
     // posting list (the 20 smallest doc ids). The cap is computed
     // SKEW-PROOF: a stop-word's millions of postings never sort in one

@@ -95,6 +95,35 @@ class SequenceOpsSpec extends SparkSpecBase {
     assert(got("rare") === ((3L, 3L, Seq(0L, 1L, 2L))))
   }
 
+  test("x102: interval weights recover a hand-computed TWAP; last observation carries none") {
+    // user 1: 100.00 held 10 min, 200.00 held 30 min, 999.99 last (no
+    // weight) → (10000·10 + 20000·30) / 40 = 17500 cents
+    val dir = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    Seq((1L, ts(0), 1L, "v", 100.0), (2L, ts(10), 1L, "v", 200.0),
+        (3L, ts(40), 1L, "v", 999.99))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Relational.queries("x102_twap")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 2L, "two closed intervals")
+    assert(r(0).getDouble(2) === 17500.0, s"hand TWAP: ${r(0)}")
+  }
+
+  test("x103: cells partition the users; ppm/lift/chi2 follow from the cells exactly") {
+    val r = Relational.queries("x103_ab_lift")(spark, sfDir).collect()(0)
+    val Seq(a, b, c, d) = Seq(0, 1, 2, 3).map(r.getLong)
+    val users = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(a + b + c + d === users, "cells partition the user base")
+    assert(r.getLong(4) === a * 1000000 / (a + b))
+    assert(r.getLong(6) === r.getLong(5) - r.getLong(4), "lift = b_ppm - a_ppm")
+    val chi2 = (a + b + c + d).toDouble * (a * d - b * c).toDouble *
+      (a * d - b * c).toDouble /
+      ((a + b).toDouble * (c + d).toDouble * (a + c).toDouble * (b + d).toDouble)
+    assert(r.getDouble(7) === chi2, "fixed-order IEEE chi-square")
+  }
+
   test("x98/x100 plans: one fact-wide exchange; anomaly windows run on the bounded grain") {
     val sess = Relational.queries("x98_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString
