@@ -988,6 +988,38 @@ object Relational {
                 * CAST(a_conv + b_conv AS DOUBLE) * CAST(a_no + b_no AS DOUBLE))"""))
     }),
 
+    // X120: OHLC bar downsampling — irregular ticks → fixed 15-minute
+    // bars per event type (the candlestick/metrics-rollup shape every
+    // time-series store needs): open/close are the FIRST/LAST value in
+    // the bar under the (ts, event_id) total order, high/low plain
+    // min/max, all in exact integer cents. First/last ride min_by/
+    // max_by on a zero-padded "micros‖event_id" string key — the one
+    // order-key encoding whose lexicographic comparison both engines
+    // define identically (struct-ordered arg_min exists in neither
+    // engine's SQL the same way) — so the whole bar is ONE map-side-
+    // combined aggregate: no window, no second shuffle, and at 100 TB
+    // each task combines its local bars before the (type, bar)
+    // exchange ever sees a row.
+    "x104_ohlc_bars" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("vc", round(col("value") * 100).cast("long"))
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("bar", expr("us div 900000000"))
+        .withColumn("okey",
+          concat(lpad(col("us").cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 12, "0")))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(
+          min_by(col("vc"), col("okey")).as("open_c"),
+          max(col("vc")).as("high_c"),
+          min(col("vc")).as("low_c"),
+          max_by(col("vc"), col("okey")).as("close_c"),
+          count(lit(1)).as("n_ticks"))
+        .withColumn("bar_start", timestamp_micros(col("bar") * 900000000L))
+        .select("event_type", "bar_start", "open_c", "high_c", "low_c",
+          "close_c", "n_ticks")
+        .orderBy("event_type", "bar_start")),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -1976,6 +2008,24 @@ object Relational {
                 CAST((wn * n_events - ws) * (wn * n_events - ws)
                      > (wn * wq - ws * ws) * 9 AS INT) AS anomaly
          FROM w WHERE rn >= 8 ORDER BY event_type, day""",
+    // first/last by the same padded order key; arg_min/arg_max
+    "x104_ohlc_bars" ->
+      """WITH ev AS (SELECT event_id, event_type,
+                            date_trunc('microseconds', ts) AS ts,
+                            CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+          k AS (SELECT event_type, vc,
+                       epoch_us(ts) // 900000000 AS bar,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0') AS okey
+                FROM ev)
+         SELECT event_type,
+                make_timestamp(bar * 900000000) AS bar_start,
+                arg_min(vc, okey) AS open_c,
+                MAX(vc) AS high_c, MIN(vc) AS low_c,
+                arg_max(vc, okey) AS close_c,
+                count(*) AS n_ticks
+         FROM k GROUP BY event_type, bar
+         ORDER BY event_type, bar_start""",
     // interval weights in exact micros; cents; one terminal division
     "x102_twap" ->
       """WITH ev AS (SELECT event_id, user_id,

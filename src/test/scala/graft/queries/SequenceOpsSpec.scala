@@ -124,6 +124,25 @@ class SequenceOpsSpec extends SparkSpecBase {
     assert(r.getDouble(7) === chi2, "fixed-order IEEE chi-square")
   }
 
+  test("x104: planted ticks produce hand-computed OHLC bars; order key governs open/close") {
+    // bar-aligned base (1700006400 s is a multiple of 900): one bar
+    // with ticks 5,1,9,3 → open 500, high 900, low 100, close 300;
+    // a second bar at +20 min with a single tick
+    def t(min: Int) = new java.sql.Timestamp(1700006400000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc").toString
+    Seq((1L, t(0), 1L, "tick", 5.0), (2L, t(1), 1L, "tick", 1.0),
+        (3L, t(2), 1L, "tick", 9.0), (4L, t(3), 1L, "tick", 3.0),
+        (5L, t(20), 1L, "tick", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Relational.queries("x104_ohlc_bars")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq === Seq((500L, 900L, 100L, 300L, 4L),
+      (700L, 700L, 700L, 700L, 1L)), s"bars: ${rows.toSeq}")
+  }
+
   test("x98/x100 plans: one fact-wide exchange; anomaly windows run on the bounded grain") {
     val sess = Relational.queries("x98_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString
