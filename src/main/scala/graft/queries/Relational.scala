@@ -1020,6 +1020,83 @@ object Relational {
           "close_c", "n_ticks")
         .orderBy("event_type", "bar_start")),
 
+    // X121: CUSUM level-shift detection — the complement of x116's
+    // spike test: a SUSTAINED +30% step never leaves a single day's 3σ
+    // band but accumulates here. The one-sided CUSUM recursion
+    // S_i = max(0, S_{i-1} + x_i − k) is not a window sum — but it has
+    // the closed form S_i = cum_i − min_{j≤i} cum_j over the cumulative
+    // deviations, so it computes as TWO stacked windows on the bounded
+    // (type, day) grain with exact integers end-to-end (allowance k =
+    // the type's global mean, floored; flag when the accumulated drift
+    // exceeds two mean-days). The fact pays one map-combined collapse
+    // to the daily grain; everything after is metadata-sized.
+    "x105_cusum_shift" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val byType = Window.partitionBy("event_type")
+      val ordered = byType.orderBy("day")
+      val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("tot", sum("n_events").over(byType))
+        .withColumn("nd", count(lit(1)).over(byType))
+        .withColumn("k", expr("tot div nd"))
+        .withColumn("cum", sum(col("n_events") - col("k")).over(run))
+        .withColumn("cusum", col("cum") - min("cum").over(run))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("cusum"), (col("cusum") > col("k") * 2).cast("int").as("shifted"))
+        .orderBy("event_type", "day")
+    }),
+
+    // X122: market-basket pair support — the co-purchase read: part
+    // pairs appearing in the same order, top-20 by support. The pair
+    // explosion is the ORDER-grain self-join, bounded by per-order
+    // fanout² (TPC-H orders carry ≤7 lines — Σ C(f,2) is linear in the
+    // fact, NOT quadratic in parts; q_join_explosion is the standing
+    // guard for that distinction), deduped to the (order, part) grain
+    // first so quantity re-lines don't inflate support. Pair counts
+    // map-combine; the top-20 is a TakeOrderedAndProject, never a full
+    // sort.
+    "x106_basket_pairs" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      op.join(op.select(col("l_orderkey").as("o2"), col("l_partkey").as("p2")),
+          col("l_orderkey") === col("o2") && col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").as("part_a"), col("p2").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(desc("support"), col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // X123: audience-overlap matrix — |users who did type A AND type B|
+    // for every type pair, the set-intersection read behind audience
+    // sizing. Instead of 25 distinct-count self-joins, each user
+    // collapses to ONE bitmask (bit_or of 1<<type index) in the single
+    // fact shuffle; the mask HISTOGRAM (≤2⁵ rows of metadata) then
+    // answers every pairwise intersection by summing masks containing
+    // both bits against a literal pair grid — the roaring-bitmap idea
+    // in its bounded form, exact integers throughout.
+    "x107_audience_overlap" -> ((s, d) => {
+      import s.implicits._
+      val idx = "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1" +
+        " WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+      val masks = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"shiftleft(cast(1 as bigint), $idx)").as("bit"))
+        .groupBy("user_id").agg(expr("bit_or(bit)").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n_users"))
+      val types = Seq("view", "click", "purchase", "signup", "error").zipWithIndex
+      val grid = types.flatMap { case (a, i) => types.collect {
+        case (b, j) if i <= j => (a, i, b, j) } }
+        .toDF("type_a", "bit_a", "type_b", "bit_b")
+      masks.crossJoin(broadcast(grid))
+        .filter(expr("(shiftright(mask, bit_a) & 1) = 1" +
+          " and (shiftright(mask, bit_b) & 1) = 1"))
+        .groupBy("type_a", "type_b")
+        .agg(sum("n_users").as("n_users"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -2008,6 +2085,49 @@ object Relational {
                 CAST((wn * n_events - ws) * (wn * n_events - ws)
                      > (wn * wq - ws * ws) * 9 AS INT) AS anomaly
          FROM w WHERE rn >= 8 ORDER BY event_type, day""",
+    // the closed form restated: cum − running min of cum
+    "x105_cusum_shift" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(date_trunc('microseconds', ts) AS DATE) AS day,
+                               count(*) AS n_events
+                        FROM events GROUP BY 1, 2),
+          k AS (SELECT *, CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+                          // CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS k
+                FROM daily),
+          c AS (SELECT *, SUM(n_events - k) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum FROM k),
+          s AS (SELECT *, cum - MIN(cum) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum FROM c)
+         SELECT event_type, day, n_events,
+                CAST(cusum AS BIGINT) AS cusum,
+                CAST(cusum > k * 2 AS INT) AS shifted
+         FROM s ORDER BY event_type, day""",
+    // pair support over the deduped (order, part) grain
+    "x106_basket_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                count(*) AS support
+         FROM op a JOIN op b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 ORDER BY support DESC, part_a, part_b LIMIT 20""",
+    // per-user bitmask, mask histogram, literal pair grid
+    "x107_audience_overlap" ->
+      """WITH m AS (SELECT user_id,
+                           bit_or(CAST(1 AS BIGINT) << (CASE event_type
+                             WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                             WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                             ELSE 4 END)) AS mask
+                    FROM events GROUP BY 1),
+          h AS (SELECT mask, count(*) AS n_users FROM m GROUP BY 1),
+          t(type_name, bit) AS (VALUES ('view', 0), ('click', 1),
+            ('purchase', 2), ('signup', 3), ('error', 4)),
+          g AS (SELECT a.type_name AS type_a, a.bit AS bit_a,
+                       b.type_name AS type_b, b.bit AS bit_b
+                FROM t a, t b WHERE a.bit <= b.bit)
+         SELECT type_a, type_b, CAST(SUM(n_users) AS BIGINT) AS n_users
+         FROM h JOIN g ON ((mask >> bit_a) & 1) = 1
+                      AND ((mask >> bit_b) & 1) = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // first/last by the same padded order key; arg_min/arg_max
     "x104_ohlc_bars" ->
       """WITH ev AS (SELECT event_id, event_type,

@@ -143,6 +143,56 @@ class SequenceOpsSpec extends SparkSpecBase {
       (700L, 700L, 700L, 700L, 1L)), s"bars: ${rows.toSeq}")
   }
 
+  test("x105: a planted level shift accumulates past the threshold; the pre-shift half never flags") {
+    // 10 days of 10 events, then 10 days of 20 → k = 15; post-shift
+    // cusum climbs 5/day off its running floor and crosses 2k = 30 on
+    // day 17 (cusum 35). The +30% sustained step x116's per-day 3σ
+    // test is blind to.
+    def tsd(d: Int, i: Int) =
+      new java.sql.Timestamp(1700006400000L + (d * 24 * 60 + i) * 60000L)
+    val rows = (0 until 20).flatMap { d =>
+      val n = if (d < 10) 10 else 20
+      (0 until n).map(i => (d * 100L + i, tsd(d, i), 1L, "steady"))
+    }
+    val dir = eventsDir(rows)
+    val got = Relational.queries("x105_cusum_shift")(spark, dir)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("cusum"), r.getAs[Int]("shifted")))).toMap
+    assert(got.size === 20)
+    val flagged = got.collect { case (day, (_, 1)) => day }.toSeq.sorted
+    assert(flagged === Seq("2023-12-01", "2023-12-02", "2023-12-03", "2023-12-04"),
+      s"days 17-20 (cusum 35..50) flag; nothing before: $got")
+    assert(got("2023-11-24")._1 === 0L, "pre-shift cusum pinned to the floor")
+  }
+
+  test("x106: pair support from planted baskets; re-lined parts count once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    // order 1: {1,2,3}; order 2: {1,2}; order 3: {1,2} with part 1 on
+    // two lines (must dedup to the (order, part) grain)
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+        (3L, 1L), (3L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.queries("x106_basket_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      s"support: $got")
+  }
+
+  test("x107: bitmask matrix equals hand-counted pairwise intersections") {
+    // u1 {view, click}, u2 {view}, u3 {click, purchase}
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
+      (3L, ts(0), 2L, "view"),
+      (4L, ts(0), 3L, "click"), (5L, ts(1), 3L, "purchase")))
+    val got = Relational.queries("x107_audience_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("view", "view") -> 2L, ("view", "click") -> 1L,
+      ("click", "click") -> 2L, ("click", "purchase") -> 1L,
+      ("purchase", "purchase") -> 1L), s"matrix: $got")
+  }
+
   test("x98/x100 plans: one fact-wide exchange; anomaly windows run on the bounded grain") {
     val sess = Relational.queries("x98_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString
