@@ -577,6 +577,26 @@ object Relational {
         .withColumnsRenamed(Map("1996" -> "y1996", "1997" -> "y1997", "1998" -> "y1998"))
         .orderBy("o_orderstatus")),
 
+    // A23: UNPIVOT — a16's inverse, the wide→long melt every metrics
+    // warehouse needs (N measure columns → (metric, value) rows so one
+    // query/chart template serves every metric). The Dataset unpivot
+    // API plans a single Expand over one fact scan — the fact is read
+    // once and emitted 4×, never scanned per metric; the per-metric
+    // aggregate then runs map-combined on the long form. Sums are
+    // exact-decimal (Det) since the melt mixes magnitudes.
+    "a23_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"),
+          graft.util.Det.dsum(col("value")).as("sum_value"))
+        .orderBy("l_returnflag", "metric")),
+
     // J7: entity-resolution fuzzy matching — blocked levenshtein join
     // over customer names (the dim-dedup problem of the reference's
     // star schema).
@@ -2389,6 +2409,20 @@ object Relational {
                 CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN 1 END), 0) AS BIGINT) AS y1997,
                 CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998 THEN 1 END), 0) AS BIGINT) AS y1998
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the melt stated as UNION ALL — one branch per metric; the
+    // engine's single-scan Expand must aggregate identically
+    "a23_unpivot" ->
+      """WITH long AS (
+           SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+         SELECT l_returnflag, metric, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM long GROUP BY 1, 2 ORDER BY l_returnflag, metric""",
     "j7_fuzzy_names" ->
       """WITH k AS (SELECT c_custkey AS id, lower(trim(c_name)) AS name,
                            substring(lower(trim(c_name)), 1, 1) AS blk_c,

@@ -122,6 +122,16 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(wm >= r.getAs[Double]("p05") && wm <= r.getAs[Double]("p95"))
   }
 
+  test("a23: unpivot plans ONE scan + one Expand, partials combine before the exchange") {
+    val plan = Relational.queries("a23_unpivot")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("lineitem\\.parquet".r.findAllIn(plan).length === 1,
+      s"the melt must not scan per metric:\n$plan")
+    assert("Expand".r.findAllIn(plan).length === 1, s"one Expand:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"long-form aggregate must map-combine:\n$plan")
+  }
+
   test("x89: buckets tile [min,max] and counts partition the fact") {
     val rows = Relational.queries("x89_histogram")(spark, sfDir).collect()
     val n = Tables.lineitem(spark, sfDir).count()
