@@ -1117,6 +1117,54 @@ object Relational {
         .orderBy("type_a", "type_b")
     }),
 
+    // X124: DAU/WAU/stickiness — the engagement KPI with the sliding
+    // COUNT(DISTINCT) trap: WAU per day is a 7-day sliding distinct,
+    // and the naive per-day self-join rescans the fact 7× (or a
+    // distinct-over-RANGE-window, which Spark refuses outright). The
+    // scalable exact form: collapse to the (user, day) grain once,
+    // EXPLODE each row onto the 7 days it covers (bounded 7× of the
+    // small grain, not the fact), re-distinct, count. Stickiness is
+    // exact integer ppm. At 100 TB the fact is touched once; every
+    // later stage is users×days-sized.
+    "x108_active_users" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .withColumn("stickiness_ppm", expr("dau * 1000000 div wau"))
+        .orderBy("day")
+    }),
+
+    // X125: top user journeys — the path-analysis read one step past
+    // x99's single transitions: each user's FIRST five events as an
+    // ordered "a>b>c>d>e" path, counted across users (which openings
+    // dominate, where journeys fork). The rank-and-cut rides the same
+    // user-keyed window as x90/x98; the path assembles from
+    // sort_array(struct(rn, type)) — collect_list alone has no order
+    // guarantee, the struct sort pins it — and only complete 5-step
+    // journeys aggregate, so the path table is bounded by |types|⁵
+    // regardless of corpus size. Top-20 is a TakeOrdered.
+    "x109_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          array_join(expr("transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type)"), ">").as("path"))
+        .filter(col("n_ev") === 5)
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path"))
+        .limit(20)
+    }),
+
     // A22: cohort retention — users bucketed by first-seen week, counted
     // per (cohort, week-offset) of later activity. ONE events scan:
     // week truncation is monotone, so the cohort week IS min(activity
@@ -2105,6 +2153,31 @@ object Relational {
                 CAST((wn * n_events - ws) * (wn * n_events - ws)
                      > (wn * wq - ws * ws) * 9 AS INT) AS anomaly
          FROM w WHERE rn >= 8 ORDER BY event_type, day""",
+    // the 7-day cover explode re-stated on the (user, day) grain
+    "x108_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(date_trunc('microseconds', ts) AS DATE) AS day
+                     FROM events),
+          dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+          cov AS (SELECT DISTINCT user_id, day + CAST(i AS INT) AS day
+                  FROM ud, (SELECT unnest(generate_series(0, 6)) AS i)),
+          wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1)
+         SELECT day, dau, wau,
+                CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+         FROM dau JOIN wau USING (day) ORDER BY day""",
+    // ordered string_agg over the first five ranks
+    "x109_top_paths" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+          r AS (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn FROM ev),
+          f AS (SELECT user_id, count(*) AS n_ev,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 5 GROUP BY 1)
+         SELECT path, count(*) AS n_users
+         FROM f WHERE n_ev = 5
+         GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""",
     // the closed form restated: cum − running min of cum
     "x105_cusum_shift" ->
       """WITH daily AS (SELECT event_type,

@@ -193,6 +193,36 @@ class SequenceOpsSpec extends SparkSpecBase {
       ("purchase", "purchase") -> 1L), s"matrix: $got")
   }
 
+  test("x108: WAU covers the trailing 7 days exactly; stickiness from planted activity") {
+    // u1 active on days 0 and 3, u2 on day 0 (midnight-aligned).
+    // Output rows exist only for active days: day0 dau=2 wau=2,
+    // day3 dau=1 wau=2 (both users' day-0 activity still covers day 3)
+    def tsd(d: Int) =
+      new java.sql.Timestamp(1700006400000L + d * 24 * 3600 * 1000L)
+    val dir = eventsDir(Seq(
+      (1L, tsd(0), 1L, "view"), (2L, tsd(3), 1L, "view"),
+      (3L, tsd(0), 2L, "view")))
+    val got = Relational.queries("x108_active_users")(spark, dir)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "2023-11-15" -> ((2L, 2L, 1000000L)),
+      "2023-11-18" -> ((1L, 2L, 500000L))), s"dau/wau/stickiness: $got")
+  }
+
+  test("x109: paths assemble in event order; short journeys drop; ties counted") {
+    // u1 and u3 share a>b>a>b>a; u2 has only 4 events (dropped)
+    val seq5 = Seq("a", "b", "a", "b", "a")
+    val rows =
+      seq5.zipWithIndex.map { case (t, i) => (10L + i, ts(i), 1L, t) } ++
+      Seq.tabulate(4)(i => (20L + i, ts(i), 2L, "a")) ++
+      seq5.zipWithIndex.map { case (t, i) => (30L + i, ts(i), 3L, t) }
+    val got = Relational.queries("x109_top_paths")(spark, eventsDir(rows.map {
+        case (id, t, u, ty) => (id.toLong, t, u, ty) }))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a>b>a>b>a" -> 2L), s"paths: $got")
+  }
+
   test("x98/x100 plans: one fact-wide exchange; anomaly windows run on the bounded grain") {
     val sess = Relational.queries("x98_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString
