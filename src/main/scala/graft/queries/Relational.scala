@@ -577,6 +577,52 @@ object Relational {
         .withColumnsRenamed(Map("1996" -> "y1996", "1997" -> "y1997", "1998" -> "y1998"))
         .orderBy("o_orderstatus")),
 
+    // A24: period-over-period report — monthly revenue with MoM and
+    // YoY deltas, the standard BI comparison read. The lag is
+    // JOIN-based (month m ⋈ add_months m−1 / m−12 on the bounded month
+    // grain), not a window: an un-partitioned lag window is the
+    // whole-surface lint's one forbidden shape, and MoM crosses year
+    // boundaries so no natural partition key exists — the broadcast
+    // self-join of a metadata-sized aggregate is the scale-correct
+    // form. Deltas are ONE fixed-order IEEE expression over exact
+    // cents (signed integer `div` floors vs truncates differently
+    // across engines — the x91 kappa lesson, so no integer ppm here).
+    "a24_period_over_period" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("rev_c"))
+      val prev = m.select(col("month").as("pm"), col("rev_c").as("prev_c"))
+      val yoy = m.select(col("month").as("ym"), col("rev_c").as("yoy_c"))
+      m.join(broadcast(prev), col("month") === add_months(col("pm"), 1), "left")
+        .join(broadcast(yoy), col("month") === add_months(col("ym"), 12), "left")
+        .select(col("month"), col("rev_c"),
+          (col("rev_c").cast("double") * 1000000.0 / col("prev_c").cast("double")
+            - 1000000.0).as("mom_delta_ppm"),
+          (col("rev_c").cast("double") * 1000000.0 / col("yoy_c").cast("double")
+            - 1000000.0).as("yoy_delta_ppm"))
+        .orderBy("month")
+    }),
+
+    // P10: tri-valued NOT IN — the SQL semantics corner every engine
+    // must honor: with a NULLABLE probe key, `x NOT IN (subquery)` is
+    // UNKNOWN (never true) for NULL x, and Spark must plan the
+    // NULL-AWARE anti join (BroadcastHashJoin … isNullAware=true,
+    // spec-pinned), not a plain LEFT ANTI — the plain form would keep
+    // the NULL-key rows and silently diverge from ANSI. The probe key
+    // is made nullable via NULLIF; the build side is a small distinct
+    // set that broadcasts.
+    "p10_not_in_nullable" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d)
+        .withColumn("probe", expr("nullif(c_custkey % 100, 7)"))
+        .createOrReplaceTempView("p10_probe")
+      s.sql("""SELECT c_custkey, probe FROM p10_probe
+               WHERE probe NOT IN (SELECT o_orderkey % 100 FROM orders
+                                   WHERE o_orderkey % 100 < 20)
+               ORDER BY c_custkey""")
+    }),
+
     // A23: UNPIVOT — a16's inverse, the wide→long melt every metrics
     // warehouse needs (N measure columns → (metric, value) rows so one
     // query/chart template serves every metric). The Dataset unpivot
@@ -2482,6 +2528,26 @@ object Relational {
                 CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN 1 END), 0) AS BIGINT) AS y1997,
                 CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998 THEN 1 END), 0) AS BIGINT) AS y1998
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // join-based lag on the month grain; deltas fixed-order IEEE
+    "a24_period_over_period" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+                    FROM orders GROUP BY 1)
+         SELECT m.month, m.rev_c,
+                CAST(m.rev_c AS DOUBLE) * 1000000.0 / CAST(p.rev_c AS DOUBLE)
+                  - 1000000.0 AS mom_delta_ppm,
+                CAST(m.rev_c AS DOUBLE) * 1000000.0 / CAST(y.rev_c AS DOUBLE)
+                  - 1000000.0 AS yoy_delta_ppm
+         FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 1 MONTH
+                LEFT JOIN m y ON m.month = y.month + INTERVAL 12 MONTH
+         ORDER BY m.month""",
+    // ANSI tri-valued NOT IN: NULL probe keys never qualify
+    "p10_not_in_nullable" ->
+      """SELECT c_custkey, nullif(c_custkey % 100, 7) AS probe
+         FROM customer
+         WHERE nullif(c_custkey % 100, 7) NOT IN
+               (SELECT o_orderkey % 100 FROM orders WHERE o_orderkey % 100 < 20)
+         ORDER BY c_custkey""",
     // the melt stated as UNION ALL — one branch per metric; the
     // engine's single-scan Expand must aggregate identically
     "a23_unpivot" ->

@@ -132,6 +132,40 @@ class StatsOpsSpec extends SparkSpecBase {
       s"long-form aggregate must map-combine:\n$plan")
   }
 
+  test("p10: NOT IN plans the null-aware anti join and drops NULL probe rows") {
+    val df = Relational.queries("p10_not_in_nullable")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // toString prints the BHJ's isNullAware flag positionally:
+    // "BroadcastHashJoin [...] LeftAnti, BuildRight, true"
+    assert("LeftAnti, BuildRight, true".r.findFirstIn(plan).isDefined,
+      s"nullable NOT IN must plan the null-aware anti join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.isNullAt(1)),
+      "ANSI tri-valued logic: NULL probe keys never satisfy NOT IN")
+    // and the excluded range really is excluded
+    assert(!rows.exists(r => r.getLong(1) < 20))
+  }
+
+  test("a24: MoM/YoY deltas follow from the month sums; edge months stay NULL") {
+    val rows = Relational.queries("a24_period_over_period")(spark, sfDir).collect()
+    val byMonth = rows.map(r => r.getAs[java.sql.Date]("month").toString ->
+      r).toMap
+    val first = rows.minBy(_.getAs[java.sql.Date]("month").toString)
+    assert(first.isNullAt(2) && first.isNullAt(3),
+      "no prior month/year for the first month")
+    // recompute one interior MoM by hand from the emitted cents
+    val interior = rows.filter(r => !r.isNullAt(2)).head
+    val m = interior.getAs[java.sql.Date]("month").toString
+    val prevKey = {
+      val d = java.time.LocalDate.parse(m).minusMonths(1)
+      d.toString
+    }
+    val expect = interior.getLong(1).toDouble * 1000000.0 /
+      byMonth(prevKey).getLong(1).toDouble - 1000000.0
+    assert(interior.getDouble(2) === expect, s"MoM at $m")
+  }
+
   test("x89: buckets tile [min,max] and counts partition the fact") {
     val rows = Relational.queries("x89_histogram")(spark, sfDir).collect()
     val n = Tables.lineitem(spark, sfDir).count()
