@@ -1888,6 +1888,82 @@ object Relational {
             .otherwise(1L)).as("low_line_count"))
         .orderBy("shipmode")),
 
+    // X126: ABC/Pareto classification by revenue MASS — parts classed
+    // A (smallest top-revenue set covering 80% of total), B (→95%),
+    // C (rest). The textbook form is a global cumulative sum over
+    // parts sorted by revenue — an un-partitioned Window, the lint's
+    // one forbidden shape. Scale-correct form: coarse revenue BANDS
+    // (rev div 2²⁰) — band order is total because b·D ≤ rev < (b+1)·D,
+    // so any higher band strictly out-earns any lower — then the
+    // band prefix from a bounded TRIANGULAR join over the band summary
+    // (the x27 seq-pack move, no window at all) plus a band-PARTITIONED
+    // within-band cumsum. cum_before is exact integer cents; the class
+    // cuts compare cum·100 against total·80/95 with no division. The
+    // oracle states the naive global-sort definition outright, so the
+    // hash gate proves banded ≡ sorted (the x77/tiles discipline).
+    "x110_abc_classes" -> ((s, d) => {
+      val pv = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("rev_c"))
+      val withCb = pv.withColumn("cb", expr("rev_c div 1048576"))
+      val bsum = withCb.groupBy("cb").agg(sum("rev_c").as("bmass"))
+      val bpre = bsum
+        .join(bsum.select(col("cb").as("cb2"), col("bmass").as("bm2")),
+          col("cb2") > col("cb"), "left")
+        .groupBy("cb").agg(coalesce(sum("bm2"), lit(0L)).as("bprefix"))
+      val total = pv.agg(sum("rev_c").as("total_c"))
+      val w = Window.partitionBy("cb")
+        .orderBy(desc("rev_c"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withCb.join(broadcast(bpre), "cb")
+        .withColumn("cum_before",
+          col("bprefix") + sum("rev_c").over(w) - col("rev_c"))
+        .crossJoin(broadcast(total))
+        .withColumn("abc_class",
+          when(col("cum_before") * 100 < col("total_c") * 80, "A")
+            .when(col("cum_before") * 100 < col("total_c") * 95, "B")
+            .otherwise("C"))
+        .groupBy("abc_class", "total_c")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("class_rev_c"))
+        .withColumn("share_ppm", expr("class_rev_c * 1000000 div total_c"))
+        .select("abc_class", "n_parts", "class_rev_c", "share_ppm")
+        .orderBy("abc_class")
+    }),
+
+    // X127: sequence gap islands — the data-quality read "which id
+    // ranges are missing" (dropped orders, lost CDC offsets) over
+    // lineitem's order keys (257 orders carry no lines at this SF —
+    // real gaps). The textbook lag-over-global-sort is again the
+    // forbidden un-partitioned Window; the two-phase form buckets ids
+    // (div 8192), finds within-bucket gaps under a bucket-PARTITIONED
+    // lead, and closes bucket-boundary gaps from the bounded bucket
+    // summary — next id after a bucket's max = MIN over higher
+    // buckets' mins, a triangular join + min aggregate, no window.
+    // Empty buckets fall out naturally (the boundary pair spans them).
+    "x111_id_gaps" -> ((s, d) => {
+      val ids = Tables.lineitem(s, d).select("l_orderkey").distinct()
+        .withColumn("bk", expr("l_orderkey div 8192"))
+      val w = Window.partitionBy("bk").orderBy("l_orderkey")
+      val within = ids
+        .withColumn("nxt", lead("l_orderkey", 1).over(w))
+        .filter(col("nxt") > col("l_orderkey") + 1)
+        .select((col("l_orderkey") + 1).as("gap_start"),
+          (col("nxt") - 1).as("gap_end"))
+      val bs = ids.groupBy("bk")
+        .agg(min("l_orderkey").as("bmin"), max("l_orderkey").as("bmax"))
+      val boundary = bs
+        .join(bs.select(col("bk").as("bk2"), col("bmin").as("bmin2")),
+          col("bk2") > col("bk"), "left")
+        .groupBy("bk", "bmax").agg(min("bmin2").as("next_id"))
+        .filter(col("next_id") > col("bmax") + 1)
+        .select((col("bmax") + 1).as("gap_start"),
+          (col("next_id") - 1).as("gap_end"))
+      within.unionByName(boundary)
+        .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
+        .orderBy("gap_start")
+    }),
+
     // Q-SKEW (SURVEY §6.1 mitigation row, measured): the same
     // deliberately skewed join — ~80% of the fact collapsed onto ONE
     // supplier key — computed plain and salted. `shuffle_hash` on the
@@ -2199,6 +2275,34 @@ object Relational {
                 CAST((wn * n_events - ws) * (wn * n_events - ws)
                      > (wn * wq - ws * ws) * 9 AS INT) AS anomaly
          FROM w WHERE rn >= 8 ORDER BY event_type, day""",
+    // the NAIVE global-sort Pareto definition — banded must equal it
+    "x110_abc_classes" ->
+      """WITH pv AS (SELECT l_partkey,
+                            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+                     FROM lineitem GROUP BY 1),
+          t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM pv),
+          c AS (SELECT rev_c,
+                       CAST(COALESCE(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                FROM pv),
+          k AS (SELECT rev_c, total_c,
+                       CASE WHEN cum_before * 100 < total_c * 80 THEN 'A'
+                            WHEN cum_before * 100 < total_c * 95 THEN 'B'
+                            ELSE 'C' END AS abc_class
+                FROM c, t)
+         SELECT abc_class, count(*) AS n_parts,
+                CAST(SUM(rev_c) AS BIGINT) AS class_rev_c,
+                CAST(CAST(SUM(rev_c) AS BIGINT) * 1000000 // total_c AS BIGINT) AS share_ppm
+         FROM k GROUP BY abc_class, total_c ORDER BY abc_class""",
+    // the NAIVE lag-over-global-sort islands — two-phase must equal it
+    "x111_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey FROM lineitem),
+          l AS (SELECT l_orderkey,
+                       lead(l_orderkey) OVER (ORDER BY l_orderkey) AS nxt
+                FROM ids)
+         SELECT l_orderkey + 1 AS gap_start, nxt - 1 AS gap_end,
+                nxt - l_orderkey - 1 AS gap_len
+         FROM l WHERE nxt > l_orderkey + 1 ORDER BY gap_start""",
     // the 7-day cover explode re-stated on the (user, day) grain
     "x108_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,

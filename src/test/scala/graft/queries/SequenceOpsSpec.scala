@@ -223,6 +223,37 @@ class SequenceOpsSpec extends SparkSpecBase {
     assert(got === Map("a>b>a>b>a" -> 2L), s"paths: $got")
   }
 
+  test("x110: band-crossing Pareto classes match the hand-computed 80/95 cuts") {
+    // revenues 2,000,000 / 600,000 / 300,000 / 100,000 cents: part 1
+    // lands in band 1 (≥2²⁰), the rest in band 0 — the triangular band
+    // prefix is exercised. cum_before: 0, 2.0M, 2.6M, 2.9M of 3.0M →
+    // A={p1,p2}, B={p3}, C={p4}
+    val dir = java.nio.file.Files.createTempDirectory("graft_abc").toString
+    Seq((1L, 20000.0), (2L, 6000.0), (3L, 3000.0), (4L, 1000.0))
+      .toDF("l_partkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.queries("x110_abc_classes")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "A" -> ((2L, 2600000L, 866666L)),
+      "B" -> ((1L, 300000L, 100000L)),
+      "C" -> ((1L, 100000L, 33333L))), s"classes: $got")
+  }
+
+  test("x111: within-bucket, boundary, and empty-bucket-spanning gaps all surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps").toString
+    // buckets (div 8192): {0,1,5,8191} | {8193} | {20000} — gaps inside
+    // bucket 0, across the 0/1 boundary, and across the EMPTY bucket 2
+    Seq(0L, 1L, 5L, 8191L, 8193L, 20000L).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.queries("x111_id_gaps")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (2L, 4L, 3L), (6L, 8190L, 8185L),
+      (8192L, 8192L, 1L), (8194L, 19999L, 11806L)), s"gaps: ${got.toSeq}")
+  }
+
   test("x98/x100 plans: one fact-wide exchange; anomaly windows run on the bounded grain") {
     val sess = Relational.queries("x98_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString
