@@ -1926,7 +1926,10 @@ object Relational {
             .otherwise("C"))
         .groupBy("abc_class", "total_c")
         .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("class_rev_c"))
-        .withColumn("share_ppm", expr("class_rev_c * 1000000 div total_c"))
+        // ×1e6 overflows a long on corpus-scale cents (caught by the
+        // 100× probe) — widen to decimal for the product, result ≤ 1e6
+        .withColumn("share_ppm",
+          expr("cast(class_rev_c as decimal(38,0)) * 1000000 div total_c"))
         .select("abc_class", "n_parts", "class_rev_c", "share_ppm")
         .orderBy("abc_class")
     }),
@@ -2292,7 +2295,7 @@ object Relational {
                 FROM c, t)
          SELECT abc_class, count(*) AS n_parts,
                 CAST(SUM(rev_c) AS BIGINT) AS class_rev_c,
-                CAST(CAST(SUM(rev_c) AS BIGINT) * 1000000 // total_c AS BIGINT) AS share_ppm
+                CAST(SUM(rev_c) * 1000000 // total_c AS BIGINT) AS share_ppm
          FROM k GROUP BY abc_class, total_c ORDER BY abc_class""",
     // the NAIVE lag-over-global-sort islands — two-phase must equal it
     "x111_id_gaps" ->
