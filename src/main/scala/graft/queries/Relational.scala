@@ -1967,6 +1967,210 @@ object Relational {
         .orderBy("gap_start")
     }),
 
+    // X128: RFM segmentation — the classic customer scoring read
+    // (Recency / Frequency / Monetary quintiles, 0 = best) on the
+    // order-collapsed customer grain. Each quintile is an EXACT global
+    // n-tile via TopFrac.tiles (histogram refinement — the only
+    // unpartitioned window runs over the metadata-sized histogram,
+    // never the customer dimension, which at 100 TB is billions of
+    // rows). Recency inverts into a "bigger is better" integral score
+    // (1e6 − days-since-anchor) so one tiling primitive serves all
+    // three axes; ties break on custkey everywhere, so the tile
+    // assignment is unique and the oracle's naive global-sort ntile
+    // reproduces it bit-for-bit. The segment label is a pure CASE over
+    // the three tiles. At 100 TB the grain aggregate would persist
+    // once and feed all three tilings; here each tiling re-derives it
+    // (6 order scans total at gate SF — the plan shape, not the
+    // materialization policy, is what carries to scale).
+    "x112_rfm_segments" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val grain = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("spend_c"))
+      val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor_day"))
+      val base = grain.crossJoin(broadcast(anchor))
+        .withColumn("rec_score",
+          lit(1000000L) - datediff(col("anchor_day"), col("last_day")))
+      import graft.util.TopFrac
+      val r = TopFrac.tiles(base.select("custkey", "rec_score"),
+          "rec_score", "custkey", 5, 64L)
+        .select(col("custkey"), col("tile").as("r_tile"))
+      val f = TopFrac.tiles(base.select("custkey", "n_orders"),
+          "n_orders", "custkey", 5, 4L)
+        .select(col("custkey"), col("tile").as("f_tile"))
+      val m = TopFrac.tiles(base.select("custkey", "spend_c"),
+          "spend_c", "custkey", 5, 100000L)
+        .select(col("custkey"), col("tile").as("m_tile"))
+      r.join(f, Seq("custkey")).join(m, Seq("custkey"))
+        .withColumn("segment",
+          when(col("r_tile") <= 1 && col("f_tile") <= 1 && col("m_tile") <= 1, "champion")
+            .when(col("r_tile") <= 1 && col("f_tile") >= 3, "new")
+            .when(col("r_tile") >= 3 && col("f_tile") <= 1, "at_risk")
+            .when(col("r_tile") >= 3 && col("f_tile") >= 3, "hibernating")
+            .otherwise("regular"))
+        .orderBy("custkey")
+    }),
+
+    // J30: repeat-purchase interval — days between consecutive orders
+    // per customer (lag over the CUSTOMER-partitioned window; ties on
+    // the same day break by orderkey on both engines), collapsed to the
+    // market-segment read a retention team asks for. The window and the
+    // per-customer aggregate share the custkey exchange (one fact
+    // shuffle); the customer join runs on the already-collapsed
+    // customer grain (dim⋈dim at any scale); the final segment rollup
+    // is a bounded-key aggregate. Mean gap = one terminal division of
+    // two exact integer sums.
+    "j30_reorder_gap" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("day"), col("o_orderkey"))
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"))
+        .withColumn("prev_day", lag("day", 1).over(w))
+        .filter(col("prev_day").isNotNull)
+        .withColumn("gap_days", datediff(col("day"), col("prev_day")).cast("long"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_days").as("sum_gap"))
+      gaps.join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("n_gaps").as("n_gaps"),
+          sum("sum_gap").as("sum_gap_days"))
+        .withColumn("mean_gap_days",
+          col("sum_gap_days").cast("double") / col("n_gaps").cast("double"))
+        .orderBy("mktsegment")
+    }),
+
+    // A25: deterministic per-group MODE — most frequent order priority
+    // per order month, ties broken to the lexicographically smallest
+    // value (SQL's mode() leaves ties implementation-defined on both
+    // engines, so the tie rule is stated outright and computed the same
+    // way on both: max count per group, then min value at that count).
+    // Two map-combined aggregates over the bounded (month, priority)
+    // grid + one broadcast join — no window, no fact re-shuffle.
+    "a25_mode" -> ((s, d) => {
+      val cnt = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("ym"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val mx = cnt.groupBy("ym").agg(max("n").as("n_orders"))
+        .withColumnRenamed("ym", "ym2")
+      cnt.join(broadcast(mx),
+          col("ym") === col("ym2") && col("n") === col("n_orders"))
+        .groupBy("ym", "n_orders")
+        .agg(min("o_orderpriority").as("mode_priority"))
+        .select("ym", "mode_priority", "n_orders")
+        .orderBy("ym")
+    }),
+
+    // X129: per-group OLS trend — slope/intercept/R² of daily revenue
+    // over the day index, per event type (the "is this metric growing
+    // and how fast" read behind every KPI dashboard's trendline). The
+    // a19 discipline extended from correlation to the full regression
+    // triple: collapse to the bounded daily grain first (map-combined),
+    // accumulate the five moment sums as EXACT decimals (Σxy at corpus
+    // scale overflows a long: days ~1e4 × daily cents ~1e12 × 1e4 days),
+    // and convert to double only in the final per-group combine where
+    // both engines execute the identical IEEE ops in the identical
+    // order — slope first, then intercept FROM the slope column, then
+    // R² from the three centered moments. The day index anchors to the
+    // global min day (broadcast 1-row aggregate), not a literal, so the
+    // query is data-driven at any scale.
+    "x114_regr_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("decimal(18,0)")).as("yv"))
+      val anchor = daily.agg(min("day").as("day0"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      daily.crossJoin(broadcast(anchor))
+        .withColumn("xv", datediff(col("day"), col("day0")).cast("decimal(18,0)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("xv").as("sx"), sum("yv").as("sy"),
+          sum(col("xv") * col("yv")).as("sxy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .withColumn("cnum", dbl(col("n_days")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+        .withColumn("cdenx", dbl(col("n_days")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+        .withColumn("cdeny", dbl(col("n_days")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+        .withColumn("slope_c_per_day", col("cnum") / col("cdenx"))
+        .withColumn("intercept_c",
+          (dbl(col("sy")) - col("slope_c_per_day") * dbl(col("sx"))) / dbl(col("n_days")))
+        .withColumn("r2", (col("cnum") * col("cnum")) / (col("cdenx") * col("cdeny")))
+        .select("event_type", "n_days", "slope_c_per_day", "intercept_c", "r2")
+        .orderBy("event_type")
+    }),
+
+    // X131: robust spread — per-type median and MAD (median absolute
+    // deviation) of the event value in exact cents: the outlier-immune
+    // (median, MAD) pair a monitoring stack prefers over (mean, σ),
+    // which one fat-fingered amount drags arbitrarily (x94's winsorized
+    // mean is the KPI-side cousin; this is the dispersion side). Both
+    // medians are exact per-group quantile_cont(0.5) via
+    // util.GroupedMedian histogram refinement — no group-sized sort, no
+    // percentile() reducer buffer; the group medians broadcast back as
+    // metadata and deviations stay integral (dev2 = |2v − med2| = 2·dev)
+    // so the second median is exact too. Doubles appear only in the two
+    // terminal halvings (quarter-integers — exactly representable).
+    "x115_mad_spread" -> ((s, d) => {
+      import graft.util.GroupedMedian
+      val e = Tables.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("vc"))
+      val med = GroupedMedian.med2(e, "event_type", "vc", 100L)
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("vc") * 2 - col("med2")).as("dev2"))
+      val mad = GroupedMedian.med2(dev, "event_type", "dev2", 100L)
+        .withColumnRenamed("med2", "mad4")
+      med.join(mad, Seq("event_type"))
+        .join(e.groupBy("event_type").agg(count(lit(1)).as("n_obs")), Seq("event_type"))
+        .select(col("event_type"), col("n_obs"),
+          (col("med2").cast("double") / 2.0).as("median_cents"),
+          (col("mad4").cast("double") / 4.0).as("mad_cents"))
+        .orderBy("event_type")
+    }),
+
+    // X132: linear multi-touch attribution — each purchase's value
+    // splits EQUALLY across the view touchpoints in its trailing 1-hour
+    // window, and the earned credit rolls up by the hour-of-day of the
+    // VIEW (when does influential exposure happen). The marketing read
+    // x90/x103 lead to: not "did a view precede", but "how much revenue
+    // does each exposure slot earn". Both directions ride RANGE frames
+    // over ONE user-keyed shuffle on exact micros: a purchase counts
+    // its in-window views backward (conditional count over
+    // [−1h, now]), a view collects its per-purchase shares forward
+    // ([now, +1h]) — the two frames are set-based on the micros axis,
+    // so same-instant ties resolve identically on both engines, and
+    // view v is credited by purchase p iff p counted v (the windows are
+    // exact mirrors). Shares are integer micro-cents (vc·1e6 div
+    // n_touch — floored identically on both engines); purchases with
+    // no view in window stay unattributed by definition. The final
+    // rollup is a bounded 24-row aggregate.
+    "x116_attribution" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("us")
+      val back = byUser.rangeBetween(-3600000000L, 0L)
+      val fwd = byUser.rangeBetween(0L, 3600000000L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("n_touch",
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(back))
+        .withColumn("share_uc",
+          when(col("event_type") === "purchase" && col("n_touch") > 0,
+            expr("vc * 1000000 div n_touch")))
+        .withColumn("earned_uc",
+          sum("share_uc").over(fwd))
+        .filter(col("event_type") === "view" && col("earned_uc").isNotNull)
+        .groupBy(hour(col("ts")).as("view_hour"))
+        .agg(count(lit(1)).as("n_credited_views"),
+          sum("earned_uc").as("credit_microcents"))
+        .orderBy("view_hour")
+    }),
+
     // Q-SKEW (SURVEY §6.1 mitigation row, measured): the same
     // deliberately skewed join — ~80% of the fact collapsed onto ONE
     // supplier key — computed plain and salted. `shuffle_hash` on the
@@ -2306,6 +2510,119 @@ object Relational {
          SELECT l_orderkey + 1 AS gap_start, nxt - 1 AS gap_end,
                 nxt - l_orderkey - 1 AS gap_len
          FROM l WHERE nxt > l_orderkey + 1 ORDER BY gap_start""",
+    // the oracle states the SEMANTIC quintile — global rank then
+    // (rn−1)·5 div n — so the hash gate proves TopFrac.tiles ≡ the
+    // naive global-sort ntile on all three axes at once
+    "x112_rfm_segments" ->
+      """WITH g AS (SELECT o_custkey AS custkey,
+                           MAX(CAST(o_orderdate AS DATE)) AS last_day,
+                           count(*) AS n_orders,
+                           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_c
+                    FROM orders GROUP BY 1),
+          a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders),
+          b AS (SELECT g.*, 1000000 - datediff('day', last_day, anchor_day) AS rec_score FROM g, a),
+          r AS (SELECT custkey,
+                       CAST((row_number() OVER (ORDER BY rec_score DESC, custkey) - 1) * 5
+                            // count(*) OVER () AS INT) AS r_tile,
+                       CAST((row_number() OVER (ORDER BY n_orders DESC, custkey) - 1) * 5
+                            // count(*) OVER () AS INT) AS f_tile,
+                       CAST((row_number() OVER (ORDER BY spend_c DESC, custkey) - 1) * 5
+                            // count(*) OVER () AS INT) AS m_tile
+                FROM b)
+         SELECT custkey, r_tile, f_tile, m_tile,
+                CASE WHEN r_tile <= 1 AND f_tile <= 1 AND m_tile <= 1 THEN 'champion'
+                     WHEN r_tile <= 1 AND f_tile >= 3 THEN 'new'
+                     WHEN r_tile >= 3 AND f_tile <= 1 THEN 'at_risk'
+                     WHEN r_tile >= 3 AND f_tile >= 3 THEN 'hibernating'
+                     ELSE 'regular' END AS segment
+         FROM r ORDER BY custkey""",
+    "j30_reorder_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           CAST(o_orderdate AS DATE) AS day FROM orders),
+          l AS (SELECT o_custkey,
+                       datediff('day',
+                         lag(day) OVER (PARTITION BY o_custkey
+                           ORDER BY day, o_orderkey), day) AS gap_days
+                FROM o),
+          g AS (SELECT o_custkey, count(*) AS n_gaps,
+                       CAST(SUM(gap_days) AS BIGINT) AS sum_gap
+                FROM l WHERE gap_days IS NOT NULL GROUP BY 1)
+         SELECT c_mktsegment AS mktsegment, count(*) AS n_customers,
+                CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+                CAST(SUM(sum_gap) AS BIGINT) AS sum_gap_days,
+                CAST(SUM(sum_gap) AS DOUBLE) / CAST(SUM(n_gaps) AS DOUBLE) AS mean_gap_days
+         FROM g JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY mktsegment""",
+    // the mirrored RANGE frames restated on the same micros axis
+    "x116_attribution" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           date_trunc('microseconds', ts) AS ts,
+                           CAST(round(value * 100) AS BIGINT) AS vc,
+                           epoch_us(date_trunc('microseconds', ts)) AS us
+                    FROM events),
+          t AS (SELECT *, SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_touch
+                FROM e),
+          sh AS (SELECT *, CASE WHEN event_type = 'purchase' AND n_touch > 0
+                                THEN vc * 1000000 // n_touch END AS share_uc
+                 FROM t),
+          er AS (SELECT *, SUM(share_uc)
+                  OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN CURRENT ROW AND 3600000000 FOLLOWING) AS earned_uc
+                 FROM sh)
+         SELECT CAST(hour(ts) AS INT) AS view_hour,
+                count(*) AS n_credited_views,
+                CAST(SUM(earned_uc) AS BIGINT) AS credit_microcents
+         FROM er WHERE event_type = 'view' AND earned_uc IS NOT NULL
+         GROUP BY 1 ORDER BY view_hour""",
+    // DuckDB's median IS quantile_cont(0.5) — the oracle states the
+    // naive per-group median twice, so the hash gate proves the
+    // histogram refinement ≡ the sort-based definition
+    "x115_mad_spread" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+          m AS (SELECT event_type, count(*) AS n_obs, median(vc) AS med FROM e GROUP BY 1),
+          dv AS (SELECT e.event_type, abs(e.vc * 2 - CAST(m.med * 2 AS BIGINT)) AS dev2
+                 FROM e JOIN m USING (event_type)),
+          md AS (SELECT event_type, median(dev2) AS mdev2 FROM dv GROUP BY 1)
+         SELECT m.event_type, m.n_obs, CAST(m.med AS DOUBLE) AS median_cents,
+                CAST(md.mdev2 AS DOUBLE) / 2.0 AS mad_cents
+         FROM m JOIN md USING (event_type) ORDER BY event_type""",
+    // the identical IEEE op order: slope, then intercept from the
+    // slope, then R² from the three centered moments
+    "x114_regr_trend" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(date_trunc('microseconds', ts) AS DATE) AS day,
+                               SUM(CAST(round(value * 100) AS DECIMAL(18,0))) AS yv
+                        FROM events GROUP BY 1, 2),
+          a AS (SELECT MIN(day) AS day0 FROM daily),
+          b AS (SELECT event_type,
+                       CAST(datediff('day', day0, day) AS DECIMAL(18,0)) AS xv, yv
+                FROM daily, a),
+          m AS (SELECT event_type, count(*) AS n_days,
+                       SUM(xv) AS sx, SUM(yv) AS sy, SUM(xv*yv) AS sxy,
+                       SUM(xv*xv) AS sxx, SUM(yv*yv) AS syy
+                FROM b GROUP BY 1),
+          c AS (SELECT *,
+                       CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cnum,
+                       CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cdenx,
+                       CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cdeny
+                FROM m),
+          sl AS (SELECT *, cnum / cdenx AS slope_c_per_day FROM c)
+         SELECT event_type, n_days, slope_c_per_day,
+                (CAST(sy AS DOUBLE) - slope_c_per_day * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE) AS intercept_c,
+                (cnum * cnum) / (cdenx * cdeny) AS r2
+         FROM sl ORDER BY event_type""",
+    // ties to the smallest value — the rule both engines compute, not
+    // an engine's unspecified mode()
+    "a25_mode" ->
+      """WITH cnt AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ym,
+                             o_orderpriority, count(*) AS n
+                      FROM orders GROUP BY 1, 2),
+          mx AS (SELECT ym, MAX(n) AS n_orders FROM cnt GROUP BY 1)
+         SELECT ym, MIN(o_orderpriority) AS mode_priority, n_orders
+         FROM cnt JOIN mx USING (ym) WHERE n = n_orders
+         GROUP BY ym, n_orders ORDER BY ym""",
     // the 7-day cover explode re-stated on the (user, day) grain
     "x108_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -2140,6 +2140,50 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // X130: exact two-sample Kolmogorov–Smirnov drift — per source, the
+    // KS distance between its document-length distribution and the
+    // corpus-wide one: the distribution-shift alarm a curation stack
+    // runs per ingest source (mean/variance drift tests miss shape
+    // changes; KS is the standard nonparametric read). Exact and
+    // scale-safe: lengths collapse to the (source, length) count grid
+    // (map-combined — the fact never moves after one shuffle), the
+    // global ECDF cumulates over the DISTINCT-length grid (the only
+    // unpartitioned window, metadata-sized: |distinct lengths|, not
+    // corpus), each source's ECDF evaluates at EVERY global grid point
+    // via a dense sources×grid cross join (both factors bounded) so the
+    // sup lands on steps the source itself skips, and the sup compares
+    // exact integer cross-products |cum_s·N − cum_g·n_s| (decimal — the
+    // product overflows a long at corpus counts). ONE terminal IEEE
+    // division yields D.
+    "x113_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val wg = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = counts.groupBy("n_chars").agg(sum("c").as("cg"))
+        .withColumn("cum_g", sum("cg").over(wg))
+      val total = grid.agg(sum("cg").as("n_total"))
+      val srcTot = counts.groupBy("source").agg(sum("c").as("n_src"))
+      val ws = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      srcTot.crossJoin(broadcast(grid.select("n_chars", "cum_g")))
+        .join(counts, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_s", sum("c").over(ws))
+        .crossJoin(broadcast(total))
+        .withColumn("num",
+          abs(col("cum_s").cast("decimal(38,0)") * col("n_total")
+            - col("cum_g").cast("decimal(38,0)") * col("n_src")))
+        .groupBy("source", "n_src", "n_total")
+        .agg(max("num").as("max_num"))
+        .select(col("source"), col("n_src"),
+          (col("max_num").cast("double")
+            / (col("n_src").cast("double") * col("n_total").cast("double")))
+            .as("ks"))
+        .orderBy("source")
+    }),
+
     // mapPartitions decode stub (per-partition codec-init shape) —
     // deterministic fake features. The feat vector explodes to one
     // scalar row per element so every column is hashable, and the
@@ -2216,6 +2260,31 @@ object TrainingData {
   }
 
   private def baseOracles: Map[String, String] = Map(
+    // the dense grid restated: every source's ECDF evaluated at every
+    // global step; sup over exact integer cross-products, ONE division
+    "x113_ks_drift" ->
+      """WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+          g AS (SELECT n_chars, SUM(c) AS cg FROM c GROUP BY 1),
+          gc AS (SELECT n_chars, CAST(SUM(cg) OVER (ORDER BY n_chars
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g FROM g),
+          t AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_total FROM g),
+          st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM c GROUP BY 1),
+          dense AS (SELECT st.source, st.n_src, gc.n_chars, gc.cum_g,
+                           COALESCE(c.c, 0) AS c
+                    FROM st CROSS JOIN gc
+                    LEFT JOIN c ON c.source = st.source AND c.n_chars = gc.n_chars),
+          e AS (SELECT source, n_src, cum_g,
+                       CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+                FROM dense),
+          m AS (SELECT source, n_src, n_total,
+                       MAX(abs(CAST(cum_s AS DECIMAL(38,0)) * n_total
+                               - CAST(cum_g AS DECIMAL(38,0)) * n_src)) AS max_num
+                FROM e, t GROUP BY 1, 2, 3)
+         SELECT source, n_src,
+                CAST(max_num AS DOUBLE)
+                  / (CAST(n_src AS DOUBLE) * CAST(n_total AS DOUBLE)) AS ks
+         FROM m ORDER BY source""",
     "x1_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                 min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -166,6 +166,91 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(interior.getDouble(2) === expect, s"MoM at $m")
   }
 
+  test("x114: planted linear dailies recover exact slope/intercept and r2 = 1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def tsd(d: Int) = new Timestamp(1700006400000L + d * 86400000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_regr").toString
+    // "lin": one event per day, revenue 100 + 10·d dollars → exact line
+    // "fall": 500 − 5·d dollars → negative slope, still exact
+    val rows = (0 until 10).flatMap { d =>
+      Seq((100L + d, tsd(d), 1L, "lin", 100.0 + 10.0 * d),
+          (200L + d, tsd(d), 2L, "fall", 500.0 - 5.0 * d))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.queries("x114_regr_trend")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("lin") === ((10L, 1000.0, 10000.0, 1.0)), s"lin: $got")
+    assert(got("fall") === ((10L, -500.0, 50000.0, 1.0)), s"fall: $got")
+  }
+
+  test("x113: hand-computed KS on two planted sources; sup lands on a skipped grid step") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    // srcA = lengths 1..4, srcB = four docs of length 10. Global grid
+    // {1,2,3,4,10}; each source's sup (16/32 = 0.5) occurs at a step
+    // the OTHER source contributes — the dense-grid evaluation is
+    // exactly what a source-local ECDF would miss.
+    val rows = (1 to 4).map(i => (i.toLong, "t", "en", "srcA", i.toLong)) ++
+      (5 to 8).map(i => (i.toLong, "t", "en", "srcB", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TrainingData.queries("x113_ks_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map("srcA" -> ((4L, 0.5)), "srcB" -> ((4L, 0.5))), s"ks: $got")
+  }
+
+  test("x115: the planted outlier moves the mean but not (median, MAD)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700006400000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    // odd: 1,2,3,4,100 dollars → median 300c, devs 2·{200,100,0,100,9700}
+    //      → MAD 100c (the 100-dollar outlier contributes nothing)
+    // even: 1,2,3,4 → median 250c, dev2 {300,100,100,300} → MAD 100c
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+        case (v, i) => (i.toLong, ts(i), 1L, "odd", v) } ++
+      Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map {
+        case (v, i) => (10L + i, ts(i), 2L, "even", v) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.queries("x115_mad_spread")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      "odd" -> ((5L, 300.0, 100.0)),
+      "even" -> ((4L, 250.0, 100.0))), s"mad: $got")
+  }
+
+  test("x116: credit splits equally, mirrors the touch window, drops the uncredited") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700006400000L + min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    Seq(
+      // u1: two views then a $12 purchase 30 min later → 600M µc each;
+      // a second purchase at t90 has NO view in [t30,t90] → unattributed
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(10), 1L, "view", 0.0),
+      (3L, ts(30), 1L, "purchase", 12.0), (4L, ts(90), 1L, "purchase", 99.0),
+      // u2 (shifted +2h): view and $5 purchase at the SAME instant —
+      // the same-instant tie credits (both frames are inclusive)
+      (5L, ts(120), 2L, "view", 0.0), (6L, ts(120), 2L, "purchase", 5.0),
+      // u3: purchase 61 min after the view → outside; view drops
+      (7L, ts(0), 3L, "view", 0.0), (8L, ts(61), 3L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.queries("x116_attribution")(spark, dir)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0 -> ((2L, 1200000000L)),
+      2 -> ((1L, 500000000L))), s"attribution: $got")
+  }
+
   test("x89: buckets tile [min,max] and counts partition the fact") {
     val rows = Relational.queries("x89_histogram")(spark, sfDir).collect()
     val n = Tables.lineitem(spark, sfDir).count()
