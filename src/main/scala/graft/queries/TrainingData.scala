@@ -2184,6 +2184,36 @@ object TrainingData {
         .orderBy("source")
     }),
 
+    // X133: cross-source quantile normalization — re-express each
+    // document's quality on the GLOBAL scale by mapping its
+    // within-source centile to the global centile's boundary value
+    // (the best score of the matching global tile). The calibration
+    // step before any cross-source quality cut: per-source scorers
+    // drift, and a raw x52-style threshold then over-keeps lenient
+    // sources; after normalization every source's c-th centile means
+    // the same thing. Exact + scale-safe: within-source centiles via
+    // TopFrac.groupTiles (the dominant source is the corpus at 100 TB
+    // — histogram refinement, no source-sized window), the global
+    // centile boundary table is TopFrac.tiles collapsed to ≤100 rows
+    // (broadcast metadata), and the mapping is one broadcast join.
+    // All-integer; oracle states both naive ntile forms.
+    "x117_quantile_norm" -> ((s, d) => {
+      import graft.util.TopFrac
+      val docs = Tables.documents(s, d)
+      val q = TextFunctions.withTextSignals(docs, langCol = None, nTokensCol = None)
+        .select(col("doc_id"), round(col("quality") * 1000000).cast("long").as("q_ppm"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val srcTiled = TopFrac.groupTiles(q, "source", "q_ppm", "doc_id",
+          100, QualityCoarseDiv)
+        .withColumnRenamed("tile", "src_centile")
+      val gmap = TopFrac.tiles(q.select("doc_id", "q_ppm"), "q_ppm", "doc_id",
+          100, QualityCoarseDiv)
+        .groupBy(col("tile").as("gt")).agg(max("q_ppm").as("norm_q_ppm"))
+      srcTiled.join(broadcast(gmap), col("src_centile") === col("gt"))
+        .select("doc_id", "source", "q_ppm", "src_centile", "norm_q_ppm")
+        .orderBy("doc_id")
+    }),
+
     // mapPartitions decode stub (per-partition codec-init shape) —
     // deterministic fake features. The feat vector explodes to one
     // scalar row per element so every column is hashable, and the
@@ -2256,7 +2286,25 @@ object TrainingData {
                  FROM r WHERE bnd)
           SELECT r.doc_id, r.lang, r.q_ppm,
                  CAST(r.keep_full OR (bn.rn IS NOT NULL AND bn.rn <= r.take_b) AS INT) AS keep
-          FROM r LEFT JOIN bn USING (lang, doc_id) ORDER BY r.doc_id""")
+          FROM r LEFT JOIN bn USING (lang, doc_id) ORDER BY r.doc_id""") +
+    ("x117_quantile_norm" ->
+      // both tilings stated as the naive global-sort ntile — the gate
+      // proves groupTiles (per source) AND tiles (global) at once
+      s"""WITH q AS (SELECT s8.doc_id, d.source,
+                            CAST(round(s8.quality * 1000000) AS BIGINT) AS q_ppm
+                     FROM (${b("x8_quality_score")}) s8 JOIN documents d USING (doc_id)),
+          r AS (SELECT doc_id, source, q_ppm,
+                       CAST((row_number() OVER (PARTITION BY source
+                              ORDER BY q_ppm DESC, doc_id) - 1) * 100
+                            // (count(*) OVER (PARTITION BY source)) AS INT) AS src_centile
+                FROM q),
+          g AS (SELECT q_ppm,
+                       CAST((row_number() OVER (ORDER BY q_ppm DESC, doc_id) - 1) * 100
+                            // (count(*) OVER ()) AS INT) AS gt
+                FROM q),
+          gb AS (SELECT gt, MAX(q_ppm) AS norm_q_ppm FROM g GROUP BY 1)
+         SELECT r.doc_id, r.source, r.q_ppm, r.src_centile, gb.norm_q_ppm
+         FROM r JOIN gb ON gb.gt = r.src_centile ORDER BY r.doc_id""")
   }
 
   private def baseOracles: Map[String, String] = Map(

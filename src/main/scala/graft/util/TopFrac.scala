@@ -82,20 +82,37 @@ object TopFrac {
     * over the METADATA-sized histogram, never the corpus. Appends an
     * integer `tile` column; `scoreCol` must be non-negative integral. */
   def tiles(df: DataFrame, scoreCol: String, idCol: String,
-            nTiles: Int, coarseDiv: Long = 1000L): DataFrame = {
+            nTiles: Int, coarseDiv: Long = 1000L): DataFrame =
+    groupTiles(df.withColumn("__g", lit(1)), "__g", scoreCol, idCol,
+      nTiles, coarseDiv).drop("__g")
+
+  /** Per-GROUP exact n-tiles by (`scoreCol` desc, `idCol` asc) — the
+    * grouped [[tiles]]: the tile of the row at within-group rank r is
+    * (r−1)·nTiles div n_g (0 = best). Same refinement discipline: the
+    * per-group cumulative windows run over the metadata-sized
+    * (group × bucket) histogram — never over a group's rows, which for
+    * the dominant group IS the corpus at 100 TB — and row-bearing rank
+    * windows partition by (group, bucket), so the largest window
+    * partition is one coarse bucket of one group. Appends an integer
+    * `tile`; `scoreCol` must be non-negative integral. */
+  def groupTiles(df: DataFrame, grpCol: String, scoreCol: String, idCol: String,
+                 nTiles: Int, coarseDiv: Long = 1000L): DataFrame = {
     val scored = df.withColumn("__cb", expr(s"$scoreCol div $coarseDiv"))
-    val hist = scored.groupBy("__cb").agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col("__cb").desc)
+    val hist = scored.groupBy(grpCol, "__cb").agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(grpCol).orderBy(col("__cb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(grpCol)
     val decisions = hist
       .withColumn("__cum", sum("__c").over(wCum))
-      .crossJoin(broadcast(hist.agg(sum("__c").as("__n"))))
+      .withColumn("__n", sum("__c").over(wTot))
       .withColumn("__start", col("__cum") - col("__c") + 1)
       .withColumn("__ts", expr(s"(__start - 1) * $nTiles div __n"))
       .withColumn("__te", expr(s"(__cum - 1) * $nTiles div __n"))
-      .select(col("__cb"), col("__start"), col("__ts"), col("__te"), col("__n"))
-    val wBucket = Window.partitionBy("__cb").orderBy(col(scoreCol).desc, col(idCol))
-    scored.join(broadcast(decisions), Seq("__cb"))
+      .select(col(grpCol), col("__cb"), col("__start"), col("__ts"),
+        col("__te"), col("__n"))
+    val wBucket = Window.partitionBy(grpCol, "__cb")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.join(broadcast(decisions), Seq(grpCol, "__cb"))
       .withColumn("__rn", row_number().over(wBucket))
       .withColumn("tile",
         when(col("__ts") === col("__te"), col("__ts"))

@@ -35,6 +35,24 @@ class TilesSpec extends SparkSpecBase {
     assert(labels(1) === labels(7))
   }
 
+  test("groupTiles equals the per-group global-rank definition, dominant group included") {
+    // group a: 90 rows (the "dominant source"), group b: 7, group c: 1
+    val df = ((1L to 90L).map(i => ("a", i, (i * 11 % 23) * 4)) ++
+      (1L to 7L).map(i => ("b", 100L + i, i * 10)) ++
+      Seq(("c", 200L, 5L))).toDF("g", "id", "s")
+    val got = TopFrac.groupTiles(df, "g", "s", "id", 10, coarseDiv = 8L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("tile")).toMap
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+    val wn = Window.partitionBy("g")
+    val exp = df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("exp", expr("(rn - 1) * 10 div n").cast("int"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("exp")).toMap
+    assert(got === exp)
+    // the singleton group lands whole in tile 0
+    assert(got(200L) === 0)
+  }
+
   test("single bucket and single tile degenerate cases") {
     val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "s")
     val one = TopFrac.tiles(df, "s", "id", 1, coarseDiv = 1000L)
