@@ -2171,6 +2171,49 @@ object Relational {
         .orderBy("view_hour")
     }),
 
+    // X134: Gini concentration per segment — the inequality KPI behind
+    // X126's ABC classes (not "which parts are the A set" but "HOW
+    // concentrated is customer spend", the single number a portfolio
+    // review tracks). Gini needs Σ rank·spend under a per-segment
+    // ascending sort — the banned group-sized window; the X126 band
+    // trick supplies EXACT per-row ranks instead: coarse spend bands
+    // total-order across bands, lower-band counts come from a bounded
+    // triangular join over the (seg, band) summary, within-band ranks
+    // are (seg, band)-partitioned. Rank ties (equal spends) permute
+    // ranks only within equal values, so Σ rank·spend is
+    // tie-invariant — deterministic without any tie rule. Products run
+    // in decimal (rank·cents ~1e19 edges a long); the Gini is a fixed
+    // IEEE op order over the two exact sums.
+    "x118_gini" -> ((s, d) => {
+      val cv = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("spend_c"))
+      val j = cv.join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_custkey"), col("spend_c"))
+        .withColumn("cb", expr("spend_c div 1048576"))
+      val bsum = j.groupBy("seg", "cb").agg(count(lit(1)).as("bc"))
+      val bpre = bsum.as("a")
+        .join(bsum.select(col("seg").as("seg2"), col("cb").as("cb2"),
+          col("bc").as("bc2")), col("seg2") === col("seg") && col("cb2") < col("cb"), "left")
+        .groupBy("seg", "cb").agg(coalesce(sum("bc2"), lit(0L)).as("below"))
+      val w = Window.partitionBy("seg", "cb").orderBy("spend_c", "o_custkey")
+      j.join(broadcast(bpre), Seq("seg", "cb"))
+        .withColumn("rk", col("below") + row_number().over(w))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend_c").cast("decimal(38,0)")).as("sx"),
+          sum(col("rk").cast("decimal(19,0)")
+            * col("spend_c").cast("decimal(19,0)")).as("srx"))
+        .select(col("seg"), col("n_customers"),
+          col("sx").cast("long").as("spend_total_c"),
+          expr("""(2 * CAST(srx AS DOUBLE) - CAST(n_customers + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE))""").as("gini"))
+        .orderBy("seg")
+    }),
+
     // Q-SKEW (SURVEY §6.1 mitigation row, measured): the same
     // deliberately skewed join — ~80% of the fact collapsed onto ONE
     // supplier key — computed plain and salted. `shuffle_hash` on the
@@ -2553,6 +2596,25 @@ object Relational {
                 CAST(SUM(sum_gap) AS DOUBLE) / CAST(SUM(n_gaps) AS DOUBLE) AS mean_gap_days
          FROM g JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY mktsegment""",
+    // the NAIVE per-segment sort rank — banded ranks must equal it;
+    // Σ rank·spend is tie-invariant so no tie rule is needed
+    "x118_gini" ->
+      """WITH cv AS (SELECT o_custkey,
+                            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_c
+                     FROM orders GROUP BY 1),
+          j AS (SELECT c_mktsegment AS seg, spend_c, o_custkey
+                FROM cv JOIN customer ON o_custkey = c_custkey),
+          r AS (SELECT seg, spend_c,
+                       row_number() OVER (PARTITION BY seg
+                         ORDER BY spend_c, o_custkey) AS rk FROM j),
+          a AS (SELECT seg, count(*) AS n_customers,
+                       SUM(CAST(spend_c AS DECIMAL(38,0))) AS sx,
+                       SUM(CAST(rk AS DECIMAL(19,0)) * CAST(spend_c AS DECIMAL(19,0))) AS srx
+                FROM r GROUP BY 1)
+         SELECT seg, n_customers, CAST(sx AS BIGINT) AS spend_total_c,
+                (2 * CAST(srx AS DOUBLE) - CAST(n_customers + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+         FROM a ORDER BY seg""",
     // the mirrored RANGE frames restated on the same micros axis
     "x116_attribution" ->
       """WITH e AS (SELECT user_id, event_type,

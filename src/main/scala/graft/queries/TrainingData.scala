@@ -2214,6 +2214,69 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // X135: dedup token savings — the budget read a curation team asks
+    // BEFORE running the dedup: per source, how many tokens does exact
+    // dedup save (keeper = global min doc_id per fingerprint, so a
+    // source whose docs mirror another source's counts its copies as
+    // saved — exactly the cross-source mirror X88/x75 measures as
+    // pairs, here priced in tokens). One fingerprint shuffle, one
+    // keeper broadcast-back... at corpus scale a fingerprint-keyed SMJ
+    // (the x1 shape); savings in integer ppm (decimal product — token
+    // totals ×1e6 overflow a long on a 100 TB corpus).
+    "x119_dedup_savings" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val keep = base.groupBy("fp").agg(min("doc_id").as("keeper_id"))
+      base.join(keep, Seq("fp"))
+        .withColumn("is_keeper", (col("doc_id") === col("keeper_id")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("is_keeper").as("n_keepers"),
+          sum("n_tokens").as("tokens_total"),
+          sum(col("is_keeper") * col("n_tokens")).as("tokens_kept"))
+        .withColumn("savings_ppm", expr(
+          "CAST(tokens_total - tokens_kept AS DECIMAL(38,0)) * 1000000 div tokens_total"))
+        .orderBy("source")
+    }),
+
+    // X136: independence residuals — which (lang, source) cells of the
+    // corpus-composition contingency deviate most from independence
+    // (the audit that catches "this crawl source is secretly
+    // single-language" before a mix is planned on marginals alone).
+    // The ranking key is the EXACT integer cross-product deviation
+    // |obs·N − langTot·srcTot| (no float ordering); the per-cell
+    // chi-square contribution dev²/(N·langTot·srcTot) is a fixed-order
+    // IEEE expression over exact integers, emitted per cell — never
+    // summed across cells, where float addition order would enter.
+    // Everything runs on the bounded langs×sources grid: one
+    // map-combined fact collapse, two marginal aggregates OF that
+    // grid, broadcast joins, TakeOrdered top-15.
+    "x120_indep_residuals" -> ((s, d) => {
+      val obs = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rowT = obs.groupBy("lang").agg(sum("obs").as("lang_tot"))
+      val colT = obs.groupBy("source").agg(sum("obs").as("src_tot"))
+      val tot = obs.agg(sum("obs").as("n_total"))
+      obs.join(broadcast(rowT), Seq("lang"))
+        .join(broadcast(colT), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", col("obs").cast("decimal(38,0)") * col("n_total")
+          - col("lang_tot").cast("decimal(38,0)") * col("src_tot"))
+        .withColumn("abs_dev", abs(col("dev")))
+        .withColumn("exp_micro", expr(
+          "CAST(lang_tot AS DECIMAL(38,0)) * src_tot * 1000000 div n_total"))
+        .withColumn("contrib", expr(
+          """(CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE))
+             / (CAST(n_total AS DOUBLE) * CAST(lang_tot AS DOUBLE) * CAST(src_tot AS DOUBLE))"""))
+        .select(col("lang"), col("source"), col("obs"),
+          col("exp_micro").cast("long").as("exp_micro"),
+          col("abs_dev").cast("long").as("abs_dev"), col("contrib"))
+        .orderBy(desc("abs_dev"), col("lang"), col("source"))
+        .limit(15)
+    }),
+
     // mapPartitions decode stub (per-partition codec-init shape) —
     // deterministic fake features. The feat vector explodes to one
     // scalar row per element so every column is hashable, and the
@@ -2308,6 +2371,39 @@ object TrainingData {
   }
 
   private def baseOracles: Map[String, String] = Map(
+    // keeper = global min doc_id per fingerprint (the x1 rule), priced
+    // in tokens per source
+    "x119_dedup_savings" ->
+      s"""WITH ${tokCte},
+          b AS (SELECT t.doc_id, d.source,
+                       md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+                       CAST(len(t.t) AS BIGINT) AS n_tokens
+                FROM tok t JOIN documents d USING (doc_id)),
+          k AS (SELECT fp, MIN(doc_id) AS keeper_id FROM b GROUP BY 1)
+         SELECT source, count(*) AS n_docs,
+                CAST(SUM(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+                CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+                CAST(SUM(CASE WHEN doc_id = keeper_id THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+                CAST((SUM(n_tokens) - SUM(CASE WHEN doc_id = keeper_id THEN n_tokens ELSE 0 END))
+                     * 1000000 // SUM(n_tokens) AS BIGINT) AS savings_ppm
+         FROM b JOIN k USING (fp) GROUP BY source ORDER BY source""",
+    // exact integer deviation ranking; per-cell contribution only —
+    // never a float sum across cells
+    "x120_indep_residuals" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+          rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS lang_tot FROM obs GROUP BY 1),
+          ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS src_tot FROM obs GROUP BY 1),
+          t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_total FROM obs),
+          c AS (SELECT o.lang, o.source, o.obs, rt.lang_tot, ct.src_tot, t.n_total,
+                       CAST(o.obs AS DECIMAL(38,0)) * t.n_total
+                         - CAST(rt.lang_tot AS DECIMAL(38,0)) * ct.src_tot AS dev
+                FROM obs o JOIN rt USING (lang) JOIN ct USING (source), t)
+         SELECT lang, source, obs,
+                CAST(CAST(lang_tot AS DECIMAL(38,0)) * src_tot * 1000000 // n_total AS BIGINT) AS exp_micro,
+                CAST(abs(dev) AS BIGINT) AS abs_dev,
+                (CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE))
+                  / (CAST(n_total AS DOUBLE) * CAST(lang_tot AS DOUBLE) * CAST(src_tot AS DOUBLE)) AS contrib
+         FROM c ORDER BY abs_dev DESC, lang, source LIMIT 15""",
     // the dense grid restated: every source's ECDF evaluated at every
     // global step; sup over exact integer cross-products, ONE division
     "x113_ks_drift" ->

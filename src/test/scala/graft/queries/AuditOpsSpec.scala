@@ -112,4 +112,53 @@ class AuditOpsSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"deletion sweep must stay broadcast-only:\n$plan")
   }
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    rows.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x119: cross-source mirrors price as savings in the MIRROR source only") {
+    // src1 owns both fingerprints (min doc_id); src2 doc 3 mirrors doc 1
+    val dir = docsDir(Seq(
+      (1L, "a b", "en", "src1"), (2L, "c", "en", "src1"),
+      (3L, "a b", "en", "src2")))
+    val got = TrainingData.queries("x119_dedup_savings")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      "src1" -> ((2L, 2L, 3L, 3L, 0L)),
+      "src2" -> ((1L, 0L, 2L, 0L, 1000000L))), s"savings: $got")
+  }
+
+  test("x120: independent planted grid has zero deviation; a skewed cell ranks by the exact tie rule") {
+    // perfectly independent 2×2 → every dev = 0
+    val indep = docsDir(
+      (1L to 10L).map(i => (i, s"t$i", "en", "src1")) ++
+      (11L to 20L).map(i => (i, s"t$i", "en", "src2")) ++
+      (21L to 25L).map(i => (i, s"t$i", "fr", "src1")) ++
+      (26L to 30L).map(i => (i, s"t$i", "fr", "src2")))
+    val devs = TrainingData.queries("x120_indep_residuals")(spark, indep)
+      .collect().map(_.getAs[Long]("abs_dev"))
+    assert(devs.forall(_ === 0L), s"independent grid must have zero deviation: ${devs.toSeq}")
+    // skew fr/src2 to 15 docs → all four |dev| = 100, ties resolve by (lang, source)
+    val skew = docsDir(
+      (1L to 10L).map(i => (i, s"t$i", "en", "src1")) ++
+      (11L to 20L).map(i => (i, s"t$i", "en", "src2")) ++
+      (21L to 25L).map(i => (i, s"t$i", "fr", "src1")) ++
+      (26L to 40L).map(i => (i, s"t$i", "fr", "src2")))
+    val rows = TrainingData.queries("x120_indep_residuals")(spark, skew)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("abs_dev")))
+    assert(rows.toSeq === Seq(
+      ("en", "src1", 100L), ("en", "src2", 100L),
+      ("fr", "src1", 100L), ("fr", "src2", 100L)), s"order: ${rows.toSeq}")
+    val first = TrainingData.queries("x120_indep_residuals")(spark, skew).collect()(0)
+    assert(first.getAs[Long]("exp_micro") === 7500000L) // 20·15·1e6/40
+    assert(first.getAs[Double]("contrib") ===
+      (100.0 * 100.0) / (40.0 * 20.0 * 15.0))
+  }
 }

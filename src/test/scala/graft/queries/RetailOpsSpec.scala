@@ -82,6 +82,27 @@ class RetailOpsSpec extends SparkSpecBase {
       "2023-12-01" -> (("5-LOW", 2L))), s"modes: ${got.toSeq}")
   }
 
+  test("x118: hand Ginis — equality at 0, the 2-customer case, and a band-crossing pair") {
+    val dir = ordersDir(Seq(
+      // seg A: 100c and 300c → G = 0.25
+      (1L, 1L, 1.0, day(0), "x"), (2L, 2L, 3.0, day(0), "x"),
+      // seg B: three equal spends → G = 0
+      (3L, 3L, 2.0, day(0), "x"), (4L, 4L, 2.0, day(0), "x"),
+      (5L, 5L, 2.0, day(0), "x"),
+      // seg C: 2,000,000c (band 1) and 100,000c (band 0) — the
+      // triangular lower-band count supplies rank 2
+      (6L, 6L, 20000.0, day(0), "x"), (7L, 7L, 1000.0, day(0), "x")),
+      segs = Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B", 5L -> "B",
+        6L -> "C", 7L -> "C"))
+    val got = Relational.queries("x118_gini")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("A") === ((2L, 400L, 0.25)), s"A: $got")
+    assert(got("B") === ((3L, 600L, 0.0)), s"B: $got")
+    val expC = (2 * 4100000.0 - 3.0 * 2100000.0) / (2.0 * 2100000.0)
+    assert(got("C") === ((2L, 2100000L, expC)), s"C: $got")
+  }
+
   test("x112 plan: no corpus-sized unpartitioned window — tiles runs on the histogram") {
     val plan = Relational.queries("x112_rfm_segments")(spark, sfDir)
       .queryExecution.executedPlan.toString
