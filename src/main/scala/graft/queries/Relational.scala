@@ -2235,6 +2235,183 @@ object Relational {
         skewFact(s, d), Tables.supplier(s, d), "skew_key", "s_suppkey",
         saltFactor = 16, smallHint = Some("shuffle_hash")))),
 
+    // K9: incremental JOIN-view maintenance — the join analog of k8's
+    // aggregate fold. The standing view is a fact⋈dim aggregate
+    // (lineitem⋈orders by priority); history arrives in two planes
+    // (old lineitems by shipdate, a late "backfill" batch of orders),
+    // and the view folds in the classic delta algebra
+    //   V(L∪ΔL ⋈ O∪ΔO) = P(L⋈O) ⊎ P(ΔL⋈O) ⊎ P(L⋈ΔO) ⊎ P(ΔL⋈ΔO)
+    // where P() is the partial aggregate (count/sum are combinable, so
+    // ⊎ is one re-aggregate of four partial tables and the result is
+    // EXACTLY the full recompute — the oracle states the recompute, so
+    // hash-equality proves the algebra). The expensive quadrant P(L⋈O)
+    // is the stored snapshot (parquet, computed once — the k8 shape);
+    // each refresh pays only the three delta quadrants, i.e. |Δ|-sized
+    // joins instead of a history² rescan. At 100 TB: L⋈ΔO prunes to
+    // the orderkey partitions ΔO touches when both sides share the
+    // bucketed layout (q_bucketed_join's point); ΔL⋈O broadcasts ΔO's
+    // key range; nothing rescans the full fact history on refresh.
+    "k9_incremental_join" -> ((s, d) => {
+      val snapDir = java.nio.file.Files.createTempDirectory("graft_incr_join_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(snapDir.toFile): Unit))
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val lOld = li.filter(col("l_shipdate") < cutoff)
+      val lNew = li.filter(col("l_shipdate") >= cutoff || col("l_shipdate").isNull)
+      val oOld = ord.filter(col("o_orderkey") % 7 =!= 0)
+      val oNew = ord.filter(col("o_orderkey") % 7 === 0)
+      def partials(l: DataFrame, o: DataFrame) =
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+      // day 0: the heavy quadrant, joined once, persisted as the view snapshot
+      partials(lOld, oOld).write.mode("overwrite").parquet(snapDir.toString)
+      val snapshot = s.read.parquet(snapDir.toString)
+      // refresh: three |Δ|-sized joins folded into the snapshot
+      snapshot
+        .unionByName(partials(lNew, oOld))
+        .unionByName(partials(lOld, oNew))
+        .unionByName(partials(lNew, oNew))
+        .groupBy("o_orderpriority")
+        .agg(sum("n_items").as("n_items"), sum("revenue").as("rev"))
+        .select(col("o_orderpriority"), col("n_items"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q-CHECKSUM: portable bucketed table checksum — the replication /
+    // CDC-validation primitive: both ends of a pipeline (here Spark and
+    // DuckDB; in production warehouse vs OLTP) compute the same 16-row
+    // digest table and compare, localizing any divergence to a key
+    // bucket without moving a single row between systems. Each row
+    // canonicalizes to an explicit text form (bigints verbatim,
+    // money/rates as DECIMAL(18,2), dates as yyyy-MM-dd — the
+    // engine-neutral renderings), hashes with md5, and the first 48
+    // bits fold into a per-bucket SUM — commutative and associative,
+    // so the checksum is partition-order-free and embarrassingly
+    // parallel (one map-combined aggregate, no shuffle beyond 16
+    // keys). At 100 TB the bucket key becomes a key RANGE instead of a
+    // modulus so a mismatched bucket can recursively re-bucket to
+    // bisect down to the divergent rows (the classic table-diff
+    // protocol); sums go DECIMAL(38,0) so no row count overflows. The
+    // canon contract assumes the fact's NOT NULL schema (true here);
+    // nullable columns would take an explicit COALESCE on both ends
+    // (concat_ws's skip-nulls and ||'s null-propagation differ).
+    "q_table_checksum" -> ((s, d) => {
+      val canon = concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)"),
+        col("l_extendedprice").cast("decimal(18,2)"),
+        col("l_discount").cast("decimal(18,2)"),
+        col("l_tax").cast("decimal(18,2)"),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      Tables.lineitem(s, d)
+        .select(pmod(col("l_orderkey"), lit(16L)).as("bucket"),
+          conv(substring(md5(canon), 1, 12), 16, 10)
+            .cast("decimal(38,0)").as("digest"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("digest").cast("decimal(38,0)").as("checksum"))
+        .orderBy("bucket")
+    }),
+
+    // X121: Nelson-Aalen survival analysis of time-to-second-order —
+    // the churn/repeat-purchase read ("how long until a new customer
+    // orders again, and who never does") done properly: customers with
+    // only one order are CENSORED at the horizon (the naive mean-gap
+    // answer j30 gives silently drops them and biases fast). Per event
+    // day t: the risk set n(t) = customers still waiting at t, events
+    // d(t), and the cumulative hazard H(t) = Σ_{t'≤t} d/n — kept exact
+    // as ppb integers (one integral division per day, then a running
+    // long sum), so both engines resolve bit-identical values with
+    // zero transcendental ops. Scale shape: one groupBy(cust) pass
+    // over orders (min day + second-min day via a per-customer
+    // aggregate — no corpus window), then every window runs over the
+    // DAY GRID (≤ horizon span rows, metadata-sized — the x113
+    // discipline), never the customer table.
+    "x121_survival_hazard" -> ((s, d) => {
+      val days = Tables.orders(s, d)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      val firsts = days.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), min("day").as("t1"))
+      // second pass on the shared custkey exchange: the second order day
+      // is the min day strictly after the first, or the first day again
+      // when two orders share it (gap 0)
+      val byCust = days.join(firsts, Seq("o_custkey"))
+        .groupBy("o_custkey")
+        .agg(first("n_orders").as("n_orders"), first("t1").as("t1"),
+          min(when(col("day") > col("t1"), col("day"))).as("t2_later"),
+          sum(when(col("day") === col("t1"), 1L).otherwise(0L)).as("n_at_t1"))
+      val horizon = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("h"))
+      val subjects = byCust.crossJoin(broadcast(horizon))
+        .select(col("o_custkey"),
+          when(col("n_at_t1") >= 2, lit(0L))
+            .when(col("t2_later").isNotNull,
+              datediff(col("t2_later"), col("t1")).cast("long"))
+            .otherwise(datediff(col("h"), col("t1")).cast("long")).as("t"),
+          (col("n_orders") >= 2).cast("long").as("event"))
+      val grid = subjects.groupBy("t")
+        .agg(count(lit(1)).as("n_at"), sum("event").as("d_at"))
+      val total = subjects.agg(count(lit(1)).as("n_total"))
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.crossJoin(broadcast(total))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum("n_at").over(wPrev), lit(0L)))
+        .filter(col("d_at") > 0)
+        .withColumn("hazard_ppb", expr("d_at * 1000000000 div n_risk"))
+        .withColumn("cum_hazard_ppb", sum("hazard_ppb").over(wCum))
+        .select(col("t").as("t_days"), col("n_risk"), col("d_at").as("d_events"),
+          (col("n_at") - col("d_at")).as("n_censored_at"),
+          col("hazard_ppb"), col("cum_hazard_ppb"))
+        .orderBy("t_days")
+    }),
+
+    // A26: sketch-based set-overlap estimation — |A∩B| for two key
+    // populations via HLL inclusion-exclusion (|A|+|B|−|A∪B|), the
+    // constant-memory way to answer "how much does this year's part
+    // mix overlap last year's" without shuffling either distinct set.
+    // The a15 verification discipline: exact counts computed alongside
+    // (the oracle asserts them outright), and the sketch's verdict is
+    // a deterministic boolean — each HLL estimate within 5% of its
+    // exact count, the derived intersection within 10% (errors add
+    // across three sketches; rsd=0.02 leaves margin, and the estimate
+    // is partition-order-invariant so the bit can't flap). At 100 TB
+    // the exact columns drop and three ~1.5 KB sketches replace three
+    // COUNT(DISTINCT) shuffles — mergeable across any partitioning.
+    "a26_overlap_estimate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        year(col("l_shipdate")).as("yr"))
+      val inA = col("yr") === 1997
+      val inB = col("yr") === 1998
+      def within(est: org.apache.spark.sql.Column,
+                 exact: org.apache.spark.sql.Column,
+                 tol: Double): org.apache.spark.sql.Column =
+        abs(est.cast("double") - exact.cast("double")) <=
+          exact.cast("double") * tol
+      li.filter(inA || inB).agg(
+          countDistinct(when(inA, col("l_partkey"))).as("exact_a"),
+          countDistinct(when(inB, col("l_partkey"))).as("exact_b"),
+          countDistinct(col("l_partkey")).as("exact_union"),
+          approx_count_distinct(when(inA, col("l_partkey")), 0.02).as("ea"),
+          approx_count_distinct(when(inB, col("l_partkey")), 0.02).as("eb"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("eu"))
+        .select(col("exact_a"), col("exact_b"),
+          (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
+          within(col("ea"), col("exact_a"), 0.05).as("a_within_5pct"),
+          within(col("eb"), col("exact_b"), 0.05).as("b_within_5pct"),
+          within(col("ea") + col("eb") - col("eu"),
+            col("exact_a") + col("exact_b") - col("exact_union"), 0.10)
+            .as("inter_within_10pct"))
+    }),
+
     // Bucketed-layout pair (sources.BucketedLayout): the SAME
     // orderkey-grain fact⋈fact aggregate over the plain parquet layout
     // (shuffle + sort both sides) and over the bucketed+sorted layout
@@ -2293,6 +2470,82 @@ object Relational {
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    // the full recompute — hash-equality proves the 4-quadrant delta
+    // algebra exact
+    "k9_incremental_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the OTHER END of the replication-validation protocol: DuckDB
+    // canonicalizes and digests the same rows independently; matching
+    // checksums ARE the operator's correctness statement
+    "q_table_checksum" ->
+      """SELECT l_orderkey % 16 AS bucket, count(*) AS n_rows,
+                CAST(SUM(CAST(('0x' || substr(md5(
+                  CAST(l_orderkey AS VARCHAR) || '|' ||
+                  CAST(l_partkey AS VARCHAR) || '|' ||
+                  CAST(l_suppkey AS VARCHAR) || '|' ||
+                  CAST(l_linenumber AS VARCHAR) || '|' ||
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                  CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                  l_returnflag || '|' || l_linestatus || '|' ||
+                  strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')), 1, 12)) AS BIGINT))
+                AS DECIMAL(38,0)) AS checksum
+         FROM lineitem GROUP BY bucket ORDER BY bucket""",
+    // naive global definition: rank every order day per customer, take
+    // gap(first→second) or censor at the horizon; hazard grid from the
+    // dense risk-set cumulation
+    "x121_survival_hazard" ->
+      """WITH days AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+          f AS (SELECT o_custkey, count(*) AS n_orders, min(day) AS t1
+                FROM days GROUP BY 1),
+          b AS (SELECT d.o_custkey, f.n_orders, f.t1,
+                       min(CASE WHEN d.day > f.t1 THEN d.day END) AS t2_later,
+                       SUM(CASE WHEN d.day = f.t1 THEN 1 ELSE 0 END) AS n_at_t1
+                FROM days d JOIN f USING (o_custkey) GROUP BY 1, 2, 3),
+          h AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+          subj AS (SELECT o_custkey,
+                          CASE WHEN n_at_t1 >= 2 THEN CAST(0 AS BIGINT)
+                               WHEN t2_later IS NOT NULL
+                                 THEN CAST(date_diff('day', t1, t2_later) AS BIGINT)
+                               ELSE CAST(date_diff('day', t1, hz) AS BIGINT) END AS t,
+                          CASE WHEN n_orders >= 2 THEN CAST(1 AS BIGINT)
+                               ELSE CAST(0 AS BIGINT) END AS event
+                   FROM b, h),
+          grid AS (SELECT t, count(*) AS n_at, CAST(SUM(event) AS BIGINT) AS d_at
+                   FROM subj GROUP BY t),
+          tot AS (SELECT count(*) AS n_total FROM subj),
+          risk AS (SELECT t, n_at, d_at,
+                          n_total - COALESCE(CAST(SUM(n_at) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                            CAST(0 AS BIGINT)) AS n_risk
+                   FROM grid, tot),
+          haz AS (SELECT t, n_risk, d_at, n_at,
+                         d_at * 1000000000 // n_risk AS hazard_ppb
+                  FROM risk WHERE d_at > 0)
+          SELECT t AS t_days, n_risk, d_at AS d_events,
+                 n_at - d_at AS n_censored_at, hazard_ppb,
+                 CAST(SUM(hazard_ppb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_hazard_ppb
+          FROM haz ORDER BY t_days""",
+    // exact overlap asserted outright; the sketch verdict bits must be
+    // TRUE or the inclusion-exclusion drifted past its bound (a15
+    // discipline)
+    "a26_overlap_estimate" ->
+      """WITH y AS (SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr FROM lineitem
+                    WHERE EXTRACT(year FROM l_shipdate) IN (1997, 1998))
+         SELECT count(DISTINCT CASE WHEN yr = 1997 THEN l_partkey END) AS exact_a,
+                count(DISTINCT CASE WHEN yr = 1998 THEN l_partkey END) AS exact_b,
+                count(DISTINCT CASE WHEN yr = 1997 THEN l_partkey END)
+                  + count(DISTINCT CASE WHEN yr = 1998 THEN l_partkey END)
+                  - count(DISTINCT l_partkey) AS exact_inter,
+                TRUE AS a_within_5pct, TRUE AS b_within_5pct,
+                TRUE AS inter_within_10pct
+         FROM y""",
     "s3_parquet_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
          WHERE l_quantity > 25 ORDER BY l_orderkey, l_linenumber""",

@@ -402,6 +402,39 @@ object TrainingData {
       .orderBy("source_a", "source_b")
   }
 
+  /** x123 tail: per-node triangle support + local clustering coefficient
+    * over a detector pair plane (doc_a < doc_b canonical edges). The
+    * triangle enumeration is the standard ordered two-path join — wedge
+    * (a<b)⋈(b<c) closed by the (a,c) edge — so each triangle counts
+    * exactly once; both joins key on a doc_id (SMJ/shuffle-hash at
+    * scale), and the per-node fold is one explode + map-combined
+    * aggregate. Hot-node wedge blowup is bounded by the pair plane's
+    * df-cap upstream (the x4 geometry), not re-mitigated here. The
+    * local coefficient 2T/k(k−1) stays integer ppm. */
+  def trianglesOnPairs(pairs: DataFrame): DataFrame = {
+    val e = pairs.select("doc_a", "doc_b")
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.doc_b") === col("bc.doc_a"))
+      .join(e.as("ac"),
+        col("ac.doc_a") === col("ab.doc_a") && col("ac.doc_b") === col("bc.doc_b"))
+      .select(col("ab.doc_a").as("a"), col("ab.doc_b").as("b"),
+        col("bc.doc_b").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("n_triangles * 2000000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .select("doc_id", "degree", "n_triangles", "clustering_ppm")
+      .orderBy("doc_id")
+  }
+
   /** x70 tail: the agreement fold of two detector pair sets. */
   def dedupAgreement(mhPairs: DataFrame, shPairs: DataFrame): DataFrame = {
     val mh = mhPairs.select("doc_a", "doc_b").withColumn("in_mh", lit(1))
@@ -2277,6 +2310,96 @@ object TrainingData {
         .limit(15)
     }),
 
+    // X122: zone-map file skipping — the lakehouse min/max statistics
+    // pass and the prune estimate it buys. The corpus is laid out in
+    // 256-row shards ordered by (source, doc_id) — the clustered
+    // layout a source-partitioned warehouse has — via ScalableRank on
+    // a composite integer key (src_idx·(max_id+1) + doc_id; src_idx
+    // from a triangular join over the bounded source dim, no window
+    // anywhere). Each shard's zone map is min/max(source) + row count;
+    // a per-source predicate then scans only shards whose zone spans
+    // it, and the output states, per source: shards scanned, rows
+    // scanned, rows actually matching, and the skip fraction — the
+    // measured answer to "what does clustering buy this predicate".
+    // At 100 TB the zone table is file-count-sized metadata (~100k
+    // rows for 1 GB shards) and the decision join is zone×predicate,
+    // never corpus-sized; only boundary shards over-scan.
+    "x122_zone_maps" -> ((s, d) => {
+      import graft.util.ScalableRank
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val srcs = docs.select("source").distinct()
+      val srcIdx = srcs.as("a")
+        .join(srcs.as("b"), col("b.source") < col("a.source"), "left")
+        .groupBy(col("a.source").as("source"))
+        .agg(count(col("b.source")).as("src_idx"))
+      val keyBase = docs.agg((max("doc_id") + 1).as("kb"))
+      val keyed = docs.join(broadcast(srcIdx), Seq("source"))
+        .crossJoin(broadcast(keyBase))
+        .withColumn("okey", col("src_idx") * col("kb") + col("doc_id"))
+      val zones = ScalableRank.globalRowNumber(keyed, "okey", "rn")
+        .withColumn("shard", expr("(rn - 1) div 256"))
+        .groupBy("shard")
+        .agg(min("source").as("zmin"), max("source").as("zmax"),
+          count(lit(1)).as("n_rows"))
+        .cache()
+      val decisions = zones
+        .crossJoin(broadcast(srcs.withColumnRenamed("source", "qsrc")))
+        .withColumn("scanned",
+          col("zmin") <= col("qsrc") && col("qsrc") <= col("zmax"))
+      val matching = docs.groupBy("source").agg(count(lit(1)).as("rows_matching"))
+      val totals = zones.agg(count(lit(1)).as("n_shards_total"),
+        sum("n_rows").as("rows_total"))
+      decisions.groupBy(col("qsrc").as("source"))
+        .agg(sum(when(col("scanned"), 1L).otherwise(0L)).as("n_shards_scanned"),
+          sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        .join(matching, Seq("source"))
+        .crossJoin(broadcast(totals))
+        .withColumn("skip_ppm",
+          expr("(rows_total - rows_scanned) * 1000000 div rows_total"))
+        .select("source", "n_shards_total", "n_shards_scanned", "rows_total",
+          "rows_scanned", "rows_matching", "skip_ppm")
+        .orderBy("source")
+    }),
+
+    // X123: triangle support on the near-dup graph — the structural
+    // audit that separates CLIQUE-like duplicate clusters (template
+    // farms, mirror sets: high clustering coefficient) from CHAIN-like
+    // ones (drifting revisions: low coefficient), which need different
+    // keeper policies (one keeper per clique vs per-link review). Runs
+    // on the standing MinHash pair plane in the bench (the x17/x38
+    // service amortization); the gate form rebuilds the plane so the
+    // oracle hash covers the whole path.
+    "x123_triangles" -> ((s, d) =>
+      trianglesOnPairs(Dedup.minhashNearDups(Tables.documents(s, d), 0.5))),
+
+    // X124: per-dimension embedding health stats — n/min/max/mean/var
+    // for every embedding coordinate, the feature-health audit that
+    // catches dead dimensions (var ≈ 0), saturated ones (|mean| high),
+    // and scale drift between model versions before they poison ANN
+    // geometry. One posexplode + one map-combined aggregate (64·n
+    // rows in flight, never materialized); moments accumulate on the
+    // EXACT fixed-point integers (Σq as DECIMAL(38,0) — corpus-scale
+    // sums overflow a long) and convert to double only in the final
+    // two per-dim divisions, both exactly-rounded IEEE ops the oracle
+    // replays identically. Integer `div` is avoided on Σq because it
+    // can be negative (Spark truncates, DuckDB floors).
+    "x124_dim_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(graft.functions.FixedPointQuantize
+            .fixed_point_quantize(col("embedding"))).as(Seq("pos0", "q")))
+        .select((col("pos0") + 1).as("pos"), col("q"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), min("q").as("min_q"), max("q").as("max_q"),
+          sum(col("q").cast("decimal(38,0)")).as("sq"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
+        .select(col("pos"), col("n"), col("min_q"), col("max_q"),
+          (col("sq").cast("double") / col("n").cast("double")).as("mean_q"),
+          ((col("n").cast("decimal(38,0)") * col("sqq") - col("sq") * col("sq"))
+            .cast("double")
+            / (col("n").cast("double") * col("n").cast("double"))).as("var_q"))
+        .orderBy("pos")),
+
     // mapPartitions decode stub (per-partition codec-init shape) —
     // deterministic fake features. The feat vector explodes to one
     // scalar row per element so every column is hashable, and the
@@ -2404,6 +2527,71 @@ object TrainingData {
                 (CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE))
                   / (CAST(n_total AS DOUBLE) * CAST(lang_tot AS DOUBLE) * CAST(src_tot AS DOUBLE)) AS contrib
          FROM c ORDER BY abs_dev DESC, lang, source LIMIT 15""",
+    // the naive layout restated: a global row_number over the composite
+    // sort key (the engine's ScalableRank is hash-proven ≡), then zone
+    // maps and the scan decision from them alone
+    "x122_zone_maps" ->
+      """WITH si AS (SELECT source,
+                CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+              FROM (SELECT DISTINCT source FROM documents)),
+          kb AS (SELECT max(doc_id) + 1 AS kb FROM documents),
+          r AS (SELECT d.doc_id, d.source,
+                       row_number() OVER (ORDER BY si.src_idx * kb.kb + d.doc_id) AS rn
+                FROM documents d JOIN si USING (source), kb),
+          sh AS (SELECT (rn - 1) // 256 AS shard, min(source) AS zmin,
+                        max(source) AS zmax, count(*) AS n_rows
+                 FROM r GROUP BY 1),
+          srcs AS (SELECT DISTINCT source FROM documents),
+          dec AS (SELECT s.source, sh.shard, sh.n_rows,
+                         (sh.zmin <= s.source AND s.source <= sh.zmax) AS scanned
+                  FROM srcs s CROSS JOIN sh),
+          m AS (SELECT source, count(*) AS rows_matching FROM documents GROUP BY 1),
+          t AS (SELECT count(*) AS n_shards_total,
+                       CAST(SUM(n_rows) AS BIGINT) AS rows_total FROM sh)
+         SELECT d.source, t.n_shards_total,
+                CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS n_shards_scanned,
+                t.rows_total,
+                CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                m.rows_matching,
+                (t.rows_total - CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT))
+                  * 1000000 // t.rows_total AS skip_ppm
+         FROM dec d JOIN m USING (source), t
+         GROUP BY d.source, t.n_shards_total, t.rows_total, m.rows_matching
+         ORDER BY d.source""",
+    // the ordered two-path wedge closed by the third edge, restated on
+    // the verified pair set
+    "x123_triangles" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          $jaccardVerifyCte,
+          e AS (SELECT doc_a, doc_b FROM verified),
+          tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+                  FROM e ab JOIN e bc ON ab.doc_b = bc.doc_a
+                            JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+          pn AS (SELECT doc_id, count(*) AS n_triangles FROM (
+                   SELECT a AS doc_id FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+                 GROUP BY 1),
+          deg AS (SELECT doc_id, count(*) AS degree FROM (
+                   SELECT doc_a AS doc_id FROM e
+                   UNION ALL SELECT doc_b FROM e) GROUP BY 1)
+          SELECT deg.doc_id, deg.degree,
+                 COALESCE(pn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+                 CAST(CASE WHEN deg.degree >= 2
+                      THEN COALESCE(pn.n_triangles, 0) * 2000000
+                             // (deg.degree * (deg.degree - 1))
+                      ELSE 0 END AS BIGINT) AS clustering_ppm
+          FROM deg LEFT JOIN pn USING (doc_id) ORDER BY deg.doc_id""",
+    // exact fixed-point moments; the two divisions are the only doubles
+    "x124_dim_stats" ->
+      s"""WITH $embCte
+          SELECT pos, count(*) AS n, min(q) AS min_q, max(q) AS max_q,
+                 CAST(CAST(SUM(q) AS DECIMAL(38,0)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q,
+                 CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(SUM(q * q) AS DECIMAL(38,0))
+                      - CAST(SUM(q) AS DECIMAL(38,0)) * CAST(SUM(q) AS DECIMAL(38,0)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_q
+          FROM e GROUP BY pos ORDER BY pos""",
     // the dense grid restated: every source's ECDF evaluated at every
     // global step; sup over exact integer cross-products, ONE division
     "x113_ks_drift" ->

@@ -16,7 +16,17 @@ import graft.SparkSpecBase
   */
 class SurfaceWindowLintSpec extends SparkSpecBase {
 
-  private val exempt = Set("x52_quality_cut", "x77_quality_deciles")
+  private val exempt = Set(
+    // TopFrac histogram refinement: the un-partitioned Window runs over
+    // the ≤ range/coarseDiv-row coarse histogram, never the corpus
+    "x52_quality_cut", "x77_quality_deciles",
+    "x112_rfm_segments", // three TopFrac.tiles calls (same histogram shape)
+    "x117_quantile_norm", // TopFrac.tiles + groupTiles (histogram shape)
+    // bounded-grid ECDF / day-grid cumulations: the Window input is the
+    // distinct-value grid (n_chars values / event days), metadata-sized
+    // at any corpus scale — the x113-oracle "dense grid" design
+    "x113_ks_drift",
+    "x121_survival_hazard")
 
   test("no surface query plans an un-partitioned Window (TopFrac histogram exemptions aside)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)

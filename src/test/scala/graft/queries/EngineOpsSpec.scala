@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins for the k9/q_table_checksum/x121/x122/x123/x124/a26 engine
+  * batch (values are under the oracle hash-gate; these pin the DESIGN
+  * properties the hash can't see).
+  */
+class EngineOpsSpec extends SparkSpecBase {
+
+  test("k9: all four delta quadrants are non-empty, so the algebra is exercised") {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val lOld = li.filter(col("l_shipdate") < cutoff)
+    val lNew = li.filter(col("l_shipdate") >= cutoff)
+    val oOld = o.filter(col("o_orderkey") % 7 =!= 0)
+    val oNew = o.filter(col("o_orderkey") % 7 === 0)
+    def n(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      l.join(r, l("l_orderkey") === r("o_orderkey")).count()
+    val quads = Seq(n(lOld, oOld), n(lNew, oOld), n(lOld, oNew), n(lNew, oNew))
+    assert(quads.forall(_ > 0), s"degenerate quadrant split: $quads")
+    // and the quadrants partition the full join
+    assert(quads.sum === li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+  }
+
+  test("q_table_checksum: buckets partition the table; digests are non-degenerate") {
+    val rows = Relational.queries("q_table_checksum")(spark, sfDir).collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      Tables.lineitem(spark, sfDir).count())
+    val sums = rows.map(_.getAs[java.math.BigDecimal]("checksum"))
+    assert(sums.forall(_.signum > 0))
+    assert(sums.distinct.length === 16, "bucket checksums collided — digest degenerate")
+  }
+
+  test("x121: risk sets shrink, events account for every repeat customer, hazard accumulates") {
+    val out = Relational.queries("x121_survival_hazard")(spark, sfDir).collect()
+    val risk = out.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b < a },
+      "risk set must strictly shrink between event times")
+    val repeaters = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(out.map(_.getAs[Long]("d_events")).sum === repeaters)
+    val cum = out.map(_.getAs[Long]("cum_hazard_ppb"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+    assert(risk.head <= Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+  }
+
+  test("x122: the sorted layout actually skips — scanned ⊇ matching, strictly < total somewhere") {
+    val out = TrainingData.queries("x122_zone_maps")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"),
+        s"zone pruning dropped matching rows: $r")
+    }
+    assert(out.exists(r => r.getAs[Long]("n_shards_scanned") < r.getAs[Long]("n_shards_total")),
+      "no source skipped any shard — the clustered layout buys nothing")
+    // boundary shards only over-scan: scanned rows never exceed matching
+    // rows by more than 2 boundary shards' worth
+    out.foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") - r.getAs[Long]("rows_matching") <= 2L * 256,
+        s"over-scan beyond boundary shards: $r")
+    }
+  }
+
+  test("x123: planted triangle/pendant/chain graph resolves exact support and coefficients") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = TrainingData.trianglesOnPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("clustering_ppm")))).toMap
+    assert(got(1L) === ((2L, 1L, 1000000L)))
+    assert(got(2L) === ((2L, 1L, 1000000L)))
+    assert(got(3L) === ((3L, 1L, 333333L)))
+    assert(got(4L) === ((1L, 0L, 0L)))
+    assert(got(6L) === ((2L, 0L, 0L)))
+  }
+
+  test("x124: planted vectors give exact fixed-point moments") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = emb
+      .select(col("vec_id"),
+        posexplode(graft.functions.FixedPointQuantize
+          .fixed_point_quantize(col("embedding"))).as(Seq("pos0", "q")))
+      .select((col("pos0") + 1).as("pos"), col("q"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
+      .select(col("pos"),
+        (col("sq").cast("double") / col("n").cast("double")).as("mean_q"),
+        ((col("n").cast("decimal(38,0)") * col("sqq") - col("sq") * col("sq"))
+          .cast("double")
+          / (col("n").cast("double") * col("n").cast("double"))).as("var_q"))
+      .collect().map(r => r.getAs[Long]("pos") ->
+        ((r.getAs[Double]("mean_q"), r.getAs[Double]("var_q")))).toMap
+    assert(out(1L) === ((2.0e6, 1.0e12))) // values 1e6, 3e6
+    assert(out(2L) === ((-1.0e6, 0.0)))   // constant dimension: dead, var 0
+  }
+
+  test("a26: the sketch margins at spec SF are well inside the verdict bounds") {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
+      year(col("l_shipdate")).as("yr"))
+    val inA = col("yr") === 1997
+    val inB = col("yr") === 1998
+    val r = li.filter(inA || inB).agg(
+      countDistinct(when(inA, col("l_partkey"))).as("xa"),
+      countDistinct(when(inB, col("l_partkey"))).as("xb"),
+      countDistinct(col("l_partkey")).as("xu"),
+      approx_count_distinct(when(inA, col("l_partkey")), 0.02).as("ea"),
+      approx_count_distinct(when(inB, col("l_partkey")), 0.02).as("eb"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("eu")).collect()(0)
+    val (xa, xb, xu) = (r.getAs[Long]("xa"), r.getAs[Long]("xb"), r.getAs[Long]("xu"))
+    val (ea, eb, eu) = (r.getAs[Long]("ea"), r.getAs[Long]("eb"), r.getAs[Long]("eu"))
+    def rel(e: Long, x: Long) = math.abs(e - x).toDouble / x
+    assert(rel(ea, xa) < 0.05 && rel(eb, xb) < 0.05)
+    val exactI = xa + xb - xu
+    val estI = ea + eb - eu
+    assert(exactI > 0 && rel(estI, exactI) < 0.10,
+      s"inclusion-exclusion drifted: est $estI vs exact $exactI")
+  }
+}
