@@ -2412,6 +2412,19 @@ object Relational {
             .as("inter_within_10pct"))
     }),
 
+    // X125: LOSSLESS edit-distance self-join — j7's heuristic blocks
+    // trade recall for speed (a match editing the blocking character is
+    // missed by design); this is the exact form via q-gram prefix
+    // filtering (FuzzyMatch.prefixEditPairs — the ED companion to
+    // x81's lossless Jaccard join). The oracle states the NAIVE
+    // all-pairs levenshtein join, so hash-equality PROVES recall 1.0
+    // on the data, not just in the theorem.
+    "x125_edit_neardups" -> ((s, d) =>
+      graft.dedup.FuzzyMatch.prefixEditPairs(
+        Tables.customer(s, d).filter(col("c_custkey") <= 2000),
+        "c_custkey", "c_name", maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
     // Bucketed-layout pair (sources.BucketedLayout): the SAME
     // orderkey-grain fact⋈fact aggregate over the plain parquet layout
     // (shuffle + sort both sides) and over the bucketed+sorted layout
@@ -2532,6 +2545,18 @@ object Relational {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS cum_hazard_ppb
           FROM haz ORDER BY t_days""",
+    // the NAIVE all-pairs form (length filter only — a theorem of edit
+    // distance, not a pruning heuristic): hash-equality against the
+    // prefix-filtered engine plan proves the q-gram filter lossless
+    "x125_edit_neardups" ->
+      """WITH k AS (SELECT c_custkey AS id, lower(trim(c_name)) AS name
+                    FROM customer WHERE c_custkey <= 2000)
+         SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+                levenshtein(a.name, b.name) AS dist
+         FROM k a JOIN k b ON a.id < b.id
+           AND abs(length(a.name) - length(b.name)) <= 1
+         WHERE levenshtein(a.name, b.name) <= 1
+         ORDER BY id_a, id_b""",
     // exact overlap asserted outright; the sketch verdict bits must be
     // TRUE or the inclusion-exclusion drifted past its bound (a15
     // discipline)

@@ -572,6 +572,32 @@ object TrainingData {
        SELECT CAST(cluster AS INT) AS cluster, n_vecs, sum_nsq, cent_nsq
        FROM prof JOIN centn USING (cluster) ORDER BY cluster"""
 
+  /** x126: the same k-means replay extended to the inertia expansion —
+    * per-vector dots against the final centroids, exact decimal
+    * moments, doubles only in the terminal projection (mirrors
+    * [[Similarity.ivfInertia]] bit-for-bit). */
+  private def ivfInertiaOracleSql(nlist: Int = 16, iters: Int = 2): String =
+    s"""WITH ${ivfKmeansCtes(nlist, iters)},
+       d AS (SELECT a.vec_id, a.cluster,
+                    CAST(SUM(e.q * c.cq) AS DECIMAL(38,0)) AS vdot,
+                    CAST(SUM(e.q * e.q) AS DECIMAL(38,0)) AS nsq
+             FROM a$iters a JOIN e ON e.vec_id = a.vec_id
+                  JOIN cent$iters c ON c.cluster = a.cluster AND c.pos = e.pos
+             GROUP BY 1, 2),
+       p AS (SELECT cluster, count(*) AS n_vecs,
+                    CAST(SUM(nsq) AS DECIMAL(38,0)) AS sum_nsq,
+                    CAST(SUM(vdot) AS DECIMAL(38,0)) AS sum_dot
+             FROM d GROUP BY 1),
+       cn AS (SELECT cluster, CAST(SUM(cq * cq) AS DECIMAL(38,0)) AS cent_nsq
+              FROM cent$iters GROUP BY 1),
+       f AS (SELECT p.cluster, p.n_vecs,
+                    CAST(sum_nsq - 2 * sum_dot
+                         + CAST(n_vecs AS DECIMAL(38,0)) * cent_nsq AS DOUBLE) AS inertia
+             FROM p JOIN cn USING (cluster))
+       SELECT CAST(cluster AS INT) AS cluster, n_vecs, inertia,
+              inertia / CAST(n_vecs AS DOUBLE) AS mean_dist2
+       FROM f ORDER BY cluster"""
+
   /** x62: the PQ pipeline unrolled — per-subspace k-means ((sub,
     * cluster) compound key), codes, query-side ADC LUT, shortlist,
     * exact re-rank. Same constants as [[Similarity.pqIndex]]/
@@ -1744,6 +1770,16 @@ object TrainingData {
     // hash-checked, not just the top-k slice x16 sees.
     "x47_cluster_profile" -> ((s, d) =>
       Similarity.ivfClusterProfile(Tables.embeddings(s, d), nlist = 16, iters = 2)
+        .orderBy("cluster")),
+
+    // X126: per-cluster k-means inertia — x47's profile says which
+    // clusters are BIG; this says which are INCOHERENT (high mean
+    // squared distance to centroid), and it is the combination — big
+    // AND incoherent — that predicts a bad x61/x74 pair stage before
+    // anyone pays for it. Exact fixed-point expansion Σ|v|²−2Σ(v·c)+
+    // n·|c|²; doubles only at the final two ops.
+    "x126_kmeans_inertia" -> ((s, d) =>
+      Similarity.ivfInertia(Tables.embeddings(s, d), nlist = 16, iters = 2)
         .orderBy("cluster")),
 
     // Semantic dedup (SemDeDup): IVF-cluster the embeddings (the SAME
@@ -3102,6 +3138,7 @@ object TrainingData {
                    / CAST(1000000 - pe.pe_ppm AS DOUBLE) AS kappa
           FROM t, pe""",
     "x47_cluster_profile" -> ivfProfileOracleSql(),
+    "x126_kmeans_inertia" -> ivfInertiaOracleSql(),
     "x61_semdedup" -> semDedupOracleSql(SemDedupThreshold),
     "x74_semantic_decontam" -> semContamOracleSql(SemContamThreshold),
     "x62_pq_topk" -> pqOracleSql(),

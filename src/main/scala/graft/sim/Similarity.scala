@@ -355,6 +355,47 @@ object Similarity {
     rows.toDF("cluster", "n_vecs", "sum_nsq", "cent_nsq")
   }
 
+  /** Per-cluster k-means inertia — the index-QUALITY read on top of
+    * [[ivfClusterProfile]]'s size profile: Σ|v−c|² per cluster via the
+    * exact expansion Σ|v|² − 2Σ(v·c) + n·|c|², all fixed-point integer
+    * sums (DECIMAL(38,0) — corpus-scale Σ|v|² overflows a long),
+    * converted to double only at the end (inertia, and mean dist² =
+    * one exactly-rounded division). A topic-collapsed mega-cluster
+    * shows as high n_vecs AND high mean_dist2 — the x47 diagnostic
+    * says "big", this one says "big and incoherent", which is what
+    * actually predicts a bad x61/x74 pair stage. Shuffle shape: one
+    * element join against the BROADCAST centroid table folded into the
+    * same map-combined per-vector aggregate as the norms, then an
+    * nlist-row fold; the result collects (bounded index metadata) so
+    * the k-means caches release before returning. */
+  def ivfInertia(emb: DataFrame, nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val (centroids, assignments) = ivfIndex(emb, nlist, iters)
+    val perVec = elements(emb)
+      .join(assignments, Seq("vec_id"))
+      .join(broadcast(centroids), Seq("cluster", "pos"))
+      .groupBy("vec_id", "cluster")
+      .agg(sum(col("qv") * col("cq")).as("vdot"),
+        sum(col("qv") * col("qv")).as("nsq"))
+    val prof = perVec.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("nsq").cast("decimal(38,0)")).as("sum_nsq"),
+        sum(col("vdot").cast("decimal(38,0)")).as("sum_dot"))
+    val centN = centroids.groupBy("cluster")
+      .agg(sum(col("cq") * col("cq")).as("cent_nsq"))
+    val rows = prof.join(centN, Seq("cluster"))
+      .withColumn("inertia",
+        (col("sum_nsq") - lit(2) * col("sum_dot")
+          + col("n_vecs").cast("decimal(38,0)") * col("cent_nsq").cast("decimal(38,0)"))
+          .cast("double"))
+      .select(col("cluster").cast("int"), col("n_vecs"), col("inertia"),
+        (col("inertia") / col("n_vecs").cast("double")).as("mean_dist2"))
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    ivfUnpersist(centroids, assignments)
+    rows.toDF("cluster", "n_vecs", "inertia", "mean_dist2")
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus
     * with the IVF k-means, then drop every vector that has a
     * LOWER-vec_id within-cluster neighbour at cosine ≥ `threshold` —

@@ -104,6 +104,45 @@ class EngineOpsSpec extends SparkSpecBase {
     assert(out(2L) === ((-1.0e6, 0.0)))   // constant dimension: dead, var 0
   }
 
+  test("x125: prefix-filtered ED join is lossless where j7's heuristic blocks are not") {
+    import spark.implicits._
+    // "apple"→"bpple" edits the FIRST char: j7's (first,last,len) block
+    // misses it by design; the q-gram prefix filter must not.
+    val df = Seq((1L, "apple"), (2L, "bpple"), (3L, "applz"), (4L, "zzzzz"))
+      .toDF("id", "name")
+    val exact = graft.dedup.FuzzyMatch.prefixEditPairs(df, "id", "name", maxDist = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L), (1L, 3L)))
+    val blocked = graft.dedup.FuzzyMatch.blockedNamePairs(df, "id", "name", maxDist = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!blocked.contains((1L, 2L)), "premise broken: blocking caught the first-char edit")
+  }
+
+  test("x125: recall 1.0 against the naive all-pairs join on real names") {
+    val names = Tables.customer(spark, sfDir).filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("id"), lower(trim(col("c_name"))).as("name"))
+    val naive = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = graft.dedup.FuzzyMatch.prefixEditPairs(
+      Tables.customer(spark, sfDir).filter(col("c_custkey") <= 300),
+      "c_custkey", "c_name", maxDist = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned === naive, s"missing: ${naive -- pruned}; extra: ${pruned -- naive}")
+  }
+
+  test("x126: inertia is non-negative, covers every vector, and mean is the exact ratio") {
+    val out = TrainingData.queries("x126_kmeans_inertia")(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum ===
+      Tables.embeddings(spark, sfDir).count())
+    out.foreach { r =>
+      val inertia = r.getAs[Double]("inertia")
+      assert(inertia >= 0.0, s"negative inertia: $r")
+      assert(r.getAs[Double]("mean_dist2") === inertia / r.getAs[Long]("n_vecs"))
+    }
+  }
+
   test("a26: the sketch margins at spec SF are well inside the verdict bounds") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
       year(col("l_shipdate")).as("yr"))
