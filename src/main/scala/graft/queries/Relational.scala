@@ -2412,6 +2412,74 @@ object Relational {
             .as("inter_within_10pct"))
     }),
 
+    // D6: point-in-time SCD2 lookup — the CONSUMER of d5's history and
+    // the reason SCD2 exists: "what was this user's status when the
+    // fact happened". A deterministic fact sample (every 5th event)
+    // joins the versioned dimension on user + validity interval
+    // [effective_from, effective_to) — half-open, so a fact landing
+    // exactly on a change instant reads the NEW version, and
+    // same-instant change bursts collapse to the last version (the
+    // zero-width intervals d5's lead() produces match nothing, on both
+    // engines). Scale shape: the equi-key (user_id) carries the join —
+    // Spark plans the interval as a residual filter on the user-keyed
+    // SMJ, and per-user version counts bound the probe, so no
+    // interval-binning machinery (j6's trick) is needed; exactly one
+    // output row per fact.
+    "d6_scd2_lookup" -> ((s, d) => {
+      val hist = graft.dims.Scd2.fromChangeLog(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", Seq("event_type"))
+        .withColumnRenamed("user_id", "h_user")
+      val facts = Tables.events(s, d)
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id").as("fact_id"), col("user_id"),
+          col("ts").as("fact_ts"))
+      facts.join(hist, col("user_id") === col("h_user")
+          && col("fact_ts") >= col("effective_from")
+          && (col("effective_to").isNull || col("fact_ts") < col("effective_to")))
+        .select(col("fact_id"), col("user_id"), col("fact_ts"),
+          col("event_type").as("status_asof"), col("version"))
+        .orderBy("fact_id")
+    }),
+
+    // X128: join-cardinality estimation audit — the optimizer's
+    // selectivity model run AS data and graded against truth: the
+    // partkey self-join size Σc(k)² computed exactly from the key
+    // histogram (never by executing the join — the q_join_explosion
+    // lesson), beside the classic estimator "top-20 heavy hitters
+    // exact + uniform residual" (hot_pairs + n_rest²/d_rest). The gap
+    // IS the output: it tells a planner (or a capacity reviewer)
+    // whether frequency skew makes the uniform assumption dangerous
+    // for THIS key. One map-combined count aggregate, a 20-row
+    // TakeOrdered, two 1-row folds; pair counts in DECIMAL(38,0)
+    // (corpus-scale Σc² overflows a long); the only signed op is the
+    // final double rel_err.
+    "x128_join_cardinality" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("c")).cache()
+      val hot = counts.orderBy(desc("c"), col("l_partkey")).limit(20)
+        .agg(count(lit(1)).as("k_hot"), sum("c").as("n_hot"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("hot_pairs"))
+      val tot = counts.agg(count(lit(1)).as("d_keys"), sum("c").as("n_rows"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("actual_pairs"))
+      tot.crossJoin(hot)
+        // residual division in pure BIGINT: DECIMAL '//' routes through
+        // a float floor in DuckDB (observed off-by-one at a boundary
+        // quotient); longs divide exactly on both engines. n_rest ≤
+        // 3·10⁹ keeps the square in a long — beyond that the estimator
+        // runs per key-range shard and sums, which is also how a real
+        // optimizer holds its histogram.
+        .withColumn("est_rest", expr(
+          """CASE WHEN d_keys > k_hot
+               THEN ((n_rows - n_hot) * (n_rows - n_hot)) div (d_keys - k_hot)
+               ELSE CAST(0 AS BIGINT) END"""))
+        .withColumn("est_pairs",
+          (col("hot_pairs") + col("est_rest")).cast("decimal(38,0)"))
+        .select(col("d_keys"), col("n_rows"), col("actual_pairs"), col("est_pairs"),
+          ((col("est_pairs").cast("double") - col("actual_pairs").cast("double"))
+            / col("actual_pairs").cast("double")).as("rel_err"))
+    }),
+
     // X125: LOSSLESS edit-distance self-join — j7's heuristic blocks
     // trade recall for speed (a match editing the blocking character is
     // missed by design); this is the exact form via q-gram prefix
@@ -2545,6 +2613,41 @@ object Relational {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS cum_hazard_ppb
           FROM haz ORDER BY t_days""",
+    // the same half-open interval semantics stated naively
+    "d6_scd2_lookup" ->
+      """WITH h AS (SELECT user_id, event_type, ts AS effective_from,
+                           lead(ts) OVER w AS effective_to,
+                           CAST(row_number() OVER w AS INT) AS version
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          f AS (SELECT event_id AS fact_id, user_id, ts AS fact_ts
+                FROM events WHERE event_id % 5 = 0)
+         SELECT f.fact_id, f.user_id, f.fact_ts,
+                h.event_type AS status_asof, h.version
+         FROM f JOIN h ON f.user_id = h.user_id
+           AND f.fact_ts >= h.effective_from
+           AND (h.effective_to IS NULL OR f.fact_ts < h.effective_to)
+         ORDER BY fact_id""",
+    // truth and estimator both from the key histogram — the join is
+    // never executed
+    "x128_join_cardinality" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+          hot AS (SELECT count(*) AS k_hot, CAST(SUM(c) AS BIGINT) AS n_hot,
+                         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS hot_pairs
+                  FROM (SELECT l_partkey, c FROM c ORDER BY c DESC, l_partkey LIMIT 20)),
+          t AS (SELECT count(*) AS d_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS actual_pairs
+                FROM c),
+          e AS (SELECT d_keys, n_rows, actual_pairs,
+                       CAST(hot_pairs + CASE WHEN d_keys > k_hot
+                         THEN ((n_rows - n_hot) * (n_rows - n_hot))
+                                // (d_keys - k_hot)
+                         ELSE 0 END AS DECIMAL(38,0)) AS est_pairs
+                FROM t, hot)
+         SELECT d_keys, n_rows, actual_pairs, est_pairs,
+                (CAST(est_pairs AS DOUBLE) - CAST(actual_pairs AS DOUBLE))
+                  / CAST(actual_pairs AS DOUBLE) AS rel_err
+         FROM e""",
     // the NAIVE all-pairs form (length filter only — a theorem of edit
     // distance, not a pruning heuristic): hash-equality against the
     // prefix-filtered engine plan proves the q-gram filter lossless

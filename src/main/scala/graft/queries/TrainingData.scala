@@ -2436,6 +2436,74 @@ object TrainingData {
             / (col("n").cast("double") * col("n").cast("double"))).as("var_q"))
         .orderBy("pos")),
 
+    // X127: z-order layout effectiveness — x48 computes the Morton key
+    // and x122 showed single-dimension zone pruning; this one closes
+    // the argument by MEASURING what the z-order layout buys
+    // two-dimensional predicates. The same corpus is laid out twice
+    // (64-row shards): sorted by the interleaved (len_bucket,
+    // src_bucket) Morton key, and sorted by source alone; both get
+    // min/max zone maps on BOTH dimensions, and every (source, length
+    // ≥ L) predicate is costed from the zones alone. The source-sorted
+    // layout can never prune the length dimension inside a source;
+    // the z-order layout prunes both — the per-predicate row pair is
+    // the measured delta a table-layout decision needs before anyone
+    // rewrites 100 TB. Zone tables are file-count metadata; the
+    // decision join is zones×predicates; ScalableRank keeps both
+    // layout ranks window-free.
+    "x127_zorder_zonemaps" -> ((s, d) => {
+      import graft.util.{ScalableRank, ZOrder}
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+          expr("least(255, n_chars div 4)").cast("long").as("len_bucket"),
+          (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 256)
+            .as("src_bucket"))
+        .cache()
+      val kb = docs.agg((max("doc_id") + 1).as("kb"))
+      // two predicate families: (source AND length) — where the
+      // source-sorted layout's strong dimension wins — and length-ONLY
+      // (p_src = −1 sentinel) — where source-sorting prunes nothing and
+      // z-order is the only layout that can skip. The output carries
+      // both, so the measured answer covers the whole trade-off.
+      val preds = docs.select(col("src_bucket").as("p_src")).distinct()
+        .unionByName(s.range(1).select(lit(-1L).as("p_src")))
+        .select(col("p_src"), explode(array(lit(64L), lit(100L))).as("len_min"))
+      val matching = docs.groupBy(col("src_bucket").as("p_src"))
+        .agg(sum(when(col("len_bucket") >= 64, 1L).otherwise(0L)).as("m64"),
+          sum(when(col("len_bucket") >= 100, 1L).otherwise(0L)).as("m100"))
+        .unionByName(docs.agg(
+          sum(when(col("len_bucket") >= 64, 1L).otherwise(0L)).as("m64"),
+          sum(when(col("len_bucket") >= 100, 1L).otherwise(0L)).as("m100"))
+          .select(lit(-1L).as("p_src"), col("m64"), col("m100")))
+      def layoutStats(tag: String, okey: org.apache.spark.sql.Column) = {
+        val keyed = docs.crossJoin(broadcast(kb))
+          .withColumn("okey", okey * col("kb") + col("doc_id"))
+        val zones = ScalableRank.globalRowNumber(keyed, "okey", "rn")
+          .withColumn("shard", expr("(rn - 1) div 64"))
+          .groupBy("shard")
+          .agg(min("len_bucket").as("lmin"), max("len_bucket").as("lmax"),
+            min("src_bucket").as("smin"), max("src_bucket").as("smax"),
+            count(lit(1)).as("n_rows"))
+        val tot = zones.agg(count(lit(1)).as("n_shards_total"))
+        zones.crossJoin(broadcast(preds))
+          .withColumn("scanned",
+            (col("p_src") === -1L
+              || (col("smin") <= col("p_src") && col("p_src") <= col("smax")))
+              && col("lmax") >= col("len_min"))
+          .groupBy("p_src", "len_min")
+          .agg(sum(when(col("scanned"), 1L).otherwise(0L)).as("n_shards_scanned"),
+            sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"))
+          .crossJoin(broadcast(tot))
+          .withColumn("layout", lit(tag))
+      }
+      layoutStats("zorder", ZOrder.zkey2(col("len_bucket"), col("src_bucket")))
+        .unionByName(layoutStats("source", col("src_bucket")))
+        .join(matching, Seq("p_src"))
+        .select(col("layout"), col("p_src").as("src_bucket"), col("len_min"),
+          col("n_shards_total"), col("n_shards_scanned"), col("rows_scanned"),
+          when(col("len_min") === 64, col("m64")).otherwise(col("m100"))
+            .as("rows_matching"))
+        .orderBy("layout", "src_bucket", "len_min")
+    }),
+
     // mapPartitions decode stub (per-partition codec-init shape) —
     // deterministic fake features. The feat vector explodes to one
     // scalar row per element so every column is hashable, and the
@@ -2594,6 +2662,61 @@ object TrainingData {
          FROM dec d JOIN m USING (source), t
          GROUP BY d.source, t.n_shards_total, t.rows_total, m.rows_matching
          ORDER BY d.source""",
+    // both layouts restated with naive global row_numbers; the scan
+    // decision is computed from the zones alone, exactly as the engine
+    // does
+    "x127_zorder_zonemaps" ->
+      s"""WITH b AS (SELECT doc_id,
+              least(255, n_chars // 4) AS len_bucket,
+              CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 256 AS src_bucket
+            FROM documents),
+          kb AS (SELECT max(doc_id) + 1 AS kb FROM b),
+          rz AS (SELECT doc_id, len_bucket, src_bucket,
+                        row_number() OVER (ORDER BY
+                          ${graft.util.ZOrder.zkey2Sql("len_bucket", "src_bucket")}
+                            * kb.kb + doc_id) AS rn
+                 FROM b, kb),
+          rs AS (SELECT doc_id, len_bucket, src_bucket,
+                        row_number() OVER (ORDER BY src_bucket * kb.kb + doc_id) AS rn
+                 FROM b, kb),
+          zones AS (
+            SELECT 'zorder' AS layout, (rn - 1) // 64 AS shard,
+                   min(len_bucket) AS lmin, max(len_bucket) AS lmax,
+                   min(src_bucket) AS smin, max(src_bucket) AS smax,
+                   count(*) AS n_rows
+            FROM rz GROUP BY 1, 2
+            UNION ALL
+            SELECT 'source', (rn - 1) // 64,
+                   min(len_bucket), max(len_bucket),
+                   min(src_bucket), max(src_bucket), count(*)
+            FROM rs GROUP BY 1, 2),
+          tot AS (SELECT layout, count(*) AS n_shards_total FROM zones GROUP BY 1),
+          preds AS (SELECT p_src, lm.len_min
+                    FROM (SELECT DISTINCT src_bucket AS p_src FROM b
+                          UNION ALL SELECT CAST(-1 AS BIGINT)) s,
+                         (VALUES (CAST(64 AS BIGINT)), (CAST(100 AS BIGINT))) lm(len_min)),
+          dec AS (SELECT z.layout, p.p_src, p.len_min, z.n_rows,
+                         ((p.p_src = -1 OR (z.smin <= p.p_src AND p.p_src <= z.smax))
+                          AND z.lmax >= p.len_min) AS scanned
+                  FROM zones z CROSS JOIN preds p),
+          agg AS (SELECT layout, p_src, len_min,
+                         CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS n_shards_scanned,
+                         CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+                  FROM dec GROUP BY 1, 2, 3),
+          m AS (SELECT src_bucket AS p_src,
+                       CAST(SUM(CASE WHEN len_bucket >= 64 THEN 1 ELSE 0 END) AS BIGINT) AS m64,
+                       CAST(SUM(CASE WHEN len_bucket >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS m100
+                FROM b GROUP BY 1
+                UNION ALL
+                SELECT CAST(-1 AS BIGINT),
+                       CAST(SUM(CASE WHEN len_bucket >= 64 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(SUM(CASE WHEN len_bucket >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM b)
+          SELECT a.layout, a.p_src AS src_bucket, a.len_min,
+                 t.n_shards_total, a.n_shards_scanned, a.rows_scanned,
+                 CASE WHEN a.len_min = 64 THEN m.m64 ELSE m.m100 END AS rows_matching
+          FROM agg a JOIN tot t USING (layout) JOIN m USING (p_src)
+          ORDER BY a.layout, src_bucket, a.len_min""",
     // the ordered two-path wedge closed by the third edge, restated on
     // the verified pair set
     "x123_triangles" ->

@@ -143,6 +143,63 @@ class EngineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d6: the half-open interval lookup resolves change instants and bursts to the new version") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1000000000000L + min * 60000L)
+    // user 1: versions at t0 ("bronze") and t60 ("silver"), plus a
+    // same-instant burst at t60 (event 31 then 32 — the burst's last
+    // write wins for any fact at t60)
+    val changes = Seq(
+      (10L, 1L, "bronze", ts(0)), (31L, 1L, "silver", ts(60)),
+      (32L, 1L, "gold", ts(60)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val hist = graft.dims.Scd2.fromChangeLog(changes, "user_id", "ts", "event_id",
+      Seq("event_type")).withColumnRenamed("user_id", "h_user")
+    val facts = Seq((100L, 1L, ts(30)), (101L, 1L, ts(60)), (102L, 1L, ts(90)))
+      .toDF("fact_id", "user_id", "fact_ts")
+    val out = facts.join(hist, col("user_id") === col("h_user")
+        && col("fact_ts") >= col("effective_from")
+        && (col("effective_to").isNull || col("fact_ts") < col("effective_to")))
+      .select("fact_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(100L -> "bronze", 101L -> "gold", 102L -> "gold"))
+    // and the surface query emits exactly one row per sampled fact
+    val rows = Relational.queries("d6_scd2_lookup")(spark, sfDir)
+    assert(rows.count() ===
+      Tables.events(spark, sfDir).filter(col("event_id") % 5 === 0).count())
+    assert(rows.select("fact_id").distinct().count() === rows.count())
+  }
+
+  test("x127: the measured trade-off points both ways — z-order wins length-only, source-sort wins source predicates") {
+    val out = TrainingData.queries("x127_zorder_zonemaps")(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"),
+        s"zone pruning dropped matching rows: $r")
+    }
+    def scanned(layout: String, src: Long, lm: Long) =
+      out.find(r => r.getAs[String]("layout") == layout
+        && r.getAs[Long]("src_bucket") == src && r.getAs[Long]("len_min") == lm)
+        .get.getAs[Long]("rows_scanned")
+    // length-only predicates: source-sorting prunes nothing, z-order must
+    assert(scanned("zorder", -1L, 100L) < scanned("source", -1L, 100L))
+    // source-selective predicates: the single-dim sort's home game
+    val srcs = out.map(_.getAs[Long]("src_bucket")).filter(_ >= 0).distinct
+    assert(srcs.forall(sb => scanned("source", sb, 100L) <= scanned("zorder", sb, 100L)))
+  }
+
+  test("x128: a planted histogram where the top-k covers every key estimates exactly") {
+    import spark.implicits._
+    val counts = Seq(("a", 3L), ("b", 2L), ("c", 1L)).toDF("k", "c")
+    val actual = counts.agg(sum((col("c") * col("c")).cast("decimal(38,0)"))).collect()(0)
+      .getDecimal(0).longValueExact()
+    assert(actual === 14L) // 9 + 4 + 1 — the self-join sizes per key
+    val out = Relational.queries("x128_join_cardinality")(spark, sfDir).collect()(0)
+    assert(out.getAs[java.math.BigDecimal]("actual_pairs").signum > 0)
+    assert(math.abs(out.getAs[Double]("rel_err")) < 0.2,
+      s"estimator off by more than 20%: $out")
+  }
+
   test("a26: the sketch margins at spec SF are well inside the verdict bounds") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
       year(col("l_shipdate")).as("yr"))
