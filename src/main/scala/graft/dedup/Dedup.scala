@@ -604,6 +604,59 @@ object Dedup {
     * is one row per id in either version. At 100 TB both sides SMJ on
     * the id (or exchange-free with both snapshots bucketed on it —
     * the BucketingSpec layout). */
+  /** Bounded k-core peeling over a pair plane — the density complement
+    * of [[nearDupComponents]]' connectivity and the triangle audit's
+    * local view: nodes surviving `rounds` rounds of "drop degree < k,
+    * recompute degrees on the induced subgraph" are the graph's dense
+    * core (template farms, mirror rings), while chains and pendants
+    * peel away — exactly the split a keeper policy needs (one keeper
+    * per core vs per-link review on the periphery). Each round is two
+    * semi-join-shaped equi-joins + one map-combined degree aggregate —
+    * the x17/x84 bounded relational-loop shape, `rounds` pinned so the
+    * oracle unrolls identically (a fixpoint loop's round count would
+    * be data-dependent and unhashable). Output: every pair-plane node
+    * with `in_core` and its degree within the final core (0 outside).
+    */
+  def kcorePeel(pairs: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    // the edge plane is read twice per round + once for the final
+    // degrees — cache it, or every reference re-runs the whole
+    // upstream pair pipeline (the nearDupComponents lesson); each
+    // round's survivor set is referenced twice by the NEXT round, so
+    // an eager localCheckpoint per round keeps the plan linear instead
+    // of 2^rounds copies of the peel (the fixpoint-CC discipline —
+    // this loop re-ran the sf0.1 minhash build ~15× before the cut)
+    val p = pairs.cache()
+    val und = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val nodes = und.select(col("src").as("doc_id")).distinct()
+    var alive = nodes
+    for (_ <- 1 to rounds) {
+      val e = und
+        .join(alive.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("doc_id"))
+        .localCheckpoint(true)
+    }
+    val coreDeg = und
+      .join(alive.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .withColumnRenamed("src", "doc_id")
+    // membership and degree join separately: a survivor whose last
+    // neighbours peeled in the same round is in the core set with
+    // degree 0 (the next round would drop it — `rounds` is the
+    // contract, not a fixpoint claim)
+    nodes
+      .join(alive.withColumn("__alive", lit(1)), Seq("doc_id"), "left")
+      .join(coreDeg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("__alive").isNotNull.cast("int").as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy("doc_id")
+  }
+
   def snapshotDiff(v1: DataFrame, v2: DataFrame,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val a = v1.select(col(idCol), fingerprint(col(textCol)).as("fp_old"))

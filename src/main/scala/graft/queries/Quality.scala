@@ -73,6 +73,25 @@ object Quality {
         .select(col("k"), col("n_groups"), (col("k") * col("n_groups")).as("n_rows"))
         .orderBy("k")),
 
+    // l-diversity audit — the companion k-anonymity does NOT give: a
+    // group can be large (k-anonymous) yet expose its members anyway
+    // when every row shares the sensitive value (the homogeneity
+    // attack). Per quasi-identifier group (segment, nation): size k,
+    // distinct sensitive values l (the balance band doubles as the
+    // sensitive attribute here), and the release verdict l ≥ 3. One
+    // map-combined aggregate to the bounded QI grid (segments ×
+    // nations — dimension-sized at any scale); count + distinct share
+    // the exchange.
+    "q_l_diversity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("bal_band")).as("l_distinct"))
+        .withColumn("is_l_diverse", (col("l_distinct") >= 3).cast("int"))
+        .orderBy("c_mktsegment", "c_nationkey")),
+
     // Join-explosion guard — the pre-flight read before any
     // many-to-many join: the EXACT output cardinality of A⋈B on key k
     // is Σ_k cnt_A(k)·cnt_B(k), computable from two map-combined key
@@ -163,6 +182,12 @@ object Quality {
                  FROM qi GROUP BY 1, 2, 3)
          SELECT k, count(*) AS n_groups, k * count(*) AS n_rows
          FROM g GROUP BY k ORDER BY k""",
+    "q_l_diversity" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS k,
+                count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_distinct,
+                CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3 AS INT)
+                  AS is_l_diverse
+         FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, c_nationkey""",
     "q_join_explosion" ->
       """WITH c AS (SELECT l_partkey, count(*) AS cnt,
                            count(*) * count(*) AS contrib

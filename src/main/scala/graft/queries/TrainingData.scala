@@ -258,6 +258,8 @@ object TrainingData {
     * synthetic corpus' within-cluster cosines peak near 0, so 0.3 keeps
     * a meaningful drop set without borderline ties). */
   val SemDedupThreshold = 0.3
+  /** x129: systematic PPS sample target size. */
+  val PpsSampleN = 64L
 
   /** x74: semantic-contamination cosine cut — a train vector this close
     * to any benchmark vector is flagged. Shared by the Spark plan and
@@ -2436,6 +2438,60 @@ object TrainingData {
             / (col("n").cast("double") * col("n").cast("double"))).as("var_q"))
         .orderBy("pos")),
 
+    // X129: systematic PPS sampling — probability-proportional-to-size
+    // without replacement, the survey-sampling form of "sample 64
+    // documents weighted by token count" that every corpus-audit stage
+    // needs (inspect big docs proportionally more, never miss a
+    // megadoc). The classic transcendental-free method: lay the corpus
+    // on a weight line in a deterministic md5-shuffled order, walk it
+    // with a fixed stride step = W/n from the mid-step offset, and
+    // select every document whose weight interval contains a stride
+    // point (heavy docs can be hit multiple times — n_hits carries
+    // the multiplicity, the textbook PPS-with-replacement-correction
+    // signal). ALL integer arithmetic, so both engines agree exactly.
+    // Scale shape: the cumulative weight line is the x27/seqPack
+    // two-phase prefix sum (bucketed by the shuffle key's first byte —
+    // no corpus-wide window); the stride test is a per-row projection.
+    "x129_pps_sample" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("w"),
+          graft.util.Sampling.shuffleKey(col("doc_id")).as("sk"))
+        .filter(col("w") > 0)
+        .withColumn("bucket", substring(col("sk"), 1, 2))
+      val totals = base.groupBy("bucket").agg(sum("w").as("bt"))
+      val offsets = totals.as("a")
+        .join(totals.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bt")), lit(0L)).as("boff"))
+      val wL = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("sk")
+      val tot = base.agg(sum("w").as("tw"))
+      base.withColumn("ls", sum("w").over(wL))
+        .join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum_end", col("boff") + col("ls"))
+        .withColumn("cum_start", col("cum_end") - col("w"))
+        .crossJoin(broadcast(tot))
+        .withColumn("step", expr(s"tw div $PpsSampleN"))
+        .withColumn("off", expr("step div 2"))
+        .withColumn("n_hits", expr(
+          """(cum_end + step - off - 1) div step
+             - (cum_start + step - off - 1) div step"""))
+        .filter(col("n_hits") > 0)
+        .select("doc_id", "w", "cum_start", "n_hits")
+        .orderBy("doc_id")
+    }),
+
+    // X131: k-core peeling on the near-dup graph — the density
+    // complement of x17's connectivity and x123's triangles: the
+    // 2-core after three peel rounds is the template-farm/mirror-ring
+    // core, the periphery is the revision chains and pendants that
+    // need per-link review instead of a blanket keeper rule. Rides
+    // the standing pair plane in the bench (the x17/x38 service
+    // amortization); the gate form rebuilds the plane under the hash.
+    "x131_kcore" -> ((s, d) =>
+      Dedup.kcorePeel(Dedup.minhashNearDups(Tables.documents(s, d), 0.5))),
+
     // X127: z-order layout effectiveness — x48 computes the Morton key
     // and x122 showed single-dimension zone pruning; this one closes
     // the argument by MEASURING what the z-order layout buys
@@ -2662,6 +2718,56 @@ object TrainingData {
          FROM dec d JOIN m USING (source), t
          GROUP BY d.source, t.n_shards_total, t.rows_total, m.rows_matching
          ORDER BY d.source""",
+    // the naive weight line: one global window cumsum in md5-shuffle
+    // order (the engine's two-phase prefix sum is hash-proven ≡); the
+    // stride test is the same all-integer expression
+    "x129_pps_sample" ->
+      s"""WITH $tokCte,
+          w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS w,
+                       md5(CAST(doc_id AS VARCHAR)) AS sk
+                FROM tok WHERE len(t) > 0),
+          c AS (SELECT doc_id, w,
+                       CAST(SUM(w) OVER (ORDER BY sk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+                FROM w),
+          t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+          p AS (SELECT doc_id, w, cum_end - w AS cum_start, cum_end,
+                       tw // $PpsSampleN AS step, (tw // $PpsSampleN) // 2 AS off
+                FROM c, t)
+          SELECT doc_id, w, cum_start,
+                 (cum_end + step - off - 1) // step
+                   - (cum_start + step - off - 1) // step AS n_hits
+          FROM p
+          WHERE (cum_end + step - off - 1) // step
+                  - (cum_start + step - off - 1) // step > 0
+          ORDER BY doc_id""",
+    // three peel rounds unrolled on the verified pair set, then the
+    // final core degrees — mirrors Dedup.kcorePeel exactly
+    "x131_kcore" ->
+      s"""WITH $minhashCte,
+          $minhashCandCte,
+          $jaccardVerifyCte,
+          -- MATERIALIZED: DuckDB inlines CTEs, so without it each peel
+          -- round re-evaluates the whole minhash chain exponentially —
+          -- the SQL mirror of the engine-side localCheckpoint
+          und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified
+                  UNION ALL SELECT doc_b, doc_a FROM verified),
+          n0 AS (SELECT DISTINCT src AS doc_id FROM und),
+          a1 AS MATERIALIZED (SELECT src AS doc_id FROM und
+                 GROUP BY src HAVING count(*) >= 2),
+          a2 AS MATERIALIZED (SELECT u.src AS doc_id FROM und u
+                 JOIN a1 x ON u.src = x.doc_id JOIN a1 y ON u.dst = y.doc_id
+                 GROUP BY u.src HAVING count(*) >= 2),
+          a3 AS MATERIALIZED (SELECT u.src AS doc_id FROM und u
+                 JOIN a2 x ON u.src = x.doc_id JOIN a2 y ON u.dst = y.doc_id
+                 GROUP BY u.src HAVING count(*) >= 2),
+          cd AS (SELECT u.src AS doc_id, count(*) AS core_deg FROM und u
+                 JOIN a3 x ON u.src = x.doc_id JOIN a3 y ON u.dst = y.doc_id
+                 GROUP BY u.src)
+          SELECT n0.doc_id,
+                 CAST(a3.doc_id IS NOT NULL AS INT) AS in_core,
+                 COALESCE(cd.core_deg, CAST(0 AS BIGINT)) AS core_deg
+          FROM n0 LEFT JOIN a3 USING (doc_id) LEFT JOIN cd USING (doc_id)
+          ORDER BY n0.doc_id""",
     // both layouts restated with naive global row_numbers; the scan
     // decision is computed from the zones alone, exactly as the engine
     // does

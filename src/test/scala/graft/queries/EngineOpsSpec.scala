@@ -200,6 +200,40 @@ class EngineOpsSpec extends SparkSpecBase {
       s"estimator off by more than 20%: $out")
   }
 
+  test("x129: systematic PPS hits its target size and weights carry multiplicity") {
+    val out = TrainingData.queries("x129_pps_sample")(spark, sfDir).collect()
+    val hits = out.map(_.getAs[Long]("n_hits"))
+    assert(hits.forall(_ >= 1))
+    // systematic sampling yields n or n+1 points depending on the
+    // remainder's position relative to the mid-step offset
+    assert(hits.sum === TrainingData.PpsSampleN || hits.sum === TrainingData.PpsSampleN + 1,
+      s"sample size drifted: ${hits.sum}")
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
+  }
+
+  test("q_l_diversity: groups partition the customers and l is bounded by k") {
+    val out = Quality.queries("q_l_diversity")(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("k")).sum === Tables.customer(spark, sfDir).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("l_distinct") <= r.getAs[Long]("k"))
+      assert((r.getAs[Int]("is_l_diverse") == 1) === (r.getAs[Long]("l_distinct") >= 3))
+    }
+  }
+
+  test("x131: planted graph — the triangle survives three peels, chain and pendant do not") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.dedup.Dedup.kcorePeel(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("in_core"), r.getAs[Long]("core_deg")))).toMap
+    assert(got(1L) === ((1, 2L)) && got(2L) === ((1, 2L)) && got(3L) === ((1, 2L)),
+      s"triangle must be the 2-core: $got")
+    // 4 (pendant) and 5/7 (chain ends) peel round 1; 6 loses both
+    // neighbours and peels round 2
+    Seq(4L, 5L, 6L, 7L).foreach(n => assert(got(n) === ((0, 0L)), s"node $n: $got"))
+  }
+
   test("a26: the sketch margins at spec SF are well inside the verdict bounds") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
       year(col("l_shipdate")).as("yr"))
