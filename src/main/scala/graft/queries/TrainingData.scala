@@ -2492,6 +2492,60 @@ object TrainingData {
     "x131_kcore" -> ((s, d) =>
       Dedup.kcorePeel(Dedup.minhashNearDups(Tables.documents(s, d), 0.5))),
 
+    // X132: per-shard Bloom skipping — the POINT-LOOKUP half of
+    // lakehouse data skipping, completing x122/x127's range half: on
+    // ingest-order shards (exactly where min/max zone maps prune
+    // nothing for a keyword predicate) each shard carries a Bloom of
+    // its distinct tokens, and a term lookup scans only bloom-positive
+    // shards. Per probe term: shards flagged maybe, shards truly
+    // containing it (no false negatives by construction — the Bloom
+    // invariant), false positives, and the skip fraction the filter
+    // buys. The probe set is the 5 rarest vocabulary terms (df asc —
+    // the lookups where skipping pays; a ubiquitous term bloom-hits
+    // every shard, which is the honest answer). At 100 TB the bloom
+    // table is shards×fill
+    // bits of metadata beside the zone maps (parquet's own
+    // bloom_filter columns in practice); the decision join is
+    // bloom-bits×probe-bits, never the corpus.
+    "x132_shard_blooms" -> ((s, d) => {
+      import graft.util.Bloom
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+      val st = toks.withColumn("shard", expr("doc_id div 8"))
+        .select("shard", "tok").distinct().cache()
+      val bits = st.select(col("shard"),
+          explode(array((0 until Bloom.NumHashes)
+            .map(i => Bloom.bit(i, col("tok"))): _*)).as("bit"))
+        .distinct()
+      // probes = the 5 rarest vocabulary terms (df asc, ties by token)
+      // — the lookup keys where skipping actually pays; common terms
+      // would bloom-positive every shard, which is the honest answer,
+      // not a filter failure
+      val terms = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df"), col("tok")).limit(5)
+        .select(col("tok").as("term"))
+      val probeBits = terms.select(col("term"),
+        explode(array((0 until Bloom.NumHashes)
+          .map(i => Bloom.bit(i, col("term"))): _*)).as("bit"))
+      val maybe = bits.join(broadcast(probeBits), Seq("bit"))
+        .groupBy("shard", "term").agg(count(lit(1)).as("kk"))
+        .filter(col("kk") === Bloom.NumHashes)
+        .groupBy("term").agg(count(lit(1)).as("n_maybe"))
+      val truth = st.join(broadcast(terms), col("tok") === col("term"))
+        .select("shard", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("n_true"))
+      val totals = st.select("shard").distinct()
+        .agg(count(lit(1)).as("n_shards_total"))
+      maybe.join(truth, Seq("term"))
+        .crossJoin(broadcast(totals))
+        .select(col("term"), col("n_shards_total"), col("n_maybe"), col("n_true"),
+          (col("n_maybe") - col("n_true")).as("n_false_pos"),
+          expr("(n_shards_total - n_maybe) * 1000000 div n_shards_total")
+            .as("skip_ppm"))
+        .orderBy("term")
+    }),
+
     // X127: z-order layout effectiveness — x48 computes the Morton key
     // and x122 showed single-dimension zone pruning; this one closes
     // the argument by MEASURING what the z-order layout buys
@@ -2718,6 +2772,45 @@ object TrainingData {
          FROM dec d JOIN m USING (source), t
          GROUP BY d.source, t.n_shards_total, t.rows_total, m.rows_matching
          ORDER BY d.source""",
+    // the same md5-salted bit geometry replayed in nibble arithmetic
+    // (x73's trick); probe-bit multiplicity preserved so duplicate bit
+    // positions count like the engine's explode
+    "x132_shard_blooms" -> {
+      val hexv = "strpos('0123456789abcdef', substring(md5(%s), %d, 1)) - 1"
+      def bitExpr(salt: Int, keySql: String) = {
+        val key = s"'bf$salt|' || $keySql"
+        s"(${hexv.format(key, 1)}) * 4096 + (${hexv.format(key, 2)}) * 256 + " +
+          s"(${hexv.format(key, 3)}) * 16 + (${hexv.format(key, 4)})"
+      }
+      val shardBitUnion = (0 until graft.util.Bloom.NumHashes)
+        .map(i => s"SELECT shard, ${bitExpr(i, "tok")} AS bit FROM st")
+        .mkString("\n                 UNION ALL ")
+      val probeBitUnion = (0 until graft.util.Bloom.NumHashes)
+        .map(i => s"SELECT term, ${bitExpr(i, "term")} AS bit FROM terms")
+        .mkString("\n                 UNION ALL ")
+      s"""WITH $tokCte,
+          tk AS (SELECT DISTINCT doc_id, tok
+                 FROM (SELECT doc_id, unnest(t) AS tok FROM tok)),
+          st AS (SELECT DISTINCT doc_id // 8 AS shard, tok FROM tk),
+          terms AS (SELECT tok AS term FROM (SELECT tok, count(*) AS df FROM tk
+                    GROUP BY tok ORDER BY df ASC, tok LIMIT 5)),
+          bits AS (SELECT DISTINCT shard, bit FROM ($shardBitUnion)),
+          pb AS ($probeBitUnion),
+          mb AS (SELECT term, count(*) AS n_maybe FROM (
+                   SELECT b.shard, p.term FROM bits b JOIN pb p USING (bit)
+                   GROUP BY b.shard, p.term
+                   HAVING count(*) = ${graft.util.Bloom.NumHashes})
+                 GROUP BY term),
+          tr AS (SELECT term, CAST(count(DISTINCT shard) AS BIGINT) AS n_true
+                 FROM st JOIN terms ON st.tok = terms.term GROUP BY term),
+          tot AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n_shards_total
+                  FROM st)
+          SELECT term, tot.n_shards_total, mb.n_maybe, tr.n_true,
+                 mb.n_maybe - tr.n_true AS n_false_pos,
+                 (tot.n_shards_total - mb.n_maybe) * 1000000 // tot.n_shards_total
+                   AS skip_ppm
+          FROM mb JOIN tr USING (term), tot ORDER BY term"""
+    },
     // the naive weight line: one global window cumsum in md5-shuffle
     // order (the engine's two-phase prefix sum is hash-proven ≡); the
     // stride test is the same all-integer expression

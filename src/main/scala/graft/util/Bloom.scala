@@ -24,7 +24,9 @@ object Bloom {
   val NumBits = 65536
   val NumHashes = 3
 
-  private def bit(salt: Int, key: Column): Column =
+  /** The salt-th bit position of a key — public so per-shard bloom
+    * builders (x132) reuse the exact geometry the oracle replays. */
+  def bit(salt: Int, key: Column): Column =
     conv(substring(md5(concat(lit(s"bf$salt|"), key)), 1, 4), 16, 10).cast("int")
 
   /** The ≤ m-row distinct set-bit table of a key set. */

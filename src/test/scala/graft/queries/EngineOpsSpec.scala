@@ -234,6 +234,19 @@ class EngineOpsSpec extends SparkSpecBase {
     Seq(4L, 5L, 6L, 7L).foreach(n => assert(got(n) === ((0, 0L)), s"node $n: $got"))
   }
 
+  test("x132: no false negatives ever, and the rare-term lookup actually skips shards") {
+    val out = TrainingData.queries("x132_shard_blooms")(spark, sfDir).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      // maybe ⊇ true is the Bloom invariant — a negative n_false_pos
+      // would mean a false negative
+      assert(r.getAs[Long]("n_false_pos") >= 0L, s"false negative: $r")
+      assert(r.getAs[Long]("n_maybe") >= r.getAs[Long]("n_true"))
+    }
+    assert(out.exists(_.getAs[Long]("skip_ppm") > 0L),
+      "no probe term skipped any shard — the filter demonstrates nothing")
+  }
+
   test("a26: the sketch margins at spec SF are well inside the verdict bounds") {
     val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
       year(col("l_shipdate")).as("yr"))
