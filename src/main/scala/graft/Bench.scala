@@ -75,7 +75,7 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   * column of every row with no driver collect. Each timed run starts
   * from a cleared DataFrame-cache so it re-does all real work.
   *
-  * Sixteen queries are timed in their SERVICE shape. x41 (sketch
+  * Seventeen queries are timed in their SERVICE shape. x41 (sketch
   * accuracy) and x55 (ANN recall) are continuous index-quality
   * monitors, and x61 (SemDeDup) + x74 (semantic decontamination) probe
   * the SAME trained IVF assignment table (that sharing is the service
@@ -100,7 +100,9 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   * `componentKeepers`) over the parquet scan — probe ≡ gate pinned by
   * PairPlaneProbeSpec. x4/x6 stay self-contained: they ARE the
   * detector benchmarks, so the pair-pipeline cost is still measured,
-  * once, where it belongs. The sixteenth is q_bucketed_join: the
+  * once, where it belongs. k9_incremental_join refreshes against its
+  * stored snapshot quadrant (timed beside q_join_view_full, the full
+  * rescan it replaces). The seventeenth is q_bucketed_join: the
   * prelude writes the bucketed lineitem/orders layout once, untimed —
   * a warehouse writes its layout once, not per query — and the timed
   * form is the exchange-free SMJ over it (BucketedLayout.bucketedJoinAgg,
@@ -194,7 +196,8 @@ object Bench {
     val probes: Map[String, (SparkSession, String) => DataFrame] =
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
                           || n == "x61_semdedup" || n == "x74_semantic_decontam"
-                          || n == "q_bucketed_join" || pairConsumers(n))) Map.empty
+                          || n == "q_bucketed_join" || n == "k9_incremental_join"
+                          || pairConsumers(n))) Map.empty
       else try {
         import graft.sim.Similarity
         val emb = Tables.embeddings(spark, sfDir)
@@ -305,6 +308,19 @@ object Bench {
                 sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_070"),
                 sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_080"),
                 sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_090")))
+        }
+        if (names.contains("k9_incremental_join")) {
+          // the standing JOIN-VIEW SNAPSHOT — an IVM deployment stores
+          // the heavy quadrant and pays only the delta fold per
+          // refresh; timed beside q_join_view_full (the rescan it
+          // replaces), the same measured-pair form as q_skew_* and the
+          // bucketed layout. Gate form materializes inline (hash
+          // covers the whole path); same tail function both ways.
+          graft.queries.Relational.incrementalJoinSnapshot(spark, sfDir)
+            .write.mode("overwrite").parquet(idxDir + "/k9_snapshot")
+          m += "k9_incremental_join" -> ((s: SparkSession, d: String) =>
+            graft.queries.Relational.incrementalJoinRefresh(s, d,
+              s.read.parquet(idxDir + "/k9_snapshot")))
         }
         if (names.contains("q_bucketed_join")) {
           // the standing WAREHOUSE LAYOUT — written once, ridden by

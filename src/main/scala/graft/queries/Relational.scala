@@ -2255,32 +2255,24 @@ object Relational {
       val snapDir = java.nio.file.Files.createTempDirectory("graft_incr_join_")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         org.apache.commons.io.FileUtils.deleteQuietly(snapDir.toFile): Unit))
-      val cutoff = lit("1998-01-01").cast("timestamp")
-      val li = Tables.lineitem(s, d)
-      val ord = Tables.orders(s, d)
-      val lOld = li.filter(col("l_shipdate") < cutoff)
-      val lNew = li.filter(col("l_shipdate") >= cutoff || col("l_shipdate").isNull)
-      val oOld = ord.filter(col("o_orderkey") % 7 =!= 0)
-      val oNew = ord.filter(col("o_orderkey") % 7 === 0)
-      def partials(l: DataFrame, o: DataFrame) =
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_items"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
       // day 0: the heavy quadrant, joined once, persisted as the view snapshot
-      partials(lOld, oOld).write.mode("overwrite").parquet(snapDir.toString)
-      val snapshot = s.read.parquet(snapDir.toString)
-      // refresh: three |Δ|-sized joins folded into the snapshot
-      snapshot
-        .unionByName(partials(lNew, oOld))
-        .unionByName(partials(lOld, oNew))
-        .unionByName(partials(lNew, oNew))
-        .groupBy("o_orderpriority")
-        .agg(sum("n_items").as("n_items"), sum("revenue").as("rev"))
-        .select(col("o_orderpriority"), col("n_items"),
-          col("rev").cast("double").as("revenue"))
-        .orderBy("o_orderpriority")
+      incrementalJoinSnapshot(s, d).write.mode("overwrite").parquet(snapDir.toString)
+      incrementalJoinRefresh(s, d, s.read.parquet(snapDir.toString))
     }),
+
+    // The measured pair for k9: the SAME view maintained by full
+    // rescan — what a TRUNCATE-and-reload daily job pays every run
+    // (the reference's Airflow.py pattern). Identical output and
+    // oracle; in the bench this row is the cost the k9 refresh
+    // replaces.
+    "q_join_view_full" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")),
 
     // Q-CHECKSUM: portable bucketed table checksum — the replication /
     // CDC-validation primitive: both ends of a pipeline (here Spark and
@@ -2509,6 +2501,44 @@ object Relational {
       graft.sources.BucketedLayout.bucketedJoinAgg(s)
     }))
 
+  private def k9Cutoff = lit("2001-04-01").cast("timestamp")
+  private def k9Partials(l: DataFrame, o: DataFrame): DataFrame =
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+
+  /** k9's heavy quadrant P(L_old ⋈ O_old) — computed once, stored as
+    * the view snapshot (the bench prelude materializes it untimed; the
+    * gate form inline, so the oracle hash covers the whole path). */
+  def incrementalJoinSnapshot(s: SparkSession, d: String): DataFrame =
+    k9Partials(
+      Tables.lineitem(s, d).filter(col("l_shipdate") < k9Cutoff),
+      Tables.orders(s, d).filter(col("o_orderkey") % 20 =!= 0))
+
+  /** k9's REFRESH: three \|Δ\|-sized joins folded into the stored
+    * snapshot — the recurring cost of view maintenance (vs
+    * q_join_view_full, the rescan it replaces; the bench times the
+    * pair). */
+  def incrementalJoinRefresh(s: SparkSession, d: String,
+                             snapshot: DataFrame): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val lOld = li.filter(col("l_shipdate") < k9Cutoff)
+    val lNew = li.filter(col("l_shipdate") >= k9Cutoff || col("l_shipdate").isNull)
+    val oOld = ord.filter(col("o_orderkey") % 20 =!= 0)
+    val oNew = ord.filter(col("o_orderkey") % 20 === 0)
+    snapshot
+      .unionByName(k9Partials(lNew, oOld))
+      .unionByName(k9Partials(lOld, oNew))
+      .unionByName(k9Partials(lNew, oNew))
+      .groupBy("o_orderpriority")
+      .agg(sum("n_items").as("n_items"), sum("revenue").as("rev"))
+      .select(col("o_orderpriority"), col("n_items"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** The skewed fact: ~80% of lineitem rows re-keyed onto supplier 7
     * (`l_orderkey % 5 < 4`), the rest keep their true suppkey — a
     * planted hot key with oracle-expressible semantics (the same CASE
@@ -2554,6 +2584,11 @@ object Relational {
     // the full recompute — hash-equality proves the 4-quadrant delta
     // algebra exact
     "k9_incremental_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_view_full" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -12,17 +12,32 @@ class EngineOpsSpec extends SparkSpecBase {
   test("k9: all four delta quadrants are non-empty, so the algebra is exercised") {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
-    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cutoff = lit("2001-04-01").cast("timestamp")
     val lOld = li.filter(col("l_shipdate") < cutoff)
     val lNew = li.filter(col("l_shipdate") >= cutoff)
-    val oOld = o.filter(col("o_orderkey") % 7 =!= 0)
-    val oNew = o.filter(col("o_orderkey") % 7 === 0)
+    val oOld = o.filter(col("o_orderkey") % 20 =!= 0)
+    val oNew = o.filter(col("o_orderkey") % 20 === 0)
     def n(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
       l.join(r, l("l_orderkey") === r("o_orderkey")).count()
     val quads = Seq(n(lOld, oOld), n(lNew, oOld), n(lOld, oNew), n(lNew, oNew))
     assert(quads.forall(_ > 0), s"degenerate quadrant split: $quads")
     // and the quadrants partition the full join
     assert(quads.sum === li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+  }
+
+  test("k9: the service-shape refresh over a stored snapshot ≡ the gate form ≡ the full rescan") {
+    val tmp = java.nio.file.Files.createTempDirectory("k9_probe_").toString
+    try {
+      Relational.incrementalJoinSnapshot(spark, sfDir)
+        .write.mode("overwrite").parquet(tmp)
+      val probe = Relational.incrementalJoinRefresh(spark, sfDir,
+        spark.read.parquet(tmp)).collect().map(_.toString).toSeq
+      val gate = Relational.queries("k9_incremental_join")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      val full = Relational.queries("q_join_view_full")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(probe === gate && gate === full)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)): Unit
   }
 
   test("q_table_checksum: buckets partition the table; digests are non-degenerate") {
