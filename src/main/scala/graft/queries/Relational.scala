@@ -2381,6 +2381,7 @@ object Relational {
     "a26_overlap_estimate" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_partkey"),
         year(col("l_shipdate")).as("yr"))
+        .filter(col("yr") === 1997 || col("yr") === 1998)
       val inA = col("yr") === 1997
       val inB = col("yr") === 1998
       def within(est: org.apache.spark.sql.Column,
@@ -2388,13 +2389,21 @@ object Relational {
                  tol: Double): org.apache.spark.sql.Column =
         abs(est.cast("double") - exact.cast("double")) <=
           exact.cast("double") * tol
-      li.filter(inA || inB).agg(
-          countDistinct(when(inA, col("l_partkey"))).as("exact_a"),
-          countDistinct(when(inB, col("l_partkey"))).as("exact_b"),
-          countDistinct(col("l_partkey")).as("exact_union"),
-          approx_count_distinct(when(inA, col("l_partkey")), 0.02).as("ea"),
-          approx_count_distinct(when(inB, col("l_partkey")), 0.02).as("eb"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("eu"))
+      // the sketches ride ONE plain pass (HLLs are ordinary aggregate
+      // buffers); the exact distincts aggregate the DEDUP'D key table
+      // instead — three countDistinct in one aggregate otherwise plan
+      // a 4× Expand of the whole fact (measured 18.8 s vs ~4 s at the
+      // sf1 replica). Two fact scans beat one 4×-expanded shuffle at
+      // any scale, and at 100 TB the exact side drops entirely.
+      val sketches = li.agg(
+        approx_count_distinct(when(inA, col("l_partkey")), 0.02).as("ea"),
+        approx_count_distinct(when(inB, col("l_partkey")), 0.02).as("eb"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("eu"))
+      val exact = li.distinct().agg(
+        countDistinct(when(inA, col("l_partkey"))).as("exact_a"),
+        countDistinct(when(inB, col("l_partkey"))).as("exact_b"),
+        countDistinct(col("l_partkey")).as("exact_union"))
+      exact.crossJoin(sketches)
         .select(col("exact_a"), col("exact_b"),
           (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
           within(col("ea"), col("exact_a"), 0.05).as("a_within_5pct"),
