@@ -2313,8 +2313,13 @@ object Relational {
           conv(substring(md5(canon), 1, 12), 16, 10)
             .cast("decimal(38,0)").as("digest"))
         .groupBy("bucket")
+        // the folded checksum surfaces as a digit string: DECIMAL(38,0)
+        // values ~5e17 exceed float64's exact-int range, so any
+        // comparator that routes decimals through doubles would corrupt
+        // them — text is the engine-neutral exact rendering (same
+        // philosophy as the canon itself)
         .agg(count(lit(1)).as("n_rows"),
-          sum("digest").cast("decimal(38,0)").as("checksum"))
+          sum("digest").cast("decimal(38,0)").cast("string").as("checksum"))
         .orderBy("bucket")
     }),
 
@@ -2483,7 +2488,13 @@ object Relational {
                ELSE CAST(0 AS BIGINT) END"""))
         .withColumn("est_pairs",
           (col("hot_pairs") + col("est_rest")).cast("decimal(38,0)"))
-        .select(col("d_keys"), col("n_rows"), col("actual_pairs"), col("est_pairs"),
+        // terminal projection renders the DECIMAL(38,0) pair counts as
+        // digit strings: exact at any scale (no float64 round-trip) and
+        // hashable by any downstream comparator — the a18 portability
+        // convention applied to wide integers
+        .select(col("d_keys"), col("n_rows"),
+          col("actual_pairs").cast("string").as("actual_pairs"),
+          col("est_pairs").cast("string").as("est_pairs"),
           ((col("est_pairs").cast("double") - col("actual_pairs").cast("double"))
             / col("actual_pairs").cast("double")).as("rel_err"))
     }),
@@ -2625,7 +2636,7 @@ object Relational {
                   CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
                   l_returnflag || '|' || l_linestatus || '|' ||
                   strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')), 1, 12)) AS BIGINT))
-                AS DECIMAL(38,0)) AS checksum
+                AS VARCHAR) AS checksum
          FROM lineitem GROUP BY bucket ORDER BY bucket""",
     // naive global definition: rank every order day per customer, take
     // gap(first→second) or censor at the horizon; hazard grid from the
@@ -2695,7 +2706,9 @@ object Relational {
                                 // (d_keys - k_hot)
                          ELSE 0 END AS DECIMAL(38,0)) AS est_pairs
                 FROM t, hot)
-         SELECT d_keys, n_rows, actual_pairs, est_pairs,
+         SELECT d_keys, n_rows,
+                CAST(actual_pairs AS VARCHAR) AS actual_pairs,
+                CAST(est_pairs AS VARCHAR) AS est_pairs,
                 (CAST(est_pairs AS DOUBLE) - CAST(actual_pairs AS DOUBLE))
                   / CAST(actual_pairs AS DOUBLE) AS rel_err
          FROM e""",

@@ -1179,7 +1179,12 @@ object TrainingData {
         .withColumn("__r1", row_number().over(slice)).filter(col("__r1") <= 20)
         .withColumn("__r2", row_number().over(global)).filter(col("__r2") <= 20)
         .groupBy("term")
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        // postings surface as a comma-joined string, not a raw ARRAY —
+        // the a18_group_arrays portability convention (array cells
+        // aren't hashable by every downstream comparator)
+        .agg(array_join(
+          sort_array(collect_list(col("doc_id"))).cast("array<string>"), ",")
+          .as("postings"))
       stats.join(head, "term")
         .select("term", "df", "tf", "postings")
         .orderBy("term")
@@ -3222,7 +3227,7 @@ object TrainingData {
           td AS (SELECT term, doc_id, count(*) AS tf_doc FROM e GROUP BY 1, 2)
          SELECT term, count(*) AS df,
                 CAST(SUM(tf_doc) AS BIGINT) AS tf,
-                (list(doc_id ORDER BY doc_id))[1:20] AS postings
+                array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
          FROM td GROUP BY term ORDER BY term""",
     "x48_zorder_key" ->
       s"""WITH b AS (SELECT doc_id,
