@@ -385,19 +385,34 @@ object Relational {
     "x85_column_stats" -> ((s, d) => {
       val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
       val li = Tables.lineitem(s, d)
-      val aggs = cols.flatMap { c =>
-        Seq(countDistinct(col(c)).as(s"ndv_$c"),
-          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
-      } :+ count(lit(1)).as("n_rows")
-      val head = li.agg(aggs.head, aggs.tail: _*).head()
-      val rows = cols.map { c =>
-        val qs = graft.util.ExactQuantiles.values(li, c, Seq(0.25, 0.5, 0.75))
-        (c, head.getAs[Long]("n_rows"), head.getAs[Long](s"ndv_$c"),
-          head.getAs[Double](s"min_$c"), head.getAs[Double](s"max_$c"),
-          qs(0), qs(1), qs(2))
-      }
-      import s.implicits._
-      rows.toDF("column_name", "n_rows", "ndv", "min_val", "max_val",
+      // ONE fact scan for the whole profile, and a fully LAZY plan
+      // (the round-9 shape ran eagerly at build time, so the 5-branch
+      // multi-distinct Expand it planned was invisible to plan audits
+      // — the registered result was a LocalTableScan). stack() unrolls
+      // the four measures to (column_name, value) — a 4× Expand that
+      // map-combines IMMEDIATELY into the per-(column, value) count
+      // table, so shuffle size is Σ NDV, not 4× rows (unlike the
+      // multi-distinct Expand, which carried full rows into a 5-way
+      // hash aggregate). From that metadata-sized table: ndv/min/max/n
+      // per column in one tiny fold, and the exact quartiles through
+      // GroupedQuantiles weighted by the counts (column_name IS the
+      // group) — quantile_cont-exact with no percentile buffer and no
+      // fact rescan.
+      val stackExpr = cols.map(c => s"'$c', cast($c as double)").mkString(", ")
+      val vc = li
+        .selectExpr(s"stack(${cols.size}, $stackExpr) as (column_name, __v)")
+        .groupBy("column_name", "__v").agg(count(lit(1)).as("__w"))
+      val stats = vc.groupBy("column_name").agg(
+        sum("__w").as("n_rows"),
+        count(when(col("__v").isNotNull, 1)).as("ndv"),
+        min("__v").as("min_val"), max("__v").as("max_val"))
+      val qs = graft.util.GroupedQuantiles.cuts(
+        vc, "column_name", "__v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75),
+        coarseDiv = 1000.0, weight = Some("__w"))
+        .drop("n")
+      stats.join(qs, "column_name")
+        .select("column_name", "n_rows", "ndv", "min_val", "max_val",
           "p25", "p50", "p75")
         .orderBy("column_name")
     }),
@@ -673,14 +688,17 @@ object Relational {
 
     // A17: exact percentile profile per group (sorted-interpolation
     // semantics match quantile_cont bit-for-bit) — the winsorization /
-    // outlier-threshold primitive. At 100 TB switch to
-    // approx_percentile's t-digest (rows-only check, like a15).
+    // outlier-threshold primitive. Routed through GroupedQuantiles'
+    // histogram refinement: the built-in `percentile` plans
+    // ObjectHashAggregate(partial_percentile), whose final merge holds
+    // each group's ENTIRE value set in one task buffer — the x85
+    // single-funnel shape, an OOM at 100 TB. The oracle still states
+    // plain quantile_cont, so the hash gate proves the refinement
+    // exact (plan shape pinned by GroupedQuantilesSpec).
     "a17_percentiles" -> ((s, d) =>
-      Tables.orders(s, d).groupBy("o_orderstatus").agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.95)").as("p95"),
-        expr("percentile(o_totalprice, 0.99)").as("p99"),
-        count(lit(1)).as("n"))
+      graft.util.GroupedQuantiles.cuts(
+        Tables.orders(s, d), "o_orderstatus", "o_totalprice",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99), coarseDiv = 1000.0)
         .orderBy("o_orderstatus")),
 
     // J8: as-of join — each event picks up the customer's latest order

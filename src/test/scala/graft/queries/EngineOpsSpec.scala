@@ -45,7 +45,8 @@ class EngineOpsSpec extends SparkSpecBase {
     assert(rows.length === 16)
     assert(rows.map(_.getAs[Long]("n_rows")).sum ===
       Tables.lineitem(spark, sfDir).count())
-    val sums = rows.map(_.getAs[java.math.BigDecimal]("checksum"))
+    // checksum surfaces as a digit string (comparator portability)
+    val sums = rows.map(r => BigInt(r.getAs[String]("checksum")))
     assert(sums.forall(_.signum > 0))
     assert(sums.distinct.length === 16, "bucket checksums collided — digest degenerate")
   }
@@ -210,7 +211,7 @@ class EngineOpsSpec extends SparkSpecBase {
       .getDecimal(0).longValueExact()
     assert(actual === 14L) // 9 + 4 + 1 — the self-join sizes per key
     val out = Relational.queries("x128_join_cardinality")(spark, sfDir).collect()(0)
-    assert(out.getAs[java.math.BigDecimal]("actual_pairs").signum > 0)
+    assert(BigInt(out.getAs[String]("actual_pairs")).signum > 0)
     assert(math.abs(out.getAs[Double]("rel_err")) < 0.2,
       s"estimator off by more than 20%: $out")
   }

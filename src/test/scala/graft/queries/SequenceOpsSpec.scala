@@ -88,11 +88,12 @@ class SequenceOpsSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = TrainingData.queries("x101_postings")(spark, dir)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(got("hot")._1 === 50L, "df counts distinct docs")
     assert(got("hot")._2 === 75L, "tf counts occurrences (25 doubles + 25 singles)")
-    assert(got("hot")._3 === (0L until 20L), "capped head = 20 smallest doc ids")
-    assert(got("rare") === ((3L, 3L, Seq(0L, 1L, 2L))))
+    assert(got("hot")._3 === (0L until 20L).mkString(","),
+      "capped head = 20 smallest doc ids, comma-joined (portable output)")
+    assert(got("rare") === ((3L, 3L, "0,1,2")))
   }
 
   test("x102: interval weights recover a hand-computed TWAP; last observation carries none") {
