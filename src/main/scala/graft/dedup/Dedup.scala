@@ -648,13 +648,21 @@ object Dedup {
     // neighbours peeled in the same round is in the core set with
     // degree 0 (the next round would drop it — `rounds` is the
     // contract, not a fixpoint claim)
-    nodes
+    val out = nodes
       .join(alive.withColumn("__alive", lit(1)), Seq("doc_id"), "left")
       .join(coreDeg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("__alive").isNotNull.cast("int").as("in_core"),
         coalesce(col("core_deg"), lit(0L)).as("core_deg"))
       .orderBy("doc_id")
+      // sever the result from the cached planes so they can release
+      .localCheckpoint(true)
+    // release the loop's caches (the fixpoint-CC discipline) — without
+    // this, repeated gate/session invocations accumulate cached edge
+    // planes and checkpoint RDDs
+    und.unpersist()
+    p.unpersist()
+    out
   }
 
   def snapshotDiff(v1: DataFrame, v2: DataFrame,

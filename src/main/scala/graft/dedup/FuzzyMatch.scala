@@ -58,17 +58,38 @@ object FuzzyMatch {
     * before the levenshtein verify. The oracle states the NAIVE
     * all-pairs join, so the hash gate PROVES recall 1.0 on the data.
     *
+    * The gram filter's precondition: the LOWER-id string must have
+    * MORE than q·d distinct q-grams (length > q·d + q − 1), else a
+    * single edit can destroy its every gram and a true pair yields no
+    * candidate (recall < 1.0 — the round-9 advice finding). Strings at
+    * or under that length therefore take a supplemental LENGTH-BLOCK
+    * all-pairs path: their partners are length-bounded too (|len
+    * diff| ≤ d ⇒ partner length ≤ q·d + q − 1 + d ≈ 2q chars at the
+    * defaults), so the block is the corpus's sliver of near-empty
+    * names — bounded in any real corpus, and still levenshtein-
+    * verified. Losslessness then holds unconditionally.
+    *
     * Scale shape: gram df is a vocabulary-sized map-combined
     * aggregate; the rarity-prefix window partitions per id (bounded by
     * name length); the candidate join keys on rare grams only — hot
     * grams ("cu", "er" on ID-like corpora) sit on the full side where
-    * they meet only rare-prefix probes, never each other. */
+    * they meet only rare-prefix probes, never each other; the short
+    * block self-joins ≤ 2q-char names only. */
   def prefixEditPairs(df: DataFrame, idCol: String, nameCol: String,
                       maxDist: Int = 1, q: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prefixLen = q * maxDist + 1
     val names = df.select(col(idCol).cast("long").as("id"),
       lower(trim(col(nameCol))).as("name"))
+    // strings the gram theorem cannot protect, and their possible
+    // partners (both length-bounded — this is a degenerate sliver)
+    val shortMax = q * maxDist + q - 1
+    val short = names.filter(length(col("name")) <= shortMax)
+    val partners = names.filter(length(col("name")) <= shortMax + maxDist)
+    val shortCand = short.as("sa")
+      .join(partners.as("sb"), col("sa.id") < col("sb.id") &&
+        abs(length(col("sa.name")) - length(col("sb.name"))) <= maxDist)
+      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
     val grams = names
       .select(col("id"), explode(expr(
         s"""array_distinct(transform(
@@ -82,7 +103,8 @@ object FuzzyMatch {
       .select("id", "g")
     val cand = prefix.as("a")
       .join(grams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .union(shortCand).distinct()
     val na = names.select(col("id").as("id_a"), col("name").as("name_a"))
     val nb = names.select(col("id").as("id_b"), col("name").as("name_b"))
     cand.join(na, Seq("id_a")).join(nb, Seq("id_b"))

@@ -2477,7 +2477,10 @@ object TrainingData {
         .withColumn("cum_end", col("boff") + col("ls"))
         .withColumn("cum_start", col("cum_end") - col("w"))
         .crossJoin(broadcast(tot))
-        .withColumn("step", expr(s"tw div $PpsSampleN"))
+        // greatest(...,1): a corpus with total weight < n (tiny or
+        // heavily filtered) must degrade to stride 1 — every unit hit —
+        // not divide by a zero step
+        .withColumn("step", expr(s"greatest(tw div $PpsSampleN, 1)"))
         .withColumn("off", expr("step div 2"))
         .withColumn("n_hits", expr(
           """(cum_end + step - off - 1) div step
@@ -2829,7 +2832,8 @@ object TrainingData {
                 FROM w),
           t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
           p AS (SELECT doc_id, w, cum_end - w AS cum_start, cum_end,
-                       tw // $PpsSampleN AS step, (tw // $PpsSampleN) // 2 AS off
+                       greatest(tw // $PpsSampleN, 1) AS step,
+                       greatest(tw // $PpsSampleN, 1) // 2 AS off
                 FROM c, t)
           SELECT doc_id, w, cum_start,
                  (cum_end + step - off - 1) // step

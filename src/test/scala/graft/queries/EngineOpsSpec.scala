@@ -134,6 +134,26 @@ class EngineOpsSpec extends SparkSpecBase {
     assert(!blocked.contains((1L, 2L)), "premise broken: blocking caught the first-char edit")
   }
 
+  test("x125: losslessness holds for names too short for the gram theorem") {
+    import spark.implicits._
+    // "ab"→"cb": one edit destroys the 2-char name's ONLY 2-gram, so
+    // the gram path alone yields no candidate (the r9 advice finding);
+    // the length-block fallback must still surface the pair. "abc" (3
+    // chars = q·d + q − 1 at defaults) has 2 grams ≤ q·d — also short.
+    val df = Seq((1L, "ab"), (2L, "cb"), (3L, "abc"), (4L, "xbc"),
+      (5L, "zzzzzz")).toDF("id", "name")
+    val got = graft.dedup.FuzzyMatch.prefixEditPairs(df, "id", "name", maxDist = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = df.select(col("id"), lower(trim(col("name"))).as("n")).as("a")
+      .join(df.select(col("id"), lower(trim(col("name"))).as("n")).as("b"),
+        col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.n"), col("b.n")) <= 1)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.contains((1L, 2L)), "premise broken: the planted pair is real")
+    assert(got === naive, s"missing: ${naive -- got}; extra: ${got -- naive}")
+  }
+
   test("x125: recall 1.0 against the naive all-pairs join on real names") {
     val names = Tables.customer(spark, sfDir).filter(col("c_custkey") <= 300)
       .select(col("c_custkey").as("id"), lower(trim(col("c_name"))).as("name"))
