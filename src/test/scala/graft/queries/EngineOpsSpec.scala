@@ -13,10 +13,11 @@ class EngineOpsSpec extends SparkSpecBase {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     val cutoff = lit("2001-04-01").cast("timestamp")
+    val hwm = Relational.k9OrderHwm(spark, sfDir)
     val lOld = li.filter(col("l_shipdate") < cutoff)
     val lNew = li.filter(col("l_shipdate") >= cutoff)
-    val oOld = o.filter(col("o_orderkey") % 20 =!= 0)
-    val oNew = o.filter(col("o_orderkey") % 20 === 0)
+    val oOld = o.filter(col("o_orderkey") <= hwm)
+    val oNew = o.filter(col("o_orderkey") > hwm)
     def n(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
       l.join(r, l("l_orderkey") === r("o_orderkey")).count()
     val quads = Seq(n(lOld, oOld), n(lNew, oOld), n(lOld, oNew), n(lNew, oNew))
