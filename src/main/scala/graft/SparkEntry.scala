@@ -20,7 +20,8 @@ object SparkEntry {
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Cdc.queries, graft.queries.Cdc.oracles),
       (graft.queries.Quality.queries, graft.queries.Quality.oracles),
-      (graft.queries.TrainingData.queries, graft.queries.TrainingData.oracles))
+      (graft.queries.TrainingData.queries, graft.queries.TrainingData.oracles),
+      (graft.queries.Warehouse.queries, graft.queries.Warehouse.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

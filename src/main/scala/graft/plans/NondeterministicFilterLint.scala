@@ -45,8 +45,12 @@ object NondeterministicFilterLint {
   }
 }
 
-/** Session extension registrar: install the lint as an analysis check. */
+/** Session extension registrar: the O-3 lint as an analysis check, and
+  * the aggregate navigator ([[AggRewrite.RegistryRule]]) as an
+  * optimizer rule over the session's registered rollups. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(_ => NondeterministicFilterLint.check)
+    e.injectOptimizerRule(_ => AggRewrite.RegistryRule)
+  }
 }

@@ -260,6 +260,8 @@ object TrainingData {
   val SemDedupThreshold = 0.3
   /** x129: systematic PPS sample target size. */
   val PpsSampleN = 64L
+  /** x137: priority-sample (weighted, without replacement) size. */
+  val SampleTopK = 64
 
   /** x74: semantic-contamination cosine cut — a train vector this close
     * to any benchmark vector is flagged. Shared by the Spark plan and
@@ -2490,6 +2492,31 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // X157: weighted sampling WITHOUT replacement (priority sampling,
+    // Duffield et al. 2007 shape) — the complement of x129's
+    // PPS-with-multiplicity: pick the 64 highest-priority documents
+    // where priority = floor(w·2³² / h) with h the doc's md5-derived
+    // uniform integer in [1, 2³²]. Heavier docs get stochastically
+    // larger priorities (the w/u order), no doc repeats, and the
+    // quantized all-integer priority makes both engines agree
+    // bit-for-bit — no transcendental exp/log keys, which would break
+    // cross-engine rank ties. Scale shape: a per-row projection
+    // followed by ORDER BY pri LIMIT k, which Spark plans as
+    // TakeOrderedAndProject — per-partition heaps of size k merged on
+    // the driver, never a global sort of the corpus.
+    "x137_weighted_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+        .filter(col("w") > 0)
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") + 1)
+        .withColumn("pri", expr("(w * 4294967296) div h"))
+        .orderBy(desc("pri"), col("doc_id")).limit(SampleTopK)
+        .select("doc_id", "w", "pri")
+        .orderBy("doc_id")),
+
     // X131: k-core peeling on the near-dup graph — the density
     // complement of x17's connectivity and x123's triangles: the
     // 2-core after three peel rounds is the template-farm/mirror-ring
@@ -2819,6 +2846,18 @@ object TrainingData {
                    AS skip_ppm
           FROM mb JOIN tr USING (term), tot ORDER BY term"""
     },
+    // the naive form: full sort by the same all-integer priority (the
+    // engine's TakeOrdered top-k is hash-proven ≡)
+    "x137_weighted_sample" ->
+      s"""WITH $tokCte,
+          w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS w FROM tok WHERE len(t) > 0),
+          h AS (SELECT doc_id, w,
+                       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS h
+                FROM w),
+          p AS (SELECT doc_id, w, (w * 4294967296) // h AS pri FROM h)
+          SELECT doc_id, w, pri
+          FROM (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT $SampleTopK)
+          ORDER BY doc_id""",
     // the naive weight line: one global window cumsum in md5-shuffle
     // order (the engine's two-phase prefix sum is hash-proven ≡); the
     // stride test is the same all-integer expression

@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.Tables
+import graft.dims.LateDim
+import graft.operators.Hierarchy
+import graft.plans.AggRewrite
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-depth operators beyond the reference's summary layer
+  * (SURVEY §2.7a X153-X159): the aggregate navigator, late-arriving
+  * dimensions, the accumulating-snapshot fact, functional-dependency
+  * profiling, dynamic partition pruning, and recursive hierarchy
+  * closure. Every query is oracle-gated (DuckDB SQL in [[oracles]]).
+  */
+object Warehouse {
+
+  /** Deterministic scratch dir per SF for layout-dependent queries
+    * (x138 writes a partitioned fact copy). Inside the repo's target/,
+    * keyed by the SF dir so sf0.01 and sf0.1 runs never collide. */
+  private def scratch(tag: String, sfDir: String): String =
+    s"target/wh_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X153: aggregate navigator — the optimizer routes a coarser
+    // rollup (+ a dimension predicate) onto a standing materialized
+    // summary instead of the fact scan. The require() makes the gate
+    // honest: if the rewrite ever stops firing, the query FAILS rather
+    // than silently computing the same answer the expensive way. The
+    // oracle is the direct fact-scan SQL, so the hash gate proves
+    // summary-routing ≡ direct aggregation. At 100 TB the summary has
+    // |l_returnflag × l_linestatus| rows; the rewritten plan reads
+    // kilobytes of standing rollup while the direct plan reads the
+    // fact table — and ONLY the exact-decimal sum convention is
+    // eligible (double sums don't re-aggregate associatively).
+    "x133_mv_rewrite" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val groupCols = Seq("l_returnflag", "l_linestatus")
+      val sumCols = Seq("l_quantity", "l_extendedprice")
+      val mv = AggRewrite.summarize(li, groupCols, sumCols,
+          minCols = Seq("l_shipdate"), maxCols = Seq("l_shipdate"))
+        .localCheckpoint(eager = true) // the standing summary layer
+      val summary = AggRewrite.summaryFor(li, mv, groupCols, sumCols,
+        minCols = Seq("l_shipdate"), maxCols = Seq("l_shipdate"))
+      val direct = li.filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"),
+          count(lit(1)).as("n_items"))
+      val routed = AggRewrite(s, direct, Seq(summary))
+      // routed = Aggregate over the CHECKPOINTED summary (a LogicalRDD
+      // leaf): if any file relation survives, the rewrite didn't fire
+      // and the gate must FAIL rather than silently scan the fact
+      val factScans = routed.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      require(factScans.isEmpty,
+        s"aggregate navigator did not route onto the summary (still scans ${factScans.size} relation(s))")
+      routed.select(
+          col("l_returnflag"),
+          col("sq").cast("double").as("sum_qty"),
+          col("sp").cast("double").as("sum_price"),
+          col("first_ship").cast("date").as("first_ship"),
+          col("last_ship").cast("date").as("last_ship"),
+          col("n_items"))
+        .orderBy("l_returnflag")
+    }),
+
+    // X154: late-arriving dimension — facts referencing parts whose
+    // dimension feed hasn't landed (simulated: every 97th part key is
+    // "late") get INFERRED placeholder members so the fact load never
+    // drops rows; when the real rows arrive, an SCD1 backfill replaces
+    // the placeholders. The audit shows revenue attribution migrating
+    // from the '(inferred)' bucket to real brands — the before/after
+    // pair is the operator's observable contract. Scale: inferred-key
+    // discovery is one map-combined distinct of the fact key
+    // anti-joined against the dim (dimension-sized result); the
+    // backfill never touches facts.
+    "x134_late_dim" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val partFull = Tables.part(s, d)
+      val snapshot = partFull.filter(col("p_partkey") % 97 =!= 0)
+      val inferred = LateDim.inferMembers(li, snapshot, "l_partkey", "p_partkey",
+        Seq("p_name" -> lit("(inferred)"), "p_brand" -> lit("(inferred)"),
+            "p_type" -> lit("(inferred)"), "p_size" -> lit(0),
+            "p_retailprice" -> lit(0.0)))
+      val dim1 = snapshot.unionByName(inferred)
+      val updates = partFull.join(inferred.select("p_partkey"), Seq("p_partkey"))
+      val dim2 = LateDim.backfill(dim1, updates, "p_partkey")
+      val rev = li.select(col("l_partkey").as("p_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      def attribution(dim: DataFrame, phase: String): DataFrame =
+        rev.join(dim.select("p_partkey", "p_brand"), Seq("p_partkey"))
+          .groupBy("p_brand")
+          .agg(Det.dsumExpr(col("r")).as("revenue"), count(lit(1)).as("n_items"))
+          .withColumn("phase", lit(phase))
+      attribution(dim1, "placeholder").unionByName(attribution(dim2, "backfilled"))
+        .select("phase", "p_brand", "revenue", "n_items")
+        .orderBy("phase", "p_brand")
+    }),
+
+    // X155: accumulating-snapshot fact — one row per order carrying
+    // its milestone dates (order placed → first ship → last ship) and
+    // the lags between them, the Kimball fact type the reference's
+    // transaction-grain warehouse lacks. Orders with no shipped lines
+    // keep NULL milestones (the open pipeline). The gate emits the
+    // per-priority audit of the snapshot (counts + exact integer
+    // day-lag sums) — each output column exercises one milestone
+    // field. Scale: one map-combined min/max/count shuffle on the
+    // order key + a key-partitioned join; the incremental rebuild
+    // touches only orders with new lines since the last run (the k9
+    // delta pattern).
+    "x135_accum_snapshot" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(min("l_shipdate").as("first_ship"),
+             max("l_shipdate").as("last_ship"),
+             count(lit(1)).as("n_lines"))
+      val snap = o.join(m, Seq("o_orderkey"), "left")
+        .select(col("o_orderpriority"),
+          datediff(col("first_ship"), col("o_orderdate")).as("lag_first"),
+          datediff(col("last_ship"), col("first_ship")).as("span"),
+          col("first_ship"), col("n_lines"))
+      snap.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             count(col("first_ship")).as("n_started"),
+             sum(coalesce(col("lag_first"), lit(0))).as("sum_lag_days"),
+             sum(coalesce(col("span"), lit(0))).as("sum_span_days"),
+             max(col("span")).cast("long").as("max_span_days"),
+             sum(coalesce(col("n_lines"), lit(0L))).as("n_lineitems"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // X156: functional-dependency profiling — does A determine B?
+    // The schema-discovery pass (Metanome-style, restricted to declared
+    // candidate pairs) that decides which columns can live on a
+    // dimension at grain A vs must stay on the fact. Violated FDs are
+    // as informative as held ones: o_custkey→o_orderpriority failing
+    // says priority is an order attribute, not a customer attribute.
+    // Each FD is a column-pruned distinct-pair pass + a group count —
+    // the a26 pre-distinct discipline, never a multi-distinct Expand;
+    // output is one row per candidate regardless of data size.
+    "x136_fd_audit" -> ((s, d) => {
+      def fd(df: DataFrame, lhs: String, rhs: String, name: String): DataFrame =
+        df.select(col(lhs), col(rhs)).distinct()
+          .groupBy(lhs).agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("n_lhs"),
+               sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_viol"),
+               max(col("k")).as("max_rhs"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_viol"), col("max_rhs"),
+            expr("n_viol * 1000000 div n_lhs").as("viol_ppm"))
+      val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+      val c = Tables.customer(s, d); val p = Tables.part(s, d)
+      fd(o, "o_orderkey", "o_custkey", "orders.o_orderkey->o_custkey")
+        .unionByName(fd(o, "o_custkey", "o_orderpriority", "orders.o_custkey->o_orderpriority"))
+        .unionByName(fd(li, "l_orderkey", "l_returnflag", "lineitem.l_orderkey->l_returnflag"))
+        .unionByName(fd(li, "l_partkey", "l_suppkey", "lineitem.l_partkey->l_suppkey"))
+        .unionByName(fd(c, "c_nationkey", "c_mktsegment", "customer.c_nationkey->c_mktsegment"))
+        .unionByName(fd(p, "p_brand", "p_type", "part.p_brand->p_type"))
+        .orderBy("fd")
+    }),
+
+    // X158: dynamic partition pruning — the fact is laid out
+    // partitioned by ship month (the 100 TB layout), the month
+    // dimension is filtered on a NON-partition attribute (quarter),
+    // and Spark's runtime DPP subquery prunes the fact scan to the
+    // dim-selected partitions before reading. The oracle computes the
+    // same Q1 revenue from the flat table, so the hash gate proves the
+    // pruned scan loses nothing. WarehouseOpsSpec pins the
+    // DynamicPruningExpression in the fact scan's partition filters —
+    // at scale this is the difference between reading 3 months and
+    // reading the whole fact when the predicate lives on the dim.
+    "x138_dpp" -> ((s, d) => {
+      val path = scratch("dpp_fact", d)
+      val li = Tables.lineitem(s, d)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      // one file per month partition (repartition on the partition key),
+      // not shuffle-partitions × months shards of tiny files
+      li.repartition(col("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+      val fact = s.read.parquet(path)
+      val monthDim = li.select(col("ship_month")).distinct()
+        .withColumn("quarter",
+          expr("concat(substring(ship_month, 1, 4), '-Q', " +
+               "(cast(substring(ship_month, 6, 2) as int) + 2) div 3)"))
+      fact.join(monthDim.filter(col("quarter").endsWith("Q1")), Seq("ship_month"))
+        .groupBy("ship_month")
+        .agg(Det.dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("ship_month")
+    }),
+
+    // X159: recursive hierarchy closure — (node → root, depth) over a
+    // parent-pointer dimension via pointer doubling (⌈log₂ depth⌉
+    // self-joins, not depth-many descent rounds; operators/Hierarchy).
+    // The hierarchy is derived deterministically from the customer dim
+    // (parent = c_custkey div 8, key 0 the root). The oracle is the
+    // recursive CTE every SQL warehouse writes for this; the gate
+    // output rolls account balance up by depth, exercising root, depth
+    // and the bridge join. n_roots uses the pre-distinct pass, not a
+    // distinct aggregate.
+    "x139_hierarchy" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") === 0, lit(null).cast("long"))
+          .otherwise(expr("c_custkey div 8")).as("parent"),
+        col("c_acctbal"))
+      val cl = Hierarchy.closure(c.select("id", "parent"), "id", "parent", maxDepth = 64)
+      val byDepth = cl.groupBy("depth").agg(count(lit(1)).as("n_nodes"))
+      val roots = cl.select("depth", "root").distinct()
+        .groupBy("depth").agg(count(lit(1)).as("n_roots"))
+      val bal = cl.join(c.select(col("id"), col("c_acctbal")), Seq("id"))
+        .groupBy("depth").agg(Det.dsum(col("c_acctbal")).as("sum_bal"))
+      byDepth.join(roots, Seq("depth")).join(bal, Seq("depth"))
+        .select(col("depth"), col("n_nodes"), col("n_roots"), col("sum_bal"))
+        .orderBy("depth")
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "x133_mv_rewrite" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+                CAST(MAX(l_shipdate) AS DATE) AS last_ship,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem WHERE l_returnflag <> 'N'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "x134_late_dim" ->
+      """WITH snap AS (SELECT p_partkey, p_brand FROM part WHERE p_partkey % 97 <> 0),
+              inferred AS (SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+                           WHERE l_partkey NOT IN (SELECT p_partkey FROM snap)),
+              dim1 AS (SELECT p_partkey, p_brand FROM snap
+                       UNION ALL SELECT p_partkey, '(inferred)' FROM inferred),
+              dim2 AS (SELECT p_partkey, p_brand FROM snap
+                       UNION ALL SELECT p.p_partkey, p.p_brand
+                       FROM part p JOIN inferred i ON p.p_partkey = i.p_partkey),
+              rev AS (SELECT l_partkey AS p_partkey,
+                             l_extendedprice * (1.0 - l_discount) AS r FROM lineitem),
+              a1 AS (SELECT 'placeholder' AS phase, d.p_brand,
+                            CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                            CAST(COUNT(*) AS BIGINT) AS n_items
+                     FROM rev JOIN dim1 d USING (p_partkey) GROUP BY d.p_brand),
+              a2 AS (SELECT 'backfilled' AS phase, d.p_brand,
+                            CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                            CAST(COUNT(*) AS BIGINT) AS n_items
+                     FROM rev JOIN dim2 d USING (p_partkey) GROUP BY d.p_brand)
+         SELECT phase, p_brand, revenue, n_items
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         ORDER BY phase, p_brand""",
+
+    "x135_accum_snapshot" ->
+      """WITH m AS (SELECT l_orderkey AS o_orderkey, MIN(l_shipdate) AS first_ship,
+                           MAX(l_shipdate) AS last_ship, COUNT(*) AS n_lines
+                    FROM lineitem GROUP BY 1),
+              snap AS (SELECT o.o_orderpriority,
+                              datediff('day', o.o_orderdate, m.first_ship) AS lag_first,
+                              datediff('day', m.first_ship, m.last_ship) AS span,
+                              m.first_ship, m.n_lines
+                       FROM orders o LEFT JOIN m USING (o_orderkey))
+         SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(COUNT(first_ship) AS BIGINT) AS n_started,
+                CAST(SUM(COALESCE(lag_first, 0)) AS BIGINT) AS sum_lag_days,
+                CAST(SUM(COALESCE(span, 0)) AS BIGINT) AS sum_span_days,
+                CAST(MAX(span) AS BIGINT) AS max_span_days,
+                CAST(SUM(COALESCE(n_lines, 0)) AS BIGINT) AS n_lineitems
+         FROM snap GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "x136_fd_audit" -> {
+      def fd(table: String, lhs: String, rhs: String): String =
+        s"""SELECT '$table.$lhs->$rhs' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+                   CAST(MAX(k) AS BIGINT) AS max_rhs,
+                   CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS viol_ppm
+            FROM (SELECT $lhs, COUNT(*) AS k
+                  FROM (SELECT DISTINCT $lhs, $rhs FROM $table) GROUP BY $lhs)"""
+      Seq(
+        fd("orders", "o_orderkey", "o_custkey"),
+        fd("orders", "o_custkey", "o_orderpriority"),
+        fd("lineitem", "l_orderkey", "l_returnflag"),
+        fd("lineitem", "l_partkey", "l_suppkey"),
+        fd("customer", "c_nationkey", "c_mktsegment"),
+        fd("part", "p_brand", "p_type"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
+    },
+
+    "x138_dpp" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem WHERE month(l_shipdate) <= 3
+         GROUP BY 1 ORDER BY 1""",
+
+    "x139_hierarchy" ->
+      """WITH RECURSIVE n AS (SELECT c_custkey AS id,
+                                     CASE WHEN c_custkey = 0 THEN NULL
+                                          ELSE c_custkey // 8 END AS parent,
+                                     c_acctbal FROM customer),
+              r AS (SELECT id, id AS root, CAST(0 AS BIGINT) AS depth
+                    FROM n WHERE parent IS NULL
+                    UNION ALL
+                    SELECT n.id, r.root, r.depth + 1
+                    FROM n JOIN r ON n.parent = r.id)
+         SELECT r.depth,
+                CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                CAST(COUNT(DISTINCT r.root) AS BIGINT) AS n_roots,
+                CAST(SUM(CAST(n.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM r JOIN n USING (id)
+         GROUP BY r.depth ORDER BY r.depth""")
+}
