@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{DataType, DecimalType}
@@ -99,19 +99,36 @@ object AggRewrite {
       rewrite(plan, registered.asScala.toSeq)
   }
 
-  /** Rewrite every eligible Aggregate in `plan` against `summaries`. */
+  /** Rewrite every eligible Aggregate in `plan` against `summaries`.
+    * The child may be the base directly or the base under any stack of
+    * column-pruning Projects (bare attributes only — a computed alias
+    * is a derived column the summary doesn't carry) and Filters; the
+    * Filters' conjunction is checked against the grouping grain in
+    * [[tryRewrite]]. Catalyst routinely leaves such stacks between the
+    * user's groupBy and the scan (`df.select(...).filter(...)`), so
+    * matching only the naked base would miss most real plans. */
   def rewrite(plan: LogicalPlan, summaries: Seq[Summary]): LogicalPlan =
     plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
         val candidates = summaries.iterator.flatMap { s =>
-          child match {
-            case c if sameBase(c, s.base) => tryRewrite(agg, s, filterCond = None)
-            case Filter(cond, c) if sameBase(c, s.base) => tryRewrite(agg, s, Some(cond))
-            case _ => None
+          unwrap(child, s, Nil).flatMap { conds =>
+            tryRewrite(agg, s, conds.reduceOption(And))
           }
         }
         if (candidates.hasNext) candidates.next() else agg
     }
+
+  /** Peel bare-attribute Projects and Filters off `p` down to `s.base`,
+    * accumulating the filter predicates; None when anything else
+    * intervenes. */
+  private def unwrap(p: LogicalPlan, s: Summary,
+                     conds: Seq[Expression]): Option[Seq[Expression]] = p match {
+    case c if sameBase(c, s.base) => Some(conds)
+    case Filter(cond, ch) => unwrap(ch, s, conds :+ cond)
+    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(ch, s, conds)
+    case _ => None
+  }
 
   /** Apply against `summaries` and return the rewritten DataFrame.
     * The per-plan entry point for engines that build sessions without

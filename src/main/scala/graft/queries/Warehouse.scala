@@ -9,10 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-depth operators beyond the reference's summary layer
-  * (SURVEY §2.7a X153-X159): the aggregate navigator, late-arriving
+  * (SURVEY §2.7a X153-X162): the aggregate navigator, late-arriving
   * dimensions, the accumulating-snapshot fact, functional-dependency
-  * profiling, dynamic partition pruning, and recursive hierarchy
-  * closure. Every query is oracle-gated (DuckDB SQL in [[oracles]]).
+  * profiling, dynamic partition pruning, recursive hierarchy closure,
+  * runtime bloom-filter join pruning, bitmap-index algebra, and
+  * skyline selection. Every query is oracle-gated (DuckDB SQL in
+  * [[oracles]]).
   */
 object Warehouse {
 
@@ -197,6 +199,117 @@ object Warehouse {
         .orderBy("ship_month")
     }),
 
+    // X160: runtime bloom-filter join pruning — the ROW-level companion
+    // to x138's partition-level DPP: a selective dimension predicate
+    // (urgent orders) is turned into a bloom filter that Spark's
+    // InjectRuntimeFilter builds at run time and pushes into the fact
+    // scan, so lineitem rows whose orderkey cannot join are dropped AT
+    // THE SCAN instead of surviving to the shuffle. Broadcast is
+    // disabled in the conf scope deliberately: this is the 100 TB
+    // shape, where NEITHER side broadcasts and the bloom is what keeps
+    // the fact-side shuffle delta-sized. The require() makes the gate
+    // honest (x133 discipline): if injection ever stops, the gate
+    // FAILS rather than silently running the unpruned join. The oracle
+    // is the plain join SQL — the hash gate proves the bloom loses no
+    // rows (one-sided filter: false positives only).
+    "x140_runtime_filter" -> ((s, d) => {
+      val prev = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        .map(k => k -> s.conf.getOption(k)).toMap
+      try {
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val joined = Tables.lineitem(s, d)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(Det.dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("l_returnflag")
+        // force optimization INSIDE the conf scope (plans are lazy);
+        // the materialized queryExecution keeps the injected filter
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("bloomfilter"),
+          s"runtime bloom filter was not injected into the fact scan:\n$plan")
+        joined
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // X161: bitmap-index algebra — the warehouse bitmap index (O'Neil
+    // 1987 shape) built relationally: documents collapse to one BIGINT
+    // bitmask per (value, 64-doc block) — `bit_or(1L << doc_id % 64)` —
+    // and ad-hoc conjunctive counts are then answered ENTIRELY from
+    // bitmap metadata: |lang ∧ source| = Σ_blocks bit_count(mask_lang &
+    // mask_source), never rescanning the corpus. The oracle states the
+    // naive GROUP BY count — the hash gate proves the popcount algebra
+    // exact. At 100 TB the bitmap planes are (cardinality × corpus/64)
+    // longs built once per low-cardinality column; every boolean
+    // combination of indexed predicates after that is a metadata join,
+    // which is why every serious warehouse keeps bitmap (or roaring)
+    // indexes beside the zone maps (X140) and Blooms (X152).
+    "x141_bitmap_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("doc_id div 64").as("block"),
+          expr("shiftleft(1L, cast(doc_id % 64 as int))").as("bit"))
+      def plane(key: String): DataFrame = docs
+        .groupBy(col(key), col("block"))
+        .agg(bit_or(col("bit")).as(s"mask_$key"))
+      plane("lang").join(plane("source"), Seq("block"))
+        .groupBy("lang", "source")
+        .agg(sum(bit_count(col("mask_lang").bitwiseAND(col("mask_source")))
+               .cast("long")).as("n_pair"))
+        .filter(col("n_pair") > 0)
+        .orderBy("lang", "source")
+    }),
+
+    // X162: skyline / Pareto-frontier selection (Börzsönyi et al. 2001)
+    // — multi-objective document selection: keep the docs not DOMINATED
+    // on (token count, md5-derived score) — no other doc ≥ on both
+    // dimensions and > on one. The naive definition is the all-pairs
+    // NOT EXISTS the oracle states; the engine form exploits the
+    // bounded first dimension: collapse to the (w, max q) grid (one
+    // map-combined aggregate — the grid is token-count-sized METADATA
+    // at any corpus size), one suffix-max window ON THE GRID (x113
+    // discipline: windows only over bounded grids), and a join back on
+    // (w, q = grid max). A grid point survives iff its max q strictly
+    // beats every higher-w grid max (w' > w with q' ≥ q dominates; ties
+    // at the same (w, q) never dominate each other and are all kept).
+    // Hash gate proves grid refinement ≡ quadratic definition.
+    "x142_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("w"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")).as("q"))
+        .filter(col("w") > 0)
+      val grid = pts.groupBy("w").agg(max(col("q")).as("q"))
+      val aboveMax = max(col("q")).over(
+        Window.orderBy(col("w").asc)
+          .rowsBetween(1, Window.unboundedFollowing)) // grid-sized: bounded
+      val frontier = grid
+        .withColumn("above", aboveMax)
+        .filter(col("above").isNull || col("q") > col("above"))
+        .select("w", "q")
+      pts.join(frontier, Seq("w", "q"))
+        .select("doc_id", "w", "q")
+        .orderBy("doc_id")
+    }),
+
     // X159: recursive hierarchy closure — (node → root, depth) over a
     // parent-pointer dimension via pointer doubling (⌈log₂ depth⌉
     // self-joins, not depth-many descent rounds; operators/Hierarchy).
@@ -301,6 +414,38 @@ object Warehouse {
                 CAST(COUNT(*) AS BIGINT) AS n_items
          FROM lineitem WHERE month(l_shipdate) <= 3
          GROUP BY 1 ORDER BY 1""",
+
+    // plain join SQL: the gate hash proves the bloom-pruned scan
+    // loses no rows (the filter is one-sided by construction)
+    "x140_runtime_filter" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the naive count the bitmap algebra must reproduce
+    "x141_bitmap_index" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_pair
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    // the quadratic dominance definition (Börzsönyi 2001): the engine's
+    // grid refinement must select exactly the non-dominated set
+    "x142_skyline" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                      FROM documents),
+              pts AS (
+           SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS w,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS q
+           FROM tok WHERE len(t) > 0)
+         SELECT p.doc_id, p.w, p.q
+         FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts o
+           WHERE o.w >= p.w AND o.q >= p.q AND (o.w > p.w OR o.q > p.q))
+         ORDER BY p.doc_id""",
 
     "x139_hierarchy" ->
       """WITH RECURSIVE n AS (SELECT c_custkey AS id,

@@ -70,6 +70,30 @@ class AggRewriteSpec extends SparkSpecBase {
       "a predicate on a non-grouping column must block the rewrite")
   }
 
+  test("column-pruning Projects between the groupBy and the base don't block routing") {
+    val (li, summary) = setup()
+    val direct = li
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+      .filter(col("l_linestatus") === "F")
+      .select("l_returnflag", "l_quantity")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+    val routed = AggRewrite(spark, direct, Seq(summary))
+    assert(routed.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.isEmpty, "bare-attribute Projects must not block the rewrite")
+    assert(routed.orderBy("l_returnflag").collect().map(_.toString).toSeq ==
+      direct.orderBy("l_returnflag").collect().map(_.toString).toSeq)
+
+    val computed = li
+      .withColumn("qty2", col("l_quantity") * 2) // derived column: not on the summary
+      .groupBy("l_returnflag")
+      .agg(sum(col("qty2").cast("decimal(18,2)")).as("sq"))
+    assert(AggRewrite(spark, computed, Seq(summary)).queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.nonEmpty, "a computed Project must block the rewrite")
+  }
+
   test("session-registry rule applies the same transform") {
     val (li, summary) = setup()
     AggRewrite.clearRegistry()

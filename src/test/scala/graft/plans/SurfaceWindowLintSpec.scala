@@ -26,7 +26,10 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     // distinct-value grid (n_chars values / event days), metadata-sized
     // at any corpus scale — the x113-oracle "dense grid" design
     "x113_ks_drift",
-    "x121_survival_hazard")
+    "x121_survival_hazard",
+    // skyline suffix-max: the Window input is the (w, max q) grid —
+    // bounded by the distinct token-count range, metadata-sized
+    "x142_skyline")
 
   test("no surface query plans an un-partitioned Window (TopFrac histogram exemptions aside)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)

@@ -67,6 +67,38 @@ class WarehouseOpsSpec extends SparkSpecBase {
     assert(df.collect().nonEmpty)
   }
 
+  test("x140: the joined fact values survive the bloom prune; the filter is in the plan") {
+    // the require() inside the builder already pins injection — reaching
+    // collect() proves both the plan shape and that confs were restored
+    val rows = run("x140_runtime_filter").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) > 0))
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "builder must restore the broadcast threshold")
+  }
+
+  test("x141: bitmap popcount algebra reproduces the direct group-by exactly") {
+    val bitmap = run("x141_bitmap_index").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bitmap == direct)
+  }
+
+  test("x142: frontier is mutually non-dominated and dominates everything else") {
+    val pts = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "cast(size(split(trim(lower(text)), '\\\\s+')) as long) as w",
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as long) as q")
+      .filter("w > 0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = pts.exists(o =>
+      o._2 >= p._2 && o._3 >= p._3 && (o._2 > p._2 || o._3 > p._3))
+    val want = pts.filterNot(dominated).map(_._1).toSet
+    val got = run("x142_skyline").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"grid skyline != brute force: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("x139: hierarchy resolves every customer to the single root with exact depths") {
     val rows = run("x139_hierarchy").collect()
     val depth0 = rows.find(_.getLong(0) == 0L).get
