@@ -143,7 +143,7 @@ object AggRewrite {
     * file-path fallback (two separate `read.parquet(path)` calls build
     * distinct FileIndex instances whose canonical forms may differ by
     * reference; the root paths are the identity that matters). */
-  private def sameBase(a: LogicalPlan, b: LogicalPlan): Boolean =
+  private[plans] def sameBase(a: LogicalPlan, b: LogicalPlan): Boolean =
     a.sameResult(b) || ((paths(a), paths(b)) match {
       case (Some(pa), Some(pb)) => pa == pb && a.schema == b.schema
       case _ => false

@@ -46,11 +46,14 @@ object NondeterministicFilterLint {
 }
 
 /** Session extension registrar: the O-3 lint as an analysis check, and
-  * the aggregate navigator ([[AggRewrite.RegistryRule]]) as an
-  * optimizer rule over the session's registered rollups. */
+  * the two warehouse rewrites — the aggregate navigator
+  * ([[AggRewrite.RegistryRule]]) over the session's registered rollups
+  * and PK-FK join elimination ([[JoinElim.RegistryRule]]) over the
+  * session's declared key constraints — as optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(_ => NondeterministicFilterLint.check)
     e.injectOptimizerRule(_ => AggRewrite.RegistryRule)
+    e.injectOptimizerRule(_ => JoinElim.RegistryRule)
   }
 }

@@ -3,18 +3,18 @@ package graft.queries
 import graft.Tables
 import graft.dims.LateDim
 import graft.operators.Hierarchy
-import graft.plans.AggRewrite
+import graft.plans.{AggRewrite, JoinElim}
 import graft.util.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-depth operators beyond the reference's summary layer
-  * (SURVEY §2.7a X153-X162): the aggregate navigator, late-arriving
+  * (SURVEY §2.7a X153-X164): the aggregate navigator, late-arriving
   * dimensions, the accumulating-snapshot fact, functional-dependency
   * profiling, dynamic partition pruning, recursive hierarchy closure,
-  * runtime bloom-filter join pruning, bitmap-index algebra, and
-  * skyline selection. Every query is oracle-gated (DuckDB SQL in
-  * [[oracles]]).
+  * runtime bloom-filter join pruning, bitmap-index algebra, skyline
+  * selection, PK-FK join elimination, and the semi-additive balance
+  * rollup. Every query is oracle-gated (DuckDB SQL in [[oracles]]).
   */
 object Warehouse {
 
@@ -310,6 +310,59 @@ object Warehouse {
         .orderBy("doc_id")
     }),
 
+    // X163: PK-FK join elimination — the second warehouse optimizer
+    // rewrite beside x133's navigator: a BI-generated star query joins
+    // the part dimension but reads no part column, so under the
+    // DECLARED constraints (part unique on p_partkey; referential
+    // integrity l_partkey → p_partkey — exactly what the q_fk_orphan
+    // audit measures) the join cannot change the result and
+    // plans/JoinElim drops it. The require() pins that the rewritten
+    // plan scans ONE relation (the fact); the oracle states the query
+    // WITH the join, so the hash gate proves elimination loses
+    // nothing. At 100 TB: no dim broadcast build+probe per executor
+    // per batch, and no risk of the dim edge degrading to a shuffle.
+    "x143_join_elim" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val c = JoinElim.constraint(p, "p_partkey", referential = true)
+      val starQuery = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+             count(lit(1)).as("n_items"))
+      val routed = JoinElim(s, starQuery, Seq(c))
+      val scans = routed.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      require(scans.size == 1,
+        s"join elimination did not fire (plan scans ${scans.size} relations)")
+      routed.orderBy("l_returnflag")
+    }),
+
+    // X164: semi-additive balance rollup — the Kimball measure type
+    // that is additive across ACCOUNTS but not across TIME (a balance
+    // summed over months is meaningless): per (customer, month) take
+    // the LAST order's total price as the month-end balance (latest
+    // o_orderdate, o_orderkey tiebreak — fully deterministic), then
+    // roll up across customers per month. The last-value step is a
+    // (customer, month)-partitioned window — key-partitioned, never
+    // corpus-wide; the rollup is one map-combined aggregate. The
+    // oracle states the same QUALIFY row_number() form.
+    "x144_semi_additive" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey", "month")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val monthEnd = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      monthEnd.groupBy("month")
+        .agg(count(lit(1)).as("n_accounts"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+               .as("total_balance"))
+        .orderBy("month")
+    }),
+
     // X159: recursive hierarchy closure — (node → root, depth) over a
     // parent-pointer dimension via pointer doubling (⌈log₂ depth⌉
     // self-joins, not depth-many descent rounds; operators/Hierarchy).
@@ -446,6 +499,27 @@ object Warehouse {
            SELECT 1 FROM pts o
            WHERE o.w >= p.w AND o.q >= p.q AND (o.w > p.w OR o.q > p.q))
          ORDER BY p.doc_id""",
+
+    // the query WITH the dimension join: the gate hash proves
+    // elimination under the declared constraints loses nothing
+    "x143_join_elim" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "x144_semi_additive" ->
+      """WITH ranked AS (
+           SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m')
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         SELECT month,
+                CAST(COUNT(*) AS BIGINT) AS n_accounts,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+         FROM ranked WHERE rn = 1
+         GROUP BY month ORDER BY month""",
 
     "x139_hierarchy" ->
       """WITH RECURSIVE n AS (SELECT c_custkey AS id,

@@ -99,6 +99,15 @@ class WarehouseOpsSpec extends SparkSpecBase {
     assert(got == want, s"grid skyline != brute force: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("x144: exactly one balance row per (customer, month); semi-additive rollup") {
+    val o = graft.Tables.orders(spark, sfDir)
+    val nPairs = o.selectExpr("o_custkey", "date_format(o_orderdate, 'yyyy-MM') as m")
+      .distinct().count()
+    val rows = run("x144_semi_additive").collect()
+    assert(rows.map(_.getLong(1)).sum == nPairs,
+      "each (customer, month) contributes exactly one month-end balance")
+  }
+
   test("x139: hierarchy resolves every customer to the single root with exact depths") {
     val rows = run("x139_hierarchy").collect()
     val depth0 = rows.find(_.getLong(0) == 0L).get
