@@ -3,18 +3,19 @@ package graft.queries
 import graft.Tables
 import graft.dims.LateDim
 import graft.operators.Hierarchy
-import graft.plans.{AggRewrite, JoinElim}
+import graft.plans.{AggRewrite, DistinctElim, JoinElim}
 import graft.util.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-depth operators beyond the reference's summary layer
-  * (SURVEY §2.7a X153-X164): the aggregate navigator, late-arriving
-  * dimensions, the accumulating-snapshot fact, functional-dependency
+  * (SURVEY §2.7a X153-X166): the aggregate navigator, late-arriving
+  * dimensions, all three Kimball fact types (accumulating X155,
+  * semi-additive X164, periodic-snapshot X165), functional-dependency
   * profiling, dynamic partition pruning, recursive hierarchy closure,
   * runtime bloom-filter join pruning, bitmap-index algebra, skyline
-  * selection, PK-FK join elimination, and the semi-additive balance
-  * rollup. Every query is oracle-gated (DuckDB SQL in [[oracles]]).
+  * selection, and PK-FK join / distinct elimination. Every query is
+  * oracle-gated (DuckDB SQL in [[oracles]]).
   */
 object Warehouse {
 
@@ -363,6 +364,82 @@ object Warehouse {
         .orderBy("month")
     }),
 
+    // X165: periodic-snapshot fact — the third Kimball fact type,
+    // completing the trio (transaction grain = the reference's own
+    // warehouse; accumulating = x135; periodic = this): every
+    // customer's balance AS OF each month end, with months of no
+    // activity carrying the last observed balance forward (x88's LOCF
+    // discipline — a balance persists through silent months, a spend
+    // does not). The ORACLE states the naive definition — the dense
+    // customer × month spine with an IGNORE-NULLS carry window. The
+    // engine NEVER builds that spine: a carried balance is a step
+    // function, so the monthly rollup telescopes from per-customer
+    // BALANCE DELTAS (b − lag(b) over each customer's OWN sparse
+    // balance months) summed per month and cumulated once over the
+    // bounded month grid (the x113/x121 grid discipline — the only
+    // un-partitioned window is ~dozens of rows at any corpus size).
+    // Deltas are exact decimals, so the telescoped totals are
+    // bit-identical to the spine form — the hash gate PROVES delta ≡
+    // dense-LOCF. At 100 TB: balance-event-sized work instead of a
+    // customers × months materialization; n_accounts is monotone
+    // nondecreasing by construction (spec-pinned).
+    "x145_periodic_snapshot" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey", "month")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val monthEnd = o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("month"),
+          col("o_totalprice").cast("decimal(18,2)").as("balance"))
+      val wc = Window.partitionBy("o_custkey").orderBy("month")
+      val deltas = monthEnd.select(col("month"),
+        (col("balance") -
+          coalesce(lag(col("balance"), 1).over(wc),
+            lit(0).cast("decimal(18,2)"))).as("delta"),
+        when(lag(col("balance"), 1).over(wc).isNull, 1L).otherwise(0L)
+          .as("new_acct"))
+      val perMonth = deltas.groupBy("month")
+        .agg(sum(col("delta")).as("d_bal"), sum(col("new_acct")).as("d_acct"))
+      val grid = Window.orderBy("month") // bounded month grid, x113 discipline
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perMonth.select(col("month"),
+          sum(col("d_acct")).over(grid).as("n_accounts"),
+          sum(col("d_bal")).over(grid).cast("double").as("total_balance"))
+        .orderBy("month")
+    }),
+
+    // X166: distinct elimination on declared unique keys — the third
+    // optimizer rewrite: generated queries wrap subselects in DISTINCT
+    // defensively; when the distinct set contains a declared unique
+    // key (o_orderkey — the PK the q_k audit family can verify), the
+    // operator is a no-op that Spark would still plan as a corpus-wide
+    // hash-aggregate shuffle. plans/DistinctElim drops it; the
+    // require() pins that no Deduplicate survives AND exactly one
+    // Aggregate remains (the real rollup); the oracle states the query
+    // WITH the DISTINCT.
+    "x146_distinct_elim" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val uk = DistinctElim.unique(o, "o_orderkey")
+      val q = o.select("o_orderkey", "o_custkey", "o_orderpriority")
+        .distinct() // no-op under the declared PK
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"))
+      val routed = DistinctElim(s, q, Seq(uk))
+      val analyzed = routed.queryExecution.analyzed
+      val dedups = analyzed.collect {
+        case dd: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => dd
+      }
+      require(dedups.isEmpty,
+        "distinct elimination did not fire (Deduplicate still planned)")
+      routed.orderBy("o_orderpriority")
+    }),
+
     // X159: recursive hierarchy closure — (node → root, depth) over a
     // parent-pointer dimension via pointer doubling (⌈log₂ depth⌉
     // self-joins, not depth-many descent rounds; operators/Hierarchy).
@@ -520,6 +597,39 @@ object Warehouse {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
          FROM ranked WHERE rn = 1
          GROUP BY month ORDER BY month""",
+
+    "x145_periodic_snapshot" ->
+      """WITH o AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+                           o_orderdate, o_orderkey, o_totalprice FROM orders),
+              ranked AS (SELECT o_custkey, month, o_totalprice,
+                                row_number() OVER (PARTITION BY o_custkey, month
+                                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                         FROM o),
+              month_end AS (SELECT o_custkey, month, o_totalprice AS balance
+                            FROM ranked WHERE rn = 1),
+              months AS (SELECT DISTINCT month FROM o),
+              spine AS (SELECT c_custkey AS o_custkey, month FROM customer CROSS JOIN months),
+              carried AS (
+                SELECT s.month,
+                       last_value(m.balance IGNORE NULLS) OVER (
+                         PARTITION BY s.o_custkey ORDER BY s.month
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+                FROM spine s LEFT JOIN month_end m
+                  ON s.o_custkey = m.o_custkey AND s.month = m.month)
+         SELECT month,
+                CAST(COUNT(carried) AS BIGINT) AS n_accounts,
+                CAST(SUM(CAST(carried AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+         FROM carried GROUP BY month ORDER BY month""",
+
+    // the query WITH the defensive DISTINCT: elimination under the
+    // declared PK must be invisible in the values
+    "x146_distinct_elim" ->
+      """SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+                CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+         FROM (SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "x139_hierarchy" ->
       """WITH RECURSIVE n AS (SELECT c_custkey AS id,

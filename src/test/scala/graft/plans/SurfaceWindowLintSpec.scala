@@ -29,7 +29,10 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     "x121_survival_hazard",
     // skyline suffix-max: the Window input is the (w, max q) grid —
     // bounded by the distinct token-count range, metadata-sized
-    "x142_skyline")
+    "x142_skyline",
+    // periodic snapshot: the cumulative window runs over the per-month
+    // delta aggregate — the bounded month grid, never the corpus
+    "x145_periodic_snapshot")
 
   test("no surface query plans an un-partitioned Window (TopFrac histogram exemptions aside)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)

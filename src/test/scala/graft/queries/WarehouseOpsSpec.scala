@@ -108,6 +108,14 @@ class WarehouseOpsSpec extends SparkSpecBase {
       "each (customer, month) contributes exactly one month-end balance")
   }
 
+  test("x145: carried account count is monotone nondecreasing over months") {
+    val rows = run("x145_periodic_snapshot").collect() // already month-ordered
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b >= a },
+      "LOCF can only add carried accounts, never lose them")
+    assert(counts.last <= graft.Tables.customer(spark, sfDir).count())
+  }
+
   test("x139: hierarchy resolves every customer to the single root with exact depths") {
     val rows = run("x139_hierarchy").collect()
     val depth0 = rows.find(_.getLong(0) == 0L).get
