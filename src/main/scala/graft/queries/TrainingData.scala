@@ -262,6 +262,8 @@ object TrainingData {
   val PpsSampleN = 64L
   /** x137: priority-sample (weighted, without replacement) size. */
   val SampleTopK = 64
+  /** x147: Matryoshka truncation prefix (leading dims kept). */
+  val MatryoshkaPrefix = 16
 
   /** x74: semantic-contamination cosine cut — a train vector this close
     * to any benchmark vector is flagged. Shared by the Spark plan and
@@ -2517,6 +2519,33 @@ object TrainingData {
         .select("doc_id", "w", "pri")
         .orderBy("doc_id")),
 
+    // X167: Matryoshka truncation recall audit (Kusupati et al. 2022
+    // shape) — before serving a dimension-truncated index, measure
+    // what the prefix loses: exact top-5 by FULL 64-dim cosine vs
+    // exact top-5 by the LEADING-16-dim prefix (its own norms — the
+    // truncated vector IS the representation, not a scaled slice),
+    // overlap per query. The read that decides whether a 4× smaller
+    // ANN index (4× less memory bandwidth at 100 TB serving scale) is
+    // safe for THIS embedding version — trained-with-MRL embeddings
+    // hold high overlap, PCA-rotated ones collapse. Both sides are the
+    // x11/x55-bounded brute-force shape (queries × corpus, element
+    // join, codegen'd long dots); outputs all-integer.
+    "x147_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trunc = emb.withColumn("embedding",
+        slice(col("embedding"), 1, MatryoshkaPrefix))
+      def top5(e: DataFrame) =
+        Similarity.topK(e, e.filter(col("vec_id") < 10), 5).select("qid", "vb")
+      val full = top5(emb)
+      val overlap = full.join(top5(trunc), Seq("qid", "vb"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      full.select("qid").distinct()
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy("qid")
+    }),
+
     // X131: k-core peeling on the near-dup graph — the density
     // complement of x17's connectivity and x123's triangles: the
     // 2-core after three peel rounds is the template-farm/mirror-ring
@@ -2846,6 +2875,36 @@ object TrainingData {
                    AS skip_ppm
           FROM mb JOIN tr USING (term), tot ORDER BY term"""
     },
+    // both top-5s replayed with the x11 ranking (cos DESC, vb); the
+    // prefix side re-derives ITS OWN norms over the leading dims
+    "x147_matryoshka" ->
+      s"""WITH $embCte,
+          ep AS (SELECT vec_id, q, pos FROM e WHERE pos <= $MatryoshkaPrefix),
+          normsp AS (SELECT vec_id, CAST(SUM(q * q) AS DOUBLE) AS nsq FROM ep GROUP BY vec_id),
+          df AS (SELECT a.vec_id AS qid, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+                 FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+          rf AS (SELECT qid, vb FROM
+                  (SELECT qid, vb, row_number() OVER (PARTITION BY qid
+                     ORDER BY CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) DESC, vb) AS rank
+                   FROM df JOIN norms x ON x.vec_id = qid JOIN norms y ON y.vec_id = vb)
+                 WHERE rank <= 5),
+          dp AS (SELECT a.vec_id AS qid, b.vec_id AS vb, SUM(a.q * b.q) AS dot
+                 FROM ep a JOIN ep b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+          rp AS (SELECT qid, vb FROM
+                  (SELECT qid, vb, row_number() OVER (PARTITION BY qid
+                     ORDER BY CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) DESC, vb) AS rank
+                   FROM dp JOIN normsp x ON x.vec_id = qid JOIN normsp y ON y.vec_id = vb)
+                 WHERE rank <= 5),
+          ov AS (SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM rf f JOIN rp p ON f.qid = p.qid AND f.vb = p.vb GROUP BY 1)
+          SELECT q.qid,
+                 COALESCE(ov.n, 0) AS n_overlap,
+                 COALESCE(ov.n, 0) * 20 AS recall_pct
+          FROM (SELECT DISTINCT qid FROM rf) q LEFT JOIN ov USING (qid)
+          ORDER BY q.qid""",
+
     // the naive form: full sort by the same all-integer priority (the
     // engine's TakeOrdered top-k is hash-proven ≡)
     "x137_weighted_sample" ->

@@ -15,6 +15,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got === 32L * 1000000L * 1000000L)
   }
 
+  test("x147: identity truncation gives 100% recall; prefix recall bounded by k") {
+    val q = graft.queries.TrainingData.queries("x147_matryoshka")
+    val rows = q(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
+    // sanity of the audit itself: truncating to the FULL width is the
+    // identity, so every query must overlap 5/5
+    val emb = Tables.embeddings(spark, sfDir)
+    val full = Similarity.topK(emb, emb.filter(col("vec_id") < 5), 5).select("qid", "vb")
+    val same = Similarity.topK(
+      emb.withColumn("embedding", slice(col("embedding"), 1, 64)),
+      emb.filter(col("vec_id") < 5).withColumn("embedding", slice(col("embedding"), 1, 64)),
+      5).select("qid", "vb")
+    assert(full.join(same, Seq("qid", "vb")).count() == full.count())
+  }
+
   test("topK returns k ranked neighbours per query, self excluded, cos in [-1,1]") {
     val emb = Tables.embeddings(spark, sfDir)
     val res = Similarity.topK(emb, emb.filter(col("vec_id") < 5), 3).cache()
