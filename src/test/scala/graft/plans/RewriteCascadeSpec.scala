@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import graft.Tables
+import org.apache.spark.sql.catalyst.plans.logical.Deduplicate
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Integration pin for the three warehouse rewrites running INSIDE the
+  * optimizer (the GraftExtensions / extraOptimizations path), not just
+  * as per-plan calls — including the cascade the per-plan API can't
+  * express: PK-FK join elimination exposes an Aggregate-over-base
+  * shape that the aggregate navigator then routes onto the summary,
+  * within one fixed-point optimizer batch. A BI-generated star query
+  * (joins a dim it never reads, groups at the rollup grain) ends up
+  * reading NOTHING but the standing summary.
+  */
+class RewriteCascadeSpec extends SparkSpecBase {
+
+  test("join-elim then navigator cascade inside the optimizer; distinct elim too") {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+
+    val groupCols = Seq("l_returnflag", "l_linestatus")
+    val mv = AggRewrite.summarize(li, groupCols, Seq("l_quantity"))
+      .localCheckpoint(eager = true)
+    AggRewrite.clearRegistry(); JoinElim.clearRegistry(); DistinctElim.clearRegistry()
+    AggRewrite.register(AggRewrite.summaryFor(li, mv, groupCols, Seq("l_quantity")))
+    // LEFT join: eliminable on uniqueness alone, and it inserts no
+    // residual filter, so the navigator sees a clean Aggregate-over-base
+    JoinElim.register(JoinElim.constraint(p, "p_partkey", referential = false))
+    DistinctElim.register(DistinctElim.unique(o, "o_orderkey"))
+
+    val prevExtra = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prevExtra ++ Seq(JoinElim.RegistryRule, AggRewrite.RegistryRule,
+        DistinctElim.RegistryRule)
+    try {
+      val star = li.join(p, li("l_partkey") === p("p_partkey"), "left")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      val scans = star.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.isEmpty,
+        s"cascade must leave only the checkpointed summary; still scans: ${scans.size}")
+      // values survive the double rewrite
+      val direct = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      assert(star.orderBy("l_returnflag", "l_linestatus").collect().map(_.toString).toSeq ==
+        direct.orderBy("l_returnflag", "l_linestatus").collect().map(_.toString).toSeq)
+
+      val defensive = o.select("o_orderkey", "o_orderpriority").distinct()
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val dedups = defensive.queryExecution.optimizedPlan.collect {
+        case d: Deduplicate => d
+      }
+      // Deduplicate is rewritten to an Aggregate by the core optimizer
+      // BEFORE user rules run; the injected rule still must not break
+      // anything, and the per-plan path (x146's gate) covers the drop.
+      // Here we pin that the session-wide install is at least inert on
+      // this shape and exact on values.
+      assert(defensive.orderBy("o_orderpriority").collect().map(_.getLong(1)).sum ==
+        o.count(), dedups.toString)
+    } finally {
+      spark.experimental.extraOptimizations = prevExtra
+      AggRewrite.clearRegistry(); JoinElim.clearRegistry(); DistinctElim.clearRegistry()
+    }
+  }
+}
