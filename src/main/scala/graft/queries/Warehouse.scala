@@ -464,6 +464,176 @@ object Warehouse {
       byDepth.join(roots, Seq("depth")).join(bal, Seq("depth"))
         .select(col("depth"), col("n_nodes"), col("n_roots"), col("sum_bal"))
         .orderBy("depth")
+    }),
+
+    // X168: weighted-allocation bridge table — the Kimball answer to a
+    // header-grain measure that must be spent at line grain (freight,
+    // header discounts, here the order total): allocate o_totalprice
+    // across the order's lineitems proportional to extended-price
+    // share, INTEGER-EXACT in cents via largest-remainder
+    // apportionment (floored shares; the leftover cents go to the
+    // lines with the largest division remainders, linenumber
+    // tiebreak). Conservation holds by construction — Σ allocations
+    // per order == the order's total cents EXACTLY, never "≈ up to
+    // float drift" (WarehousePatternsSpec pins it on every order).
+    // Scale: one l_orderkey-partitioned window pass (per-order
+    // partitions are ≤7 lines in TPC-H and order-bounded anywhere);
+    // the brand rollup is one map-combined aggregate. The oracle
+    // restates the same apportionment in SQL, so the hash gate proves
+    // the allocation deterministic cross-engine.
+    "x148_bridge_alloc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lines = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("w"))
+      val heads = Tables.orders(s, d).select(
+        col("o_orderkey").as("l_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("tc"))
+      val byOrder = Window.partitionBy("l_orderkey")
+      val ranked = lines.join(heads, Seq("l_orderkey"))
+        .withColumn("sw", sum(col("w")).over(byOrder))
+        .withColumn("base", expr("(tc * w) div sw"))
+        .withColumn("fr", expr("(tc * w) % sw"))
+        .withColumn("rem", col("tc") - sum(expr("(tc * w) div sw")).over(byOrder))
+        .withColumn("rk", row_number().over(
+          byOrder.orderBy(col("fr").desc, col("l_linenumber"))))
+      val alloc = ranked.select(
+        col("l_partkey").as("p_partkey"),
+        (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L)).as("alloc"))
+      alloc.join(Tables.part(s, d).select("p_partkey", "p_brand"), Seq("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("alloc")).as("alloc_cents"), count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    }),
+
+    // X169: factless coverage fact — the Kimball fact type with NO
+    // measure: the (nation × month) coverage grid records what COULD
+    // have happened, and the gap report (nation-months with zero
+    // orders) is an anti-join of the grid against actual activity —
+    // a question the transaction fact alone cannot answer (absent rows
+    // don't exist to group). Scale: the fact collapses map-combined to
+    // its (nation, month) ACTIVITY grain in one shuffle; the grid is
+    // |nations| × |months| metadata crossed against a BROADCAST month
+    // frame (BroadcastNestedLoopJoin, never CartesianProduct — the
+    // surface lint pins this), so nothing corpus-sized is ever built.
+    "x149_factless_coverage" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val act = o.join(Tables.customer(s, d), o("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("a_nat"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("a_month"))
+        .distinct()
+      val months = o.select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .distinct()
+      val grid = Tables.nation(s, d).select("n_nationkey", "n_name")
+        .crossJoin(broadcast(months))
+      grid.join(act,
+          col("n_nationkey") === col("a_nat") && col("month") === col("a_month"),
+          "left")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_months"),
+             count(col("a_month")).as("n_active"),
+             sum(when(col("a_month").isNull, 1L).otherwise(0L)).as("n_gap"),
+             coalesce(min(when(col("a_month").isNull, col("month"))), lit(""))
+               .as("first_gap"))
+        .orderBy("n_name")
+    }),
+
+    // X170: SCD Type 3 — the previous-value attribute pair (current +
+    // prior, one alternate-reality column instead of SCD2's full
+    // history): each order is a change event to its customer's
+    // priority preference; the type-3 dim keeps the latest and the
+    // one-before value per customer (row_number ≤ 2 over the
+    // customer's change stream, fully deterministic tiebreaks). The
+    // gate emits the bounded current × previous transition matrix —
+    // '(none)' marks single-change customers, the row SCD3 must keep
+    // NULL-prior rather than dropping. Scale: one custkey-partitioned
+    // window + two bounded aggregates; the dim stays customer-grain.
+    "x150_scd3" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(max(when(col("rn") === 1, col("o_orderpriority"))).as("curr"),
+             max(when(col("rn") === 2, col("o_orderpriority"))).as("prev_raw"))
+        .select(col("curr"), coalesce(col("prev_raw"), lit("(none)")).as("prev"))
+        .groupBy("curr", "prev").agg(count(lit(1)).as("n_customers"))
+        .orderBy("curr", "prev")
+    }),
+
+    // X171: mini-dimension (Kimball Type 4) — rapidly-changing /
+    // wide-band customer attributes split into their own small
+    // "profile" dimension (balance band × segment × region) with
+    // surrogate keys assigned by ordinal rank over the DISTINCT combo
+    // table, so the hot attributes version independently of the
+    // million-row customer dim. The gate emits the profile dim with
+    // its usage counts — customers per profile, plus order count and
+    // exact-decimal revenue reaching each profile through the fact.
+    // Scale: the combo table is bands × segments × regions BOUNDED
+    // metadata at any corpus size (the surrogate-rank window runs over
+    // it alone — SurfaceWindowLintSpec exemption by that bound);
+    // profile assignment is a broadcast join; the orders rollup
+    // shuffles once on custkey.
+    "x151_minidim" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val prof = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+          col("c_mktsegment").as("segment"), col("r_name").as("region"))
+      val dim = prof.select("bal_band", "segment", "region").distinct()
+        .withColumn("profile_key",
+          row_number().over(Window.orderBy("bal_band", "segment", "region")))
+      val cust = prof.join(broadcast(dim), Seq("bal_band", "segment", "region"))
+        .select("c_custkey", "profile_key")
+      val byCust = cust.groupBy("profile_key").agg(count(lit(1)).as("n_customers"))
+      val byOrder = Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("profile_key")
+        .agg(count(lit(1)).as("n_orders_raw"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      dim.join(byCust, Seq("profile_key")).join(byOrder, Seq("profile_key"), "left")
+        .select(col("profile_key"), col("bal_band"), col("segment"), col("region"),
+          col("n_customers"),
+          coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0).cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("profile_key")
+    }),
+
+    // X172: role-playing date dimension — ONE physical date dim joined
+    // under two logical roles (order date, ship date), the standard
+    // warehouse alternative to cloning calendar tables per role. The
+    // gate emits the (order quarter × ship quarter) revenue matrix —
+    // the lag structure only a two-role join can produce. Scale: the
+    // dim is calendar-bounded (~10³ rows/decade) and BROADCAST under
+    // both roles, so the fact is scanned once and never shuffled for
+    // either calendar edge; the matrix output is quarter² bounded.
+    "x152_role_playing" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val dates = o.select(col("o_orderdate").cast("date").as("dd"))
+        .union(li.select(col("l_shipdate").cast("date").as("dd")))
+        .distinct()
+      val dim = dates.select(col("dd"),
+        concat(year(col("dd")).cast("string"), lit("-Q"),
+          quarter(col("dd")).cast("string")).as("q"))
+      val fact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderdate").cast("date").as("od"),
+          col("l_shipdate").cast("date").as("sd"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      fact
+        .join(broadcast(dim.select(col("dd").as("od"), col("q").as("order_quarter"))),
+          Seq("od"))
+        .join(broadcast(dim.select(col("dd").as("sd"), col("q").as("ship_quarter"))),
+          Seq("sd"))
+        .groupBy("order_quarter", "ship_quarter")
+        .agg(count(lit(1)).as("n_items"), Det.dsumExpr(col("r")).as("revenue"))
+        .orderBy("order_quarter", "ship_quarter")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -646,5 +816,105 @@ object Warehouse {
                 CAST(COUNT(DISTINCT r.root) AS BIGINT) AS n_roots,
                 CAST(SUM(CAST(n.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM r JOIN n USING (id)
-         GROUP BY r.depth ORDER BY r.depth""")
+         GROUP BY r.depth ORDER BY r.depth""",
+
+    // the same largest-remainder apportionment stated in SQL — the
+    // hash gate proves the integer allocation deterministic cross-engine
+    "x148_bridge_alloc" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+                    FROM lineitem),
+              o AS (SELECT o_orderkey AS l_orderkey,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+                    FROM orders),
+              j AS (SELECT w.*, o.tc,
+                           SUM(w.w) OVER (PARTITION BY w.l_orderkey) AS sw
+                    FROM w JOIN o USING (l_orderkey)),
+              b AS (SELECT *, (tc * w) // sw AS base, (tc * w) % sw AS fr FROM j),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY l_orderkey
+                                              ORDER BY fr DESC, l_linenumber) AS rk,
+                           tc - SUM(base) OVER (PARTITION BY l_orderkey) AS rem
+                    FROM b),
+              a AS (SELECT l_partkey AS p_partkey,
+                           base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS alloc
+                    FROM r)
+         SELECT p_brand,
+                CAST(SUM(alloc) AS BIGINT) AS alloc_cents,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM a JOIN part USING (p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "x149_factless_coverage" ->
+      """WITH act AS (SELECT DISTINCT c.c_nationkey AS a_nat,
+                                      strftime(o.o_orderdate, '%Y-%m') AS a_month
+                      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+              months AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+                         FROM orders),
+              grid AS (SELECT n_nationkey, n_name, month FROM nation CROSS JOIN months)
+         SELECT g.n_name,
+                CAST(COUNT(*) AS BIGINT) AS n_months,
+                CAST(COUNT(a.a_month) AS BIGINT) AS n_active,
+                CAST(SUM(CASE WHEN a.a_month IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap,
+                COALESCE(MIN(CASE WHEN a.a_month IS NULL THEN g.month END), '') AS first_gap
+         FROM grid g LEFT JOIN act a
+           ON g.n_nationkey = a.a_nat AND g.month = a.a_month
+         GROUP BY g.n_name ORDER BY g.n_name""",
+
+    "x150_scd3" ->
+      """WITH ranked AS (
+           SELECT o_custkey, o_orderpriority,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders),
+              dim3 AS (
+           SELECT o_custkey,
+                  MAX(CASE WHEN rn = 1 THEN o_orderpriority END) AS curr,
+                  MAX(CASE WHEN rn = 2 THEN o_orderpriority END) AS prev_raw
+           FROM ranked WHERE rn <= 2 GROUP BY o_custkey)
+         SELECT curr, COALESCE(prev_raw, '(none)') AS prev,
+                CAST(COUNT(*) AS BIGINT) AS n_customers
+         FROM dim3 GROUP BY curr, prev ORDER BY curr, prev""",
+
+    "x151_minidim" ->
+      """WITH prof AS (
+           SELECT c_custkey,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                  c_mktsegment AS segment, r_name AS region
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+              dim AS (
+           SELECT row_number() OVER (ORDER BY bal_band, segment, region) AS profile_key,
+                  bal_band, segment, region
+           FROM (SELECT DISTINCT bal_band, segment, region FROM prof)),
+              cust AS (
+           SELECT p.c_custkey, d.profile_key FROM prof p
+           JOIN dim d ON p.bal_band = d.bal_band
+                     AND p.segment = d.segment AND p.region = d.region),
+              co AS (SELECT profile_key, COUNT(*) AS n_customers FROM cust GROUP BY 1),
+              oo AS (SELECT profile_key, COUNT(*) AS n_orders,
+                            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                     FROM orders JOIN cust ON o_custkey = c_custkey GROUP BY 1)
+         SELECT d.profile_key, d.bal_band, d.segment, d.region,
+                CAST(co.n_customers AS BIGINT) AS n_customers,
+                CAST(COALESCE(oo.n_orders, 0) AS BIGINT) AS n_orders,
+                CAST(COALESCE(oo.rev, 0) AS DOUBLE) AS revenue
+         FROM dim d JOIN co USING (profile_key) LEFT JOIN oo USING (profile_key)
+         ORDER BY d.profile_key""",
+
+    "x152_role_playing" ->
+      """WITH dd AS (
+           SELECT dd, CAST(year(dd) AS VARCHAR) || '-Q' || CAST(quarter(dd) AS VARCHAR) AS q
+           FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dd FROM orders
+                 UNION SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem)),
+              f AS (
+           SELECT CAST(o_orderdate AS DATE) AS od, CAST(l_shipdate AS DATE) AS sd,
+                  l_extendedprice * (1.0 - l_discount) AS r
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT o.q AS order_quarter, s.q AS ship_quarter,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM f JOIN dd o ON f.od = o.dd JOIN dd s ON f.sd = s.dd
+         GROUP BY o.q, s.q ORDER BY order_quarter, ship_quarter""")
 }

@@ -32,7 +32,11 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     "x142_skyline",
     // periodic snapshot: the cumulative window runs over the per-month
     // delta aggregate — the bounded month grid, never the corpus
-    "x145_periodic_snapshot")
+    "x145_periodic_snapshot",
+    // mini-dimension: the surrogate-rank window runs over the DISTINCT
+    // (band, segment, region) combo table — bands × segments × regions
+    // bounded metadata at any corpus size
+    "x151_minidim")
 
   test("no surface query plans an un-partitioned Window (TopFrac histogram exemptions aside)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
