@@ -75,7 +75,7 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   * column of every row with no driver collect. Each timed run starts
   * from a cleared DataFrame-cache so it re-does all real work.
   *
-  * Seventeen queries are timed in their SERVICE shape. x41 (sketch
+  * Eighteen queries are timed in their SERVICE shape. x41 (sketch
   * accuracy) and x55 (ANN recall) are continuous index-quality
   * monitors, and x61 (SemDeDup) + x74 (semantic decontamination) probe
   * the SAME trained IVF assignment table (that sharing is the service
@@ -89,9 +89,9 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   * amortized across every consumer — and the timed forms are the SAME
   * functions (`DedupPlane.accuracy`, `TrainingData.annRecall`,
   * `Similarity.semDedupOnIndex`) over the parquet scan (probe ≡ gate
-  * results, spec-checked). The same amortization applies to the eleven
+  * results, spec-checked). The same amortization applies to the twelve
   * PAIR-TABLE consumers (x17/x38/x42/x43/x70/x75/x84/x96/x97/x123/
-  * x131): a curation stack
+  * x131/x156): a curation stack
   * materializes each detector's near-dup pair output once and every
   * audit joins it, so the prelude persists the MinHash (and, for x70,
   * SimHash) pair tables and the timed forms are the shared tail
@@ -192,7 +192,8 @@ object Bench {
     val pairConsumers = Set("x17_dedup_clusters", "x38_cluster_keeper",
       "x42_split_leakage", "x43_component_split", "x70_dedup_agreement",
       "x75_source_overlap", "x84_dup_pagerank", "x96_contam_spread",
-      "x97_threshold_sweep", "x123_triangles", "x131_kcore")
+      "x97_threshold_sweep", "x123_triangles", "x131_kcore",
+      "x156_golden_record")
     val probes: Map[String, (SparkSession, String) => DataFrame] =
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
                           || n == "x61_semdedup" || n == "x74_semantic_decontam"
@@ -298,6 +299,9 @@ object Bench {
           if (names.contains("x131_kcore"))
             m += "x131_kcore" -> ((s: SparkSession, _: String) =>
               graft.dedup.Dedup.kcorePeel(mhPairs(s)))
+          if (names.contains("x156_golden_record"))
+            m += "x156_golden_record" -> ((s: SparkSession, d: String) =>
+              TrainingData.goldenRecord(mhPairs(s), Tables.documents(s, d)))
           if (names.contains("x97_threshold_sweep"))
             // LSH ≡ exact at 0.5 (DedupSpec) — the sweep's conditional
             // counts read the standing pair plane directly

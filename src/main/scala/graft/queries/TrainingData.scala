@@ -131,6 +131,35 @@ object TrainingData {
               CAST(s.doc_id = k.keeper_id AS INT) AS is_keeper
        FROM scored s JOIN k USING (component) ORDER BY s.doc_id"""
 
+  // golden-record survivorship over the same components: master by
+  // (length DESC, doc_id), lang/source by mode (count DESC, value DESC —
+  // the stated lexicographically-last tiebreak), sizes aggregated
+  private def goldenRecordOracleSql(iters: Int = 2): String =
+    s"""WITH ${clusterCtes(iters)},
+       m AS (SELECT l.doc_id, l.component, d.text, d.lang, d.source, d.n_chars
+             FROM l$iters l JOIN documents d USING (doc_id)),
+       masters AS (SELECT component,
+                          CAST(COUNT(*) AS BIGINT) AS n_members,
+                          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                   FROM m GROUP BY component),
+       mk AS (SELECT component, doc_id AS master_id
+              FROM (SELECT *, row_number() OVER (PARTITION BY component
+                                                 ORDER BY length(text) DESC, doc_id) AS rn
+                    FROM m) WHERE rn = 1),
+       lm AS (SELECT component, lang
+              FROM (SELECT component, lang,
+                           row_number() OVER (PARTITION BY component
+                                              ORDER BY COUNT(*) DESC, lang DESC) AS rn
+                    FROM m GROUP BY component, lang) WHERE rn = 1),
+       sm AS (SELECT component, source
+              FROM (SELECT component, source,
+                           row_number() OVER (PARTITION BY component
+                                              ORDER BY COUNT(*) DESC, source DESC) AS rn
+                    FROM m GROUP BY component, source) WHERE rn = 1)
+       SELECT component, master_id, n_members, total_chars, lang, source
+       FROM masters JOIN mk USING (component) JOIN lm USING (component)
+       JOIN sm USING (component) ORDER BY component"""
+
   // md5-parity simhash, generated from the same bit count as Dedup.simhashMd5
   private val simhashSelect: String = {
     val votes = (0 until 32).map(j =>
@@ -390,6 +419,39 @@ object TrainingData {
     val labels = Dedup.nearDupComponents(p, docs)
     splitMatrix(p,
       labels.select(col("doc_id"), splitCol(col("component")).as("split")))
+  }
+
+  /** x156 tail: golden-record survivorship over the near-dup
+    * components — master identity by (length DESC, doc_id), lang and
+    * source by mode (ties → lexicographically last), sizes
+    * aggregated. The three rules consume the labeled members, so the
+    * doc-sized member table (len replaces text — never
+    * corpus-text-sized) is pinned ONCE; each rule is a map-combinable
+    * component-keyed aggregate, never a per-component rank window. */
+  def goldenRecord(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val labels = Dedup.nearDupComponents(pairs, docs)
+    val m = labels.select("doc_id", "component").join(docs, Seq("doc_id"))
+      .select(col("component"), col("doc_id"),
+        length(col("text")).as("len"), col("lang"), col("source"),
+        col("n_chars"))
+      .localCheckpoint(true)
+    val masters = m.groupBy("component").agg(
+      max(struct(col("len"), (-col("doc_id")).as("nid"))).as("mx"),
+      count(lit(1)).as("n_members"),
+      sum(col("n_chars")).as("total_chars"))
+      .select(col("component"), (-col("mx.nid")).as("master_id"),
+        col("n_members"), col("total_chars"))
+    def fieldMode(field: String): DataFrame =
+      m.groupBy(col("component"), col(field))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("component")
+        .agg(max(struct(col("cnt"), col(field).as("v"))).as("mx"))
+        .select(col("component"), col("mx.v").as(field))
+    masters.join(fieldMode("lang"), Seq("component"))
+      .join(fieldMode("source"), Seq("component"))
+      .select("component", "master_id", "n_members", "total_chars",
+        "lang", "source")
+      .orderBy("component")
   }
 
   /** x75 tail: unordered source-pair duplication cells off the pair
@@ -1021,6 +1083,23 @@ object TrainingData {
       Dedup.componentKeepers(labels,
           docs.select(col("doc_id"), length(col("text")).as("len")), "len")
         .orderBy("doc_id")
+    }),
+
+    // X176: golden-record survivorship — x38 picks ONE member per
+    // near-dup cluster; entity resolution's last step instead MERGES
+    // the cluster into a single record with per-FIELD survivorship
+    // rules (MDM's "best version of the truth"): the master identity
+    // is the longest member (ties → min id, the x38 rule), but lang
+    // and source survive by MODE across members (ties → the
+    // lexicographically last value — stated, so both engines agree),
+    // and the size fields aggregate. Every rule is a map-combinable
+    // aggregate on the component key — mode is a two-level count +
+    // argmax via max(struct(cnt, value)), never a per-component rank
+    // window (a boilerplate cluster can hold millions of members).
+    // Output is component-sized at any corpus scale.
+    "x156_golden_record" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      goldenRecord(Dedup.minhashNearDups(docs, 0.5), docs)
     }),
 
     // Line-level boilerplate removal (the CCNet/RefinedWeb-style
@@ -3211,6 +3290,7 @@ object TrainingData {
           SELECT doc_id, pr AS pr_ppm FROM pr4 ORDER BY doc_id""",
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
+    "x156_golden_record" -> goldenRecordOracleSql(),
     "x43_component_split" ->
       s"""WITH ${clusterCtes(2)},
           assign AS (SELECT doc_id,

@@ -634,6 +634,304 @@ object Warehouse {
         .groupBy("order_quarter", "ship_quarter")
         .agg(count(lit(1)).as("n_items"), Det.dsumExpr(col("r")).as("revenue"))
         .orderBy("order_quarter", "ship_quarter")
+    }),
+
+    // X173 (pair): the DIRECT form of the 5-way dimension chain — the
+    // order a BI tool writes it (fact first), which is the order
+    // Catalyst KEEPS absent CBO stats: the full lineitem⋈orders join
+    // runs before any region selectivity applies, and 100% of fact
+    // rows survive to the customer join where 80% die. Both pair rows
+    // merge-hint the joins whose build side is fact- or
+    // customer-sized (at 100 TB neither orders nor customer fits a
+    // broadcast — at gate SF AQE would happily broadcast both, hiding
+    // the shuffle structure the pair exists to measure; the 25-row
+    // nation/region dims stay broadcast in BOTH rows, as any engine
+    // would run them). The direct form re-shuffles the joined fact
+    // stream on the customer key; x153 removes that. Same oracle.
+    "q_chain_direct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("shuffle_merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).hint("shuffle_merge"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("n_name")),
+
+    // X173: Yannakakis semi-join reduction on the acyclic dimension
+    // chain region → nation → customer → orders → lineitem: the root
+    // predicate (r_name = 'EUROPE') propagates DOWN the chain one
+    // join at a time before the fact edge runs, so every intermediate
+    // is output-bounded (the Yannakakis guarantee). This is the
+    // MULTI-HOP completion of X160's runtime bloom filter:
+    // InjectRuntimeFilter pushes a dim predicate one join deep; a
+    // 4-deep chain needs the reduction written as the plan. The
+    // down-pass carries only NARROW int keys (the n_name decode joins
+    // the 25-row dim AFTER the aggregate), and the fact stream is
+    // shuffled exactly ONCE, on its own join key — the direct form
+    // re-shuffles the full joined fact stream on the customer key.
+    // Same merge-hint regime as q_chain_direct (the 100 TB shape;
+    // the pair's delta is the structure, not a broadcast-threshold
+    // accident). Measured at sf1: the reduction removes one
+    // 6M-row exchange+sort; the BENCH pair is the evidence.
+    "x153_yannakakis" -> ((s, d) => {
+      val eurNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val custRed = Tables.customer(s, d)
+        .join(broadcast(eurNations.select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey").as("nk"))
+      val ordRed = Tables.orders(s, d)
+        .join(custRed.hint("shuffle_merge"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("nk"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+        .join(ordRed.hint("shuffle_merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_items"), Det.dsumExpr(col("r")).as("revenue"))
+        .join(broadcast(eurNations), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_items"), col("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // X174: retractable incremental view maintenance — k8 folds
+    // INSERT-only deltas; real CDC feeds carry updates and deletes
+    // too. The general algebra (the DBSP / differential-dataflow
+    // z-set shape): every change is a SIGNED row (+1 insert, −1
+    // retract; an update is a retract of the old version plus an
+    // insert of the new), and any self-combinable aggregate folds the
+    // signed batch into the stored snapshot exactly — count ← Σsign,
+    // sum ← Σ(sign·x), avg derived. MIN/MAX are deliberately absent:
+    // they are NOT retractable without auxiliary per-group state
+    // (deleting the current minimum needs the runner-up), the same
+    // eligibility line the aggregate navigator draws. The oracle
+    // recomputes the view from the FINAL table state, so the hash
+    // gate proves the signed fold converges to truth through all
+    // three change kinds. At 100 TB the snapshot is KEYS-sized and
+    // the fold is BATCH-sized; the base history is never rescanned.
+    // Yesterday's state v0 is synthesized deterministically from the
+    // final state (inserts absent, updates at their pre-image price
+    // +100, deleted "ghost" rows present), so both engines agree on
+    // what changed without any stored fixture.
+    "x154_retractable_ivm" -> ((s, d) => {
+      val snapDir = java.nio.file.Files.createTempDirectory("graft_retract_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(snapDir.toFile): Unit))
+      val o = Tables.orders(s, d)
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val oldPrice = (price + lit(100).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+      val mod11 = pmod(col("o_orderkey"), lit(11L))
+      val isGhostSrc = pmod(col("o_orderkey"), lit(13L)) === 1
+      // v0 = yesterday's state: today's inserts absent, today's
+      // updates still at their old price, today's deletes present
+      val v0 = o.filter(mod11 =!= 3)
+        .select(col("o_orderstatus"),
+          when(mod11 === 5, oldPrice).otherwise(price).as("p"),
+          lit(1L).as("sign"))
+        .unionByName(o.filter(isGhostSrc)
+          .select(col("o_orderstatus"), price.as("p"), lit(1L).as("sign")))
+      def partials(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(sum(col("sign")).as("n"),
+          sum((col("p") * col("sign")).cast("decimal(28,2)")).as("total"))
+      // day 0: aggregate v0 once, persist the snapshot (keys-sized)
+      partials(v0).write.mode("overwrite").parquet(snapDir.toString)
+      // day 1: the signed change batch — inserts, update retract+insert
+      // pairs, delete retractions
+      val delta = o.filter(mod11 === 3)
+        .select(col("o_orderstatus"), price.as("p"), lit(1L).as("sign"))
+        .unionByName(o.filter(mod11 === 5)
+          .select(col("o_orderstatus"), oldPrice.as("p"), lit(-1L).as("sign")))
+        .unionByName(o.filter(mod11 === 5)
+          .select(col("o_orderstatus"), price.as("p"), lit(1L).as("sign")))
+        .unionByName(o.filter(isGhostSrc)
+          .select(col("o_orderstatus"), price.as("p"), lit(-1L).as("sign")))
+      s.read.parquet(snapDir.toString).unionByName(partials(delta))
+        .groupBy("o_orderstatus")
+        .agg(sum("n").as("n_orders"), sum("total").as("t"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("t").cast("double").as("total"),
+          (col("t").cast("double") / col("n_orders").cast("double"))
+            .as("avg_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // X175: checksum drill-down (bucket-localized row diff) — the
+    // second half of the q_table_checksum protocol: once the bucketed
+    // digests localize a divergence, the ROW-level diff runs only
+    // over the mismatched buckets. A replica of orders with
+    // deterministic divergence (three changed totals, two missing
+    // rows, one extra row — a fixed fault set) is checksummed
+    // beside the source; buckets whose (count, digest sum) disagree —
+    // a METADATA-sized comparison, never a collect — gate the
+    // full-outer PK join that classifies each divergent row as
+    // missing / extra / changed. The diff table needs a true PK
+    // (orders has one; lineitem's (orderkey, linenumber) is NOT
+    // unique in this data — a non-key join would explode the
+    // classification). The oracle states the naive whole-table diff
+    // grouped by bucket; hash equality proves the checksum phase
+    // loses no divergent bucket. At 100 TB the phase-2 join reads
+    // only the mismatched key ranges (recursively re-bucketable, per
+    // the checksum row's protocol note) — the whole point of
+    // checksum-first table diff.
+    "x155_bucket_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      // the deterministic divergence is a FIXED key set (not a
+      // density): real replication faults are a handful of rows, so
+      // the dirty-bucket fraction stays bounded as the table grows —
+      // the localization property phase 2 exists to exploit. Keys
+      // chosen ≡ 0/1/2 (mod 16) so exactly three buckets are dirty;
+      // the +10M extra-key offset is a multiple of 16, keeping the
+      // extra in its source's bucket (mirrored in the oracle).
+      val perturbed = o.withColumn("o_totalprice",
+        when(col("o_orderkey").isin(112L, 256L, 400L), col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      val replica = perturbed.filter(!col("o_orderkey").isin(113L, 257L))
+        .unionByName(perturbed.filter(col("o_orderkey") === 114L)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      def canon(df: DataFrame): DataFrame = df.select(
+        col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(16L)).as("bucket"),
+        concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderpriority")).as("canon"))
+      def sums(df: DataFrame): DataFrame = df.groupBy("bucket").agg(
+        count(lit(1)).as("n"),
+        sum(conv(substring(md5(col("canon")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")).as("digest"))
+      val src = canon(o)
+      val dst = canon(replica)
+      // phase 1: 16-row checksum compare → the mismatched bucket set —
+      // a bounded frame, pinned eagerly (never a collect) so phase 2's
+      // two semi-joins don't re-run both checksum scans
+      val bad = sums(src).alias("a")
+        .join(sums(dst).alias("b"), Seq("bucket"), "full_outer")
+        .filter(!(col("a.n") <=> col("b.n")) ||
+                !(col("a.digest") <=> col("b.digest")))
+        .select("bucket")
+        .localCheckpoint(true)
+      // phase 2: row diff ONLY inside mismatched buckets
+      val s2 = src.join(broadcast(bad), Seq("bucket"), "left_semi")
+      val d2 = dst.join(broadcast(bad), Seq("bucket"), "left_semi")
+      s2.alias("s").join(d2.alias("t"),
+          col("s.o_orderkey") === col("t.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("s.bucket"), col("t.bucket")).as("bucket"),
+          when(col("t.canon").isNull, 1L).otherwise(0L).as("m"),
+          when(col("s.canon").isNull, 1L).otherwise(0L).as("e"),
+          when(col("s.canon").isNotNull && col("t.canon").isNotNull &&
+               col("s.canon") =!= col("t.canon"), 1L).otherwise(0L).as("c"))
+        .groupBy("bucket")
+        .agg(sum("m").as("n_missing"), sum("e").as("n_extra"),
+          sum("c").as("n_changed"))
+        .filter(col("n_missing") + col("n_extra") + col("n_changed") > 0)
+        .orderBy("bucket")
+    }),
+
+    // X178: MVCC time travel over a merge-on-read versioned layout —
+    // the lake-format read path (Delta/Iceberg shape) built from plain
+    // parquet: the table is BASE + delta versions written
+    // PARTITIONED BY version, each delta row a full upsert image or a
+    // tombstone ('D'). An as-of-v read is: version-partition-pruned
+    // scan (version <= v reaches the directory listing — nothing past
+    // v is even opened), latest image per key via ONE map-combinable
+    // max(struct(version, ...)) aggregate (never a rank window; each
+    // key holds ≤ versions rows), tombstones dropped last. This is
+    // TRANSACTION time — the complement of d5/d6's validity-interval
+    // SCD2 (what WAS true vs what we HAD RECORDED). The gate audits
+    // all three as-of reads (count + exact total per version); the
+    // oracle reconstructs each version's state from the base table
+    // with the same deterministic change sets. At 100 TB the deltas
+    // are batch-sized partitions beside a base the readers never
+    // rewrite — compaction (fold old deltas into a new base) is the
+    // same max(struct) aggregate written back.
+    "x157_time_travel" -> ((s, d) => {
+      val path = scratch("mvcc_orders", d)
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      val img = (v: Int, op: String, key: org.apache.spark.sql.Column,
+                 p: org.apache.spark.sql.Column) =>
+        Seq(lit(v).as("version"), lit(op).as("op"), key.as("k"),
+          p.cast("decimal(18,2)").as("p"))
+      val p0 = col("o_totalprice")
+      // v0 base; v1 = updates (+50 on keys ≡3 mod 7) + tombstones
+      // (keys ≡2 mod 13, deletes win over same-version updates); v2 =
+      // full-image updates (+25 on keys ≡4 mod 19, never resurrecting
+      // a deleted key) + inserts (clones of keys ≡1 mod 17, offset PK)
+      val v0 = o.select(img(0, "I", k, p0): _*)
+      val v1 = o.filter(pmod(k, lit(7L)) === 3 && pmod(k, lit(13L)) =!= 2)
+        .select(img(1, "I", k, p0 + 50.0): _*)
+        .unionByName(o.filter(pmod(k, lit(13L)) === 2)
+          .select(img(1, "D", k, p0): _*))
+      val v2 = o.filter(pmod(k, lit(19L)) === 4 && pmod(k, lit(13L)) =!= 2)
+        .select(img(2, "I", k, p0 + 25.0): _*)
+        .unionByName(o.filter(pmod(k, lit(17L)) === 1)
+          .select(img(2, "I", k + 20000000L, p0): _*))
+      v0.unionByName(v1).unionByName(v2)
+        .repartition(col("version"))
+        .write.mode("overwrite").partitionBy("version").parquet(path)
+      val versioned = s.read.parquet(path)
+      def asOf(v: Int): DataFrame =
+        versioned.filter(col("version") <= v) // partition-pruned scan
+          .groupBy("k")
+          .agg(max(struct(col("version"), col("op"), col("p"))).as("mx"))
+          .filter(col("mx.op") =!= "D")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("mx.p")).cast("double").as("total"))
+          .select(lit(v).as("version"), col("n_rows"), col("total"))
+      asOf(0).unionByName(asOf(1)).unionByName(asOf(2)).orderBy("version")
+    }),
+
+    // X179: inclusion-dependency profiling (FK discovery) — the
+    // Metanome-style IND pass completing x136's FD audit: is every
+    // value of A present in B? Declared-candidate INDs are what a
+    // schema-discovery tool proposes as foreign keys, and q_fk's
+    // orphan audit then monitors. Each candidate is two map-combined
+    // DISTINCT passes (column-pruned scans) + one distinct-to-distinct
+    // left join — key-set-sized, never fact-sized. The deliberately
+    // spurious candidate (l_suppkey ⊆ p_partkey) HOLDS on this data —
+    // dense surrogate ranges contain each other — which is the
+    // textbook reason discovered INDs need semantic confirmation
+    // before becoming constraints (the lesson is the row). The
+    // reversed edge (o_orderkey ⊆ l_orderkey) is violated by orders
+    // with no lineitems.
+    "x158_ind_audit" -> ((s, d) => {
+      def ind(lhsDf: DataFrame, lhsCol: String, rhsDf: DataFrame,
+              rhsCol: String, name: String): DataFrame = {
+        val l = lhsDf.select(col(lhsCol).cast("long").as("v")).distinct()
+        val r = rhsDf.select(col(rhsCol).cast("long").as("v")).distinct()
+          .withColumn("hit", lit(1))
+        l.join(r, Seq("v"), "left")
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_missing"))
+          .select(lit(name).as("ind"), col("n_lhs"), col("n_missing"),
+            (col("n_missing") === 0).cast("int").as("holds"),
+            expr("(n_lhs - n_missing) * 1000000 div n_lhs").as("contain_ppm"))
+      }
+      val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d); val p = Tables.part(s, d)
+      ind(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey<orders.o_orderkey")
+        .unionByName(ind(o, "o_custkey", c, "c_custkey", "orders.o_custkey<customer.c_custkey"))
+        .unionByName(ind(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey<nation.n_nationkey"))
+        .unionByName(ind(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey<region.r_regionkey"))
+        .unionByName(ind(o, "o_orderkey", li, "l_orderkey", "orders.o_orderkey<lineitem.l_orderkey"))
+        .unionByName(ind(li, "l_suppkey", p, "p_partkey", "lineitem.l_suppkey<part.p_partkey"))
+        .orderBy("ind")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -916,5 +1214,103 @@ object Warehouse {
                 CAST(COUNT(*) AS BIGINT) AS n_items,
                 CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS revenue
          FROM f JOIN dd o ON f.od = o.dd JOIN dd s ON f.sd = s.dd
-         GROUP BY o.q, s.q ORDER BY order_quarter, ship_quarter""")
+         GROUP BY o.q, s.q ORDER BY order_quarter, ship_quarter""",
+
+    "q_chain_direct" -> chainOracleSql,
+    "x153_yannakakis" -> chainOracleSql,
+
+    "x154_retractable_ivm" ->
+      """SELECT o_orderstatus,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS avg_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the naive whole-table diff grouped by bucket: the engine's
+    // checksum-gated phase-2 must find exactly these buckets and counts
+    "x155_bucket_diff" ->
+      """WITH p AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey IN (112, 256, 400)
+                       THEN o_totalprice + 1.0 ELSE o_totalprice END AS tp
+           FROM orders),
+              rep AS (
+           SELECT o_orderkey, tp FROM p WHERE o_orderkey NOT IN (113, 257)
+           UNION ALL
+           SELECT o_orderkey + 10000000, tp FROM p WHERE o_orderkey = 114),
+              src AS (SELECT o_orderkey, o_totalprice AS tp FROM orders),
+              diff AS (
+           SELECT COALESCE(s.o_orderkey, r.o_orderkey) % 16 AS bucket,
+                  CASE WHEN r.o_orderkey IS NULL THEN 1 ELSE 0 END AS m,
+                  CASE WHEN s.o_orderkey IS NULL THEN 1 ELSE 0 END AS e,
+                  CASE WHEN s.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL
+                            AND s.tp <> r.tp THEN 1 ELSE 0 END AS c
+           FROM src s FULL OUTER JOIN rep r ON s.o_orderkey = r.o_orderkey)
+         SELECT bucket,
+                CAST(SUM(m) AS BIGINT) AS n_missing,
+                CAST(SUM(e) AS BIGINT) AS n_extra,
+                CAST(SUM(c) AS BIGINT) AS n_changed
+         FROM diff GROUP BY bucket
+         HAVING SUM(m) + SUM(e) + SUM(c) > 0
+         ORDER BY bucket""",
+
+    // each version's state reconstructed from the base table with the
+    // same deterministic change sets the engine wrote as deltas
+    "x157_time_travel" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+                              CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+              s0 AS (SELECT k, p FROM base),
+              s1 AS (SELECT k,
+                            CASE WHEN k % 7 = 3 THEN p + 50 ELSE p END AS p
+                     FROM base WHERE k % 13 <> 2),
+              s2 AS (SELECT k,
+                            CASE WHEN k % 19 = 4 THEN p + 25
+                                 WHEN k % 7 = 3 THEN p + 50 ELSE p END AS p
+                     FROM base WHERE k % 13 <> 2
+                     UNION ALL
+                     SELECT k + 20000000, p FROM base WHERE k % 17 = 1)
+         SELECT * FROM (
+           SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(p) AS DOUBLE) AS total FROM s0
+           UNION ALL
+           SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(p) AS DOUBLE) FROM s1
+           UNION ALL
+           SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(p) AS DOUBLE) FROM s2)
+         ORDER BY version""",
+
+    "x158_ind_audit" -> {
+      def ind(lt: String, lc: String, rt: String, rc: String): String =
+        s"""SELECT '$lt.$lc<$rt.$rc' AS ind,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+                   CAST(CASE WHEN SUM(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) = 0
+                             THEN 1 ELSE 0 END AS INT) AS holds,
+                   CAST((COUNT(*) - SUM(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END))
+                        * 1000000 // COUNT(*) AS BIGINT) AS contain_ppm
+            FROM (SELECT DISTINCT CAST($lc AS BIGINT) AS v FROM $lt) l
+            LEFT JOIN (SELECT DISTINCT CAST($rc AS BIGINT) AS v FROM $rt) r USING (v)"""
+      Seq(
+        ind("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ind("orders", "o_custkey", "customer", "c_custkey"),
+        ind("customer", "c_nationkey", "nation", "n_nationkey"),
+        ind("nation", "n_regionkey", "region", "r_regionkey"),
+        ind("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ind("lineitem", "l_suppkey", "part", "p_partkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY ind")
+    })
+
+  // shared by the x153/q_chain_direct measured pair — identical result
+  // by construction (the reduction is a pure rewrite)
+  private val chainOracleSql: String =
+    """SELECT n_name,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders   ON l_orderkey  = o_orderkey
+       JOIN customer ON o_custkey   = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'
+       GROUP BY n_name ORDER BY n_name"""
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** Per-user running event totals for the stateful-counts stream. */
+case class UserEvent(user_id: Long, value: Double)
+case class UserRunning(user_id: Long, n: Long, total: Double)
+
+/** Arbitrary keyed state on the `transformWithState` (state v2) API —
+  * the Spark 4.x successor to `mapGroupsWithState` (which
+  * `EventAggregates.runningTotals` keeps for the closed-session shape):
+  * named, independently typed state variables per key (here a count
+  * and an exact running total), explicit TTL hooks, and timer support,
+  * all backed by the RocksDB state store. This is the engine face a
+  * long-running CDC aggregation would use at scale: state lives off
+  * the JVM heap, is range-scannable at snapshot time, and each
+  * variable evolves independently (adding a third accumulator never
+  * rewrites existing state rows — the schema-evolution property
+  * `mapGroupsWithState`'s single opaque state object lacks).
+  *
+  * Emits one updated running row per key per micro-batch (Update mode).
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, UserEvent, UserRunning] {
+
+  @transient private var count: ValueState[Long] = _
+  @transient private var total: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    total = getHandle.getValueState[Double]("total", Encoders.scalaDouble,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               timerValues: TimerValues): Iterator[UserRunning] = {
+    var n = if (count.exists()) count.get() else 0L
+    var t = if (total.exists()) total.get() else 0.0
+    rows.foreach { e => n += 1; t += e.value }
+    count.update(n)
+    total.update(t)
+    Iterator.single(UserRunning(key, n, t))
+  }
+}
+
+object StatefulCounts {
+  /** transformWithState requires the RocksDB state store provider. */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[UserRunning] = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

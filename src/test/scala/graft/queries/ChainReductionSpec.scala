@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the round-10 reduction/maintenance/diff tranche (x153-x158)
+  * beyond the DuckDB hash gate: the structural guarantees each
+  * operator promises, on the real sf0.001 tables.
+  */
+class ChainReductionSpec extends SparkSpecBase {
+
+  test("x153 Yannakakis reduction ≡ the direct chain join, row for row") {
+    val red = Warehouse.queries("x153_yannakakis")(spark, sfDir).collect()
+    val dir = Warehouse.queries("q_chain_direct")(spark, sfDir).collect()
+    assert(red.toSeq === dir.toSeq)
+  }
+
+  test("x153's reduced order set is output-bounded (the Yannakakis guarantee)") {
+    // every row surviving the down-pass joins a EUROPE customer — no
+    // dangling intermediate beyond join selectivity
+    val eurCust = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val expected = Tables.orders(spark, sfDir)
+      .join(eurCust, col("o_custkey") === col("c_custkey")).count()
+    val all = Tables.orders(spark, sfDir).count()
+    assert(expected < all, "gate data must make the reduction selective")
+  }
+
+  test("x154 signed fold: an insert+retract pair is an exact no-op") {
+    import spark.implicits._
+    val rows = Seq(("O", java.math.BigDecimal.valueOf(123.45), 1L),
+                   ("O", java.math.BigDecimal.valueOf(123.45), -1L))
+      .toDF("o_orderstatus", "p", "sign")
+    val folded = rows.groupBy("o_orderstatus")
+      .agg(sum(col("sign")).as("n"),
+        sum((col("p") * col("sign")).cast("decimal(28,2)")).as("total"))
+      .collect()
+    assert(folded.length === 1)
+    assert(folded(0).getAs[Long]("n") === 0L)
+    assert(folded(0).getAs[java.math.BigDecimal]("total").signum === 0)
+  }
+
+  test("x154 converges to the final-state aggregate through all three change kinds") {
+    val got = Warehouse.queries("x154_retractable_ivm")(spark, sfDir)
+      .select("o_orderstatus", "n_orders", "total").collect()
+    val want = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+           want.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("x155 accounts for every planted divergence, and only those") {
+    val o = Tables.orders(spark, sfDir)
+    val dropped = o.filter(col("o_orderkey").isin(113L, 257L)).count()
+    val extra = o.filter(col("o_orderkey") === 114L).count()
+    val changed = o.filter(col("o_orderkey").isin(112L, 256L, 400L)).count()
+    assert(dropped > 0 && extra > 0 && changed > 0,
+      "gate data must plant all three divergence kinds")
+    val out = Warehouse.queries("x155_bucket_diff")(spark, sfDir)
+      .agg(sum("n_missing").as("m"), sum("n_extra").as("e"),
+        sum("n_changed").as("c")).head()
+    assert(out.getAs[Long]("m") === dropped)
+    assert(out.getAs[Long]("e") === extra)
+    assert(out.getAs[Long]("c") === changed)
+    // the fault set touches exactly the three planted buckets (0,1,2 mod
+    // 16) — the diff never fans out past the dirty key ranges
+    val buckets = Warehouse.queries("x155_bucket_diff")(spark, sfDir)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(buckets === Set(0L, 1L, 2L))
+  }
+
+  test("x157 as-of reads: tombstones drop, latest image wins, clones appear at v2 only") {
+    val o = Tables.orders(spark, sfDir)
+    val nAll = o.count()
+    val nLive = o.filter(pmod(col("o_orderkey"), lit(13L)) =!= 2).count()
+    val nClones = o.filter(pmod(col("o_orderkey"), lit(17L)) === 1).count()
+    // the v2-over-v1 override must be exercised by the gate data
+    val overridden = o.filter(pmod(col("o_orderkey"), lit(7L)) === 3 &&
+      pmod(col("o_orderkey"), lit(19L)) === 4 &&
+      pmod(col("o_orderkey"), lit(13L)) =!= 2).count()
+    assert(overridden > 0, "need a key updated in BOTH v1 and v2")
+    val rows = Warehouse.queries("x157_time_travel")(spark, sfDir).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((0, nAll), (1, nLive), (2, nLive + nClones)))
+    // v2 total equals the direct reconstruction (override priority: +25
+    // beats +50 for doubly-updated keys; clones at base price)
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val k = col("o_orderkey")
+    val s2 = o.filter(pmod(k, lit(13L)) =!= 2)
+      .select(when(pmod(k, lit(19L)) === 4, p + 25.0)
+        .when(pmod(k, lit(7L)) === 3, p + 50.0)
+        .otherwise(p).cast("decimal(18,2)").as("p"))
+      .unionByName(o.filter(pmod(k, lit(17L)) === 1).select(p.as("p")))
+      .agg(sum("p").cast("double")).head().getDouble(0)
+    assert(rows(2).getDouble(2) === s2)
+  }
+
+  test("x158 IND verdicts: true FKs hold, the reversed edge is violated, the spurious dense-range IND holds") {
+    val byName = Warehouse.queries("x158_ind_audit")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(byName("lineitem.l_orderkey<orders.o_orderkey") === 1)
+    assert(byName("orders.o_custkey<customer.c_custkey") === 1)
+    assert(byName("customer.c_nationkey<nation.n_nationkey") === 1)
+    assert(byName("nation.n_regionkey<region.r_regionkey") === 1)
+    // orders with no lineitems violate the reversed edge
+    assert(byName("orders.o_orderkey<lineitem.l_orderkey") === 0)
+    // dense surrogate ranges contain each other — the spurious IND
+    // HOLDS, which is exactly why discovery needs semantic confirmation
+    assert(byName("lineitem.l_suppkey<part.p_partkey") === 1)
+  }
+
+  test("x156 master identity matches x38's keeper rule; modes are true maxima") {
+    val golden = TrainingData.queries("x156_golden_record")(spark, sfDir)
+    val keepers = TrainingData.queries("x38_cluster_keeper")(spark, sfDir)
+      .filter(col("is_keeper") === 1).select("component", "keeper_id")
+    val disagree = golden.join(keepers, Seq("component"))
+      .filter(col("master_id") =!= col("keeper_id")).count()
+    assert(disagree === 0L, "golden master must be the keeper-by-length")
+    // the surviving lang's member count is the component maximum
+    val labels = graft.dedup.Dedup.nearDupComponents(
+      graft.dedup.Dedup.minhashNearDups(Tables.documents(spark, sfDir), 0.5),
+      Tables.documents(spark, sfDir))
+    val counts = labels.join(Tables.documents(spark, sfDir), Seq("doc_id"))
+      .groupBy("component", "lang").agg(count(lit(1)).as("cnt"))
+    val maxes = counts.groupBy("component").agg(max("cnt").as("mx"))
+    val bad = golden.join(counts, Seq("component", "lang"))
+      .join(maxes, Seq("component"))
+      .filter(col("cnt") =!= col("mx")).count()
+    assert(bad === 0L, "surviving lang must carry the maximal member count")
+  }
+}

@@ -38,6 +38,7 @@ class PairPlaneProbeSpec extends SparkSpecBase {
         mh.select("doc_a", "doc_b"), docs.select("doc_id"), iters = 4)
         .orderBy("doc_id"),
       "x96_contam_spread" -> TrainingData.contamSpreadOnPairs(docs, mh),
+      "x156_golden_record" -> TrainingData.goldenRecord(mh, docs),
       "x97_threshold_sweep" -> mh.agg(
         count(lit(1)).as("n_050"),
         sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_060"),

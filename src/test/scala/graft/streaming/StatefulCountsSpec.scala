@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the transformWithState (state v2) face: named per-key state
+  * variables on the RocksDB provider, running totals accumulating
+  * across micro-batches, keys isolated, Update-mode emission per batch.
+  * Own suite (not SparkSpecBase) because the provider conf must be set
+  * before the streaming query plans its state store.
+  */
+class StatefulCountsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      StatefulCounts.RocksDbProvider)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("running totals accumulate across micro-batches, per key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StatefulCounts.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("twstate")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1, 2.0), UserEvent(1, 3.0), UserEvent(2, 10.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1, 5.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("twstate").as[UserRunning].collect()
+      // batch 1 emissions: user 1 (n=2, 5.0), user 2 (n=1, 10.0)
+      assert(rows.contains(UserRunning(1, 2, 5.0)))
+      assert(rows.contains(UserRunning(2, 1, 10.0)))
+      // batch 2: user 1's state CARRIED (n=3, 10.0); user 2 untouched —
+      // no new emission, state isolated per key
+      assert(rows.contains(UserRunning(1, 3, 10.0)))
+      assert(rows.count(_.user_id == 2) === 1)
+    } finally q.stop()
+  }
+}
