@@ -548,6 +548,73 @@ object Dedup {
     labels.withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the O(log n)-round reformulation
+    * [[nearDupComponentsFixpoint]]'s scaladoc names as the next step:
+    * min-label propagation pays one round PER HOP of component
+    * diameter (a chain of near-dup pages converges in O(diameter)
+    * rounds), while star contraction halves path lengths every
+    * large-star pass, so a 10 000-hop chain closes in ~15 rounds
+    * instead of 10 000.
+    *
+    * Each round is the SAME relational skeleton as the fixpoint loop —
+    * node-keyed min aggregates + equi-joins, eager localCheckpoint per
+    * hop (fresh plan roots, no 2^rounds lineage), convergence = the
+    * canonical edge set unchanged (two anti-join counts over the
+    * contracted, node-bounded edge sets). At convergence the edges
+    * form stars rooted at each component's minimum node — the same
+    * labeling contract as the min-label forms, so consumers are
+    * interchangeable (spec pins LSS ≡ fixpoint on clique, chain, and
+    * the gate corpus, and that the chain closes in ≤ ⌈log₂ D⌉+c
+    * rounds).
+    *
+    * Returns (labels, rounds): labels carry (doc_id, component,
+    * is_keeper) like every other CC form. */
+  def ccLargeStarSmallStar(pairs: DataFrame, docs: DataFrame,
+                           maxRounds: Int = 20): (DataFrame, Int) = {
+    // canonical form: a > b, dedup'd, no self-loops
+    def canon(e: DataFrame): DataFrame = e.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+    // large-star: every node u connects its STRICTLY LARGER neighbors
+    // to m(u) = min(Γ(u) ∪ {u}) — halves path lengths
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.filter(col("v") > col("u")).join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+    }
+    // small-star (on canonical edges): every node u re-points its
+    // smaller-or-equal neighbors (and itself) at their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("a").agg(min("b").as("m"))
+      e.join(m, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(m.select(col("a"), col("m").as("b")))
+    }
+    var e = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done && rounds < maxRounds) {
+      val next = canon(smallStar(canon(largeStar(e)))).localCheckpoint(true)
+      rounds += 1
+      done = next.join(e, Seq("a", "b"), "left_anti").isEmpty &&
+             e.join(next, Seq("a", "b"), "left_anti").isEmpty
+      e = next
+    }
+    val labels = docs.select(col("doc_id"))
+      .join(e.select(col("a").as("doc_id"), col("b").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("component"))
+      .withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+    (labels, rounds)
+  }
+
   /** Keeper selection by quality, not by accident: for each near-dup
     * component pick the row maximizing `scoreCol` (ties → smallest
     * doc_id) — "keep the longest/cleanest version of the page", the

@@ -92,6 +92,62 @@ object Quality {
         .withColumn("is_l_diverse", (col("l_distinct") >= 3).cast("int"))
         .orderBy("c_mktsegment", "c_nationkey")),
 
+    // X180: t-closeness — completes the release-gate trio (q_k
+    // k-anonymity, q_l l-diversity): l-diversity can hold while a
+    // class's sensitive DISTRIBUTION still leaks (all its l values
+    // clustered at the top of the range), so t-closeness bounds the
+    // earth-mover's distance between each class's distribution of the
+    // ORDERED sensitive attribute (balance band) and the global one.
+    // For an ordered attribute EMD = Σ|cumulative difference|/(m−1)
+    // (Li et al., ICDE'07); here computed EXACTLY in integers via
+    // cross-multiplication — |cumc·n_g − cumg·n_c| per grid value, no
+    // per-row division, so both engines agree bit-for-bit (ppm by one
+    // terminal integer div; the x129 stride-guard lesson applied to
+    // m=1). Scale: one class-keyed count shuffle; every later stage
+    // (grid, cumulative sums, spine) runs on BOUNDED metadata — the
+    // band grid (~12 values) and the class list — via triangular and
+    // broadcast joins, never a corpus-wide window. Longs hold to
+    // ~100× gate SF (Σterm·10⁶ vs 2⁶³); past that the fold goes
+    // decimal, same switch x128 documents.
+    "q_t_closeness" -> ((s, d) => {
+      val qi = Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+      val grid = qi.groupBy("band").agg(count(lit(1)).as("g"))
+        .localCheckpoint(true) // bounded: one row per band
+      val gcum = grid.alias("x")
+        .join(broadcast(grid.select(col("band").as("b2"), col("g").as("g2"))),
+          col("b2") <= col("band"))
+        .groupBy("band").agg(sum("g2").as("cumg"))
+      val consts = broadcast(grid.agg(count(lit(1)).as("m"), sum("g").as("n_g")))
+      val cls = qi.groupBy("c_mktsegment", "c_nationkey", "band")
+        .agg(count(lit(1)).as("c"))
+      val nclass = cls.groupBy("c_mktsegment", "c_nationkey")
+        .agg(sum("c").as("n_c"))
+      // class cumulative counts AT EVERY grid value (absent bands carry)
+      val spine = cls.select("c_mktsegment", "c_nationkey").distinct()
+        .crossJoin(broadcast(grid.select("band")))
+      val cum = spine.alias("s")
+        .join(cls.alias("t"),
+          col("t.c_mktsegment") === col("s.c_mktsegment") &&
+          col("t.c_nationkey") === col("s.c_nationkey") &&
+          col("t.band") <= col("s.band"), "left")
+        .groupBy(col("s.c_mktsegment").as("c_mktsegment"),
+          col("s.c_nationkey").as("c_nationkey"), col("s.band").as("band"))
+        .agg(coalesce(sum(col("t.c")), lit(0L)).as("cumc"))
+      cum.join(broadcast(gcum), Seq("band"))
+        .join(nclass, Seq("c_mktsegment", "c_nationkey"))
+        .crossJoin(consts)
+        .groupBy("c_mktsegment", "c_nationkey", "n_c", "m", "n_g")
+        .agg(sum(abs(col("cumc") * col("n_g") - col("cumg") * col("n_c")))
+          .as("ssum"))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n_c").as("k"),
+          expr("ssum * 1000000 div (greatest(m - 1, 1) * n_c * n_g)")
+            .as("emd_ppm"))
+        .withColumn("is_t_close", (col("emd_ppm") <= 150000).cast("int"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
     // Join-explosion guard — the pre-flight read before any
     // many-to-many join: the EXACT output cardinality of A⋈B on key k
     // is Σ_k cnt_A(k)·cnt_B(k), computable from two map-combined key
@@ -188,6 +244,36 @@ object Quality {
                 CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3 AS INT)
                   AS is_l_diverse
          FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, c_nationkey""",
+    "q_t_closeness" ->
+      """WITH qi AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                            CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+                     FROM customer),
+           grid AS (SELECT band, COUNT(*) AS g FROM qi GROUP BY band),
+           gcum AS (SELECT band, SUM(g) OVER (ORDER BY band) AS cumg FROM grid),
+           consts AS (SELECT COUNT(*) AS m, SUM(g) AS n_g FROM grid),
+           cls AS (SELECT seg, nat, band, COUNT(*) AS c FROM qi GROUP BY 1, 2, 3),
+           nclass AS (SELECT seg, nat, SUM(c) AS n_c FROM cls GROUP BY 1, 2),
+           spine AS (SELECT seg, nat, band
+                     FROM (SELECT DISTINCT seg, nat FROM cls)
+                     CROSS JOIN (SELECT band FROM grid)),
+           cum AS (SELECT s.seg, s.nat, s.band, COALESCE(SUM(t.c), 0) AS cumc
+                   FROM spine s LEFT JOIN cls t
+                     ON t.seg = s.seg AND t.nat = s.nat AND t.band <= s.band
+                   GROUP BY 1, 2, 3),
+           terms AS (SELECT c.seg, c.nat, n.n_c, x.m, x.n_g,
+                            abs(c.cumc * x.n_g - g.cumg * n.n_c) AS term
+                     FROM cum c
+                     JOIN gcum g USING (band)
+                     JOIN nclass n ON n.seg = c.seg AND n.nat = c.nat
+                     CROSS JOIN consts x)
+         SELECT seg AS c_mktsegment, nat AS c_nationkey,
+                CAST(n_c AS BIGINT) AS k,
+                CAST(SUM(term) * 1000000
+                     // (greatest(m - 1, 1) * n_c * n_g) AS BIGINT) AS emd_ppm,
+                CAST(SUM(term) * 1000000
+                     // (greatest(m - 1, 1) * n_c * n_g) <= 150000 AS INT) AS is_t_close
+         FROM terms GROUP BY seg, nat, n_c, m, n_g
+         ORDER BY c_mktsegment, c_nationkey""",
     "q_join_explosion" ->
       """WITH c AS (SELECT l_partkey, count(*) AS cnt,
                            count(*) * count(*) AS contrib

@@ -1,12 +1,15 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-user running event totals for the stateful-counts stream. */
 case class UserEvent(user_id: Long, value: Double)
 case class UserRunning(user_id: Long, n: Long, total: Double)
+/** Event-time input / session-close emission for the timer face. */
+case class StampedEvent(user_id: Long, ts: java.sql.Timestamp)
+case class SessionClose(user_id: Long, n_events: Long, closed_at_ms: Long)
 
 /** Arbitrary keyed state on the `transformWithState` (state v2) API —
   * the Spark 4.x successor to `mapGroupsWithState` (which
@@ -45,6 +48,50 @@ class RunningTotalsProcessor
   }
 }
 
+/** The TIMER face of state v2: a session closes when the event-time
+  * watermark passes (last event + gap) — the processor registers one
+  * event-time timer per key, REPLACING it on every new event (delete +
+  * register, so a key holds exactly one pending timer), and emits the
+  * session's count only from `handleExpiredTimer`. This is the
+  * closed-session shape `EventAggregates` pins via
+  * `flatMapGroupsWithState` + GroupStateTimeout, re-expressed on the
+  * v2 API where the timer is an explicit, per-key-multiplicity-free
+  * primitive rather than a single timeout slot fused into the state.
+  */
+class SessionCloseProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, StampedEvent, SessionClose] {
+
+  @transient private var count: ValueState[Long] = _
+  @transient private var pendingTimer: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    pendingTimer = getHandle.getValueState[Long]("timer", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[StampedEvent],
+                               timerValues: TimerValues): Iterator[SessionClose] = {
+    var n = if (count.exists()) count.get() else 0L
+    var maxTs = Long.MinValue
+    rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+    count.update(n)
+    if (pendingTimer.exists()) getHandle.deleteTimer(pendingTimer.get())
+    val timer = maxTs + gapMs
+    getHandle.registerTimer(timer)
+    pendingTimer.update(timer)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClose] = {
+    val n = if (count.exists()) count.get() else 0L
+    count.clear()
+    pendingTimer.clear()
+    Iterator.single(SessionClose(key, n, expiredTimerInfo.getExpiryTimeInMs))
+  }
+}
+
 object StatefulCounts {
   /** transformWithState requires the RocksDB state store provider. */
   val RocksDbProvider =
@@ -56,5 +103,17 @@ object StatefulCounts {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Timer-closed sessions over event time; `delay` is the watermark
+    * lateness allowance, `gapMs` the session gap. */
+  def sessionCloses(events: Dataset[StampedEvent], delay: String,
+                    gapMs: Long): Dataset[SessionClose] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[SessionClose] = Encoders.product[SessionClose]
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -46,4 +46,37 @@ class StatefulCountsSpec extends AnyFunSuite {
       assert(rows.count(_.user_id == 2) === 1)
     } finally q.stop()
   }
+
+  test("event-time timers close a session when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[StampedEvent]
+    // 10-minute gap, zero lateness allowance
+    val q = StatefulCounts.sessionCloses(input.toDS(), "0 seconds",
+        gapMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("twtimer")
+      .outputMode("append").start()
+    try {
+      // user 1's burst: two events 5 min apart — ONE session (the
+      // second event replaces the pending timer)
+      input.addData(StampedEvent(1, t("2024-01-01 00:00:00")),
+        StampedEvent(1, t("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is still at the burst
+      assert(spark.table("twtimer").count() === 0)
+      // another key's event advances event time past 00:15 → watermark
+      // passes user 1's timer; a follow-up batch delivers the expiry
+      input.addData(StampedEvent(2, t("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      input.addData(StampedEvent(2, t("2024-01-01 01:00:01")))
+      q.processAllAvailable()
+      val closed = spark.table("twtimer").as[SessionClose].collect()
+      assert(closed.exists(c => c.user_id == 1 && c.n_events == 2 &&
+        c.closed_at_ms == t("2024-01-01 00:15:00").getTime),
+        s"expected user 1's 2-event session closed at 00:15, got ${closed.mkString(",")}")
+      // user 2's session stays OPEN (watermark never passed its gap)
+      assert(!closed.exists(_.user_id == 2))
+    } finally q.stop()
+  }
 }
