@@ -932,6 +932,106 @@ object Warehouse {
         .unionByName(ind(o, "o_orderkey", li, "l_orderkey", "orders.o_orderkey<lineitem.l_orderkey"))
         .unionByName(ind(li, "l_suppkey", p, "p_partkey", "lineitem.l_suppkey<part.p_partkey"))
         .orderBy("ind")
+    }),
+
+    // X183: bitemporal as-of reads — TRANSACTION time (x157's versions:
+    // what the warehouse KNEW) crossed with VALID time (d5/d6's SCD2
+    // intervals: what WAS true). The point is late-arriving history:
+    // change events with 1996 valid-timestamps that only ARRIVE in the
+    // 1997 load (keys ≡ 0 mod 5 land one version late) REWRITE the
+    // validity intervals already derived — so the same valid-time
+    // question ("status mix as of 1996-06-01") gives DIFFERENT answers
+    // at version 0 and version 1, and the diff between those answers
+    // IS the correction audit a regulated warehouse must produce.
+    // Append-only logs can't show this; the version × as-of matrix
+    // can. Scale: each cell is one custkey-partitioned SCD2 window
+    // (key-bounded partitions) + a bounded count; the matrix is
+    // versions × probe-dates × priorities at any corpus size. Change
+    // events without a timestamp are malformed and excluded on both
+    // engines (they cannot order an interval).
+    "x159_bitemporal" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderdate").isNotNull)
+      val mod5 = pmod(col("o_orderkey"), lit(5L))
+      val c97 = lit("1997-01-01").cast("timestamp")
+      val c98 = lit("1998-01-01").cast("timestamp")
+      val logs = Seq(
+        0 -> o.filter(col("o_orderdate") < c97 && mod5 =!= 0),
+        1 -> o.filter((col("o_orderdate") < c98 && mod5 =!= 0) ||
+                      (col("o_orderdate") < c97 && mod5 === 0)),
+        2 -> o)
+      val probes = Seq("1996-06-01", "1997-06-01")
+      val cells = for ((v, log) <- logs; t <- probes) yield {
+        val hist = graft.dims.Scd2.fromChangeLog(
+          log.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+          "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderpriority"))
+        val at = lit(t).cast("timestamp")
+        hist.filter(col("effective_from") <= at &&
+            (col("effective_to").isNull || at < col("effective_to")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_customers"))
+          .select(lit(v).as("version"), lit(t).as("asof_date"),
+            col("o_orderpriority"), col("n_customers"))
+      }
+      cells.reduce(_ unionByName _)
+        .orderBy("version", "asof_date", "o_orderpriority")
+    }),
+
+    // X184: Data Vault modeling — the OTHER warehouse modeling school
+    // beside the Kimball surface (x148-x152): hubs (distinct business
+    // keys + md5 hash keys), links (distinct relationship key pairs +
+    // composite hash), satellites (attribute payloads keyed by hub
+    // hash + load, with an md5 HASHDIFF doing delta detection — a new
+    // satellite row lands only when the attribute hash changes). Two
+    // deterministic loads (load 2 re-segments every 7th customer)
+    // exercise the hashdiff mechanic; the reconstruction row proves
+    // the vault answers the business question (current segment per
+    // customer) identically to the source — the round-trip that makes
+    // the model load-bearing rather than ceremonial. Scale: every
+    // structure is a map-combined DISTINCT or a key-partitioned
+    // latest-row argmax; hash keys mean loads never coordinate
+    // (idempotent parallel ingestion — the reason the pattern exists).
+    "x160_data_vault" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val hubCustomer = c.select(col("c_custkey"),
+        md5(col("c_custkey").cast("string")).as("hk_customer")).distinct()
+      val hubOrder = o.select(col("o_orderkey"),
+        md5(col("o_orderkey").cast("string")).as("hk_order")).distinct()
+      val linkOrderCustomer = o.select(col("o_orderkey"), col("o_custkey"),
+        md5(concat_ws("|", col("o_orderkey"), col("o_custkey"))).as("hk_link"))
+        .distinct()
+      def satLoad(load: Int, seg: org.apache.spark.sql.Column): DataFrame =
+        c.select(md5(col("c_custkey").cast("string")).as("hk_customer"),
+          lit(load).as("load_id"), seg.as("segment"),
+          md5(concat_ws("|", seg, col("c_nationkey"))).as("hashdiff"))
+      val load1 = satLoad(1, col("c_mktsegment"))
+      val load2all = satLoad(2,
+        when(pmod(col("c_custkey"), lit(7L)) === 0,
+          concat(col("c_mktsegment"), lit("_V2"))).otherwise(col("c_mktsegment")))
+      // hashdiff delta detection: a load-2 row lands only when changed
+      val load2 = load2all.alias("n")
+        .join(load1.select(col("hk_customer"), col("hashdiff").as("prev"))
+          .alias("p"), Seq("hk_customer"))
+        .filter(col("hashdiff") =!= col("prev"))
+        .select(load2all.columns.map(col): _*)
+      val sat = load1.unionByName(load2)
+      // reconstruction: vault-current segment ≡ the load-2 source truth
+      val current = sat.groupBy("hk_customer")
+        .agg(max(struct(col("load_id"), col("segment"))).as("mx"))
+        .select(col("hk_customer"), col("mx.segment").as("segment"))
+      val matches = current
+        .join(load2all.select(col("hk_customer"), col("segment").as("want")),
+          Seq("hk_customer"))
+        .filter(col("segment") === col("want"))
+      def row(name: String, n: DataFrame): DataFrame =
+        n.agg(count(lit(1)).as("n")).select(lit(name).as("component"), col("n"))
+      row("hub_customer", hubCustomer)
+        .unionByName(row("hub_order", hubOrder))
+        .unionByName(row("link_order_customer", linkOrderCustomer))
+        .unionByName(row("sat_customer_load1", load1))
+        .unionByName(row("sat_customer_load2_deltas", load2))
+        .unionByName(row("reconstruction_matches", matches))
+        .orderBy("component")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1298,7 +1398,69 @@ object Warehouse {
         ind("orders", "o_orderkey", "lineitem", "l_orderkey"),
         ind("lineitem", "l_suppkey", "part", "p_partkey"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY ind")
-    })
+    },
+
+    "x159_bitemporal" -> {
+      def cell(v: Int, vf: String, t: String): String =
+        s"""SELECT $v AS version, '$t' AS asof_date, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM (SELECT o_custkey, o_orderpriority, o_orderdate AS eff_from,
+                         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey) AS eff_to
+                  FROM orders WHERE o_orderdate IS NOT NULL AND ($vf))
+            WHERE eff_from <= TIMESTAMP '$t 00:00:00'
+              AND (eff_to IS NULL OR TIMESTAMP '$t 00:00:00' < eff_to)
+            GROUP BY o_orderpriority"""
+      val vf = Seq(
+        0 -> "o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 5 <> 0",
+        1 -> ("(o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 5 <> 0)" +
+              " OR (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 5 = 0)"),
+        2 -> "TRUE")
+      (for ((v, f) <- vf; t <- Seq("1996-06-01", "1997-06-01"))
+        yield cell(v, f, t))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY version, asof_date, o_orderpriority")
+    },
+
+    "x160_data_vault" ->
+      """WITH load1 AS (
+           SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk, 1 AS load_id,
+                  c_mktsegment AS segment,
+                  md5(c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)) AS hashdiff
+           FROM customer),
+              l2seg AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '_V2'
+                       ELSE c_mktsegment END AS seg,
+                  c_nationkey
+           FROM customer),
+              load2all AS (
+           SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk, 2 AS load_id,
+                  seg AS segment,
+                  md5(seg || '|' || CAST(c_nationkey AS VARCHAR)) AS hashdiff
+           FROM l2seg),
+              load2 AS (
+           SELECT n.* FROM load2all n JOIN load1 p ON n.hk = p.hk
+           WHERE n.hashdiff <> p.hashdiff),
+              sat AS (SELECT * FROM load1 UNION ALL SELECT * FROM load2),
+              cur AS (
+           SELECT hk, segment
+           FROM (SELECT hk, segment,
+                        row_number() OVER (PARTITION BY hk ORDER BY load_id DESC) AS rn
+                 FROM sat) WHERE rn = 1),
+              matches AS (
+           SELECT 1 FROM cur c JOIN load2all w ON c.hk = w.hk
+           WHERE c.segment = w.segment)
+         SELECT * FROM (
+           SELECT 'hub_customer' AS component,
+                  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n FROM customer
+           UNION ALL SELECT 'hub_order', CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+           UNION ALL SELECT 'link_order_customer', CAST(COUNT(*) AS BIGINT)
+                     FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders)
+           UNION ALL SELECT 'sat_customer_load1', CAST(COUNT(*) AS BIGINT) FROM load1
+           UNION ALL SELECT 'sat_customer_load2_deltas', CAST(COUNT(*) AS BIGINT) FROM load2
+           UNION ALL SELECT 'reconstruction_matches', CAST(COUNT(*) AS BIGINT) FROM matches
+         ) ORDER BY component""")
 
   // shared by the x153/q_chain_direct measured pair — identical result
   // by construction (the reduction is a pure rewrite)

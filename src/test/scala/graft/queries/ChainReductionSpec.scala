@@ -116,6 +116,40 @@ class ChainReductionSpec extends SparkSpecBase {
     assert(byName("lineitem.l_suppkey<part.p_partkey") === 1)
   }
 
+  test("x159 late-arriving history revises the as-of answer; settled cells agree") {
+    val cells = Warehouse.queries("x159_bitemporal")(spark, sfDir).collect()
+      .groupBy(r => (r.getInt(0), r.getString(1)))
+      .map { case (k, rows) =>
+        k -> rows.map(r => r.getString(2) -> r.getLong(3)).toMap }
+    // keys ≡0 mod 5 with 1996 valid-time arrive only in version 1 — the
+    // 1996-06 answer MUST change between v0 and v1 (the correction)
+    assert(cells((0, "1996-06-01")) !== cells((1, "1996-06-01")),
+      "late 1996 events must revise the 1996-06 as-of answer")
+    // v2 adds only events valid-after the 1996-06 probe — settled
+    assert(cells((1, "1996-06-01")) === cells((2, "1996-06-01")))
+    // v1 lacks the ≥1997 arrivals of the late keys — 1997-06 still moves
+    assert(cells((1, "1997-06-01")) !== cells((2, "1997-06-01")))
+    // full knowledge at T2: one valid row per customer whose history
+    // started by then
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy("o_custkey").agg(min("o_orderdate").as("first"))
+      .filter(col("first") <= lit("1997-06-01").cast("timestamp")).count()
+    assert(cells((2, "1997-06-01")).values.sum === expected)
+  }
+
+  test("x160 vault counts: hubs are key sets, deltas are the planted changes, reconstruction is total") {
+    val byName = Warehouse.queries("x160_data_vault")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = Tables.customer(spark, sfDir)
+    assert(byName("hub_customer") === c.count())
+    assert(byName("hub_order") === Tables.orders(spark, sfDir).count())
+    assert(byName("sat_customer_load2_deltas") ===
+      c.filter(pmod(col("c_custkey"), lit(7L)) === 0).count())
+    assert(byName("reconstruction_matches") === c.count(),
+      "every customer's vault-current segment must match the source truth")
+  }
+
   test("x156 master identity matches x38's keeper rule; modes are true maxima") {
     val golden = TrainingData.queries("x156_golden_record")(spark, sfDir)
     val keepers = TrainingData.queries("x38_cluster_keeper")(spark, sfDir)
