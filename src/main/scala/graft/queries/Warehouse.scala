@@ -934,6 +934,65 @@ object Warehouse {
         .orderBy("ind")
     }),
 
+    // X185 (pair): per-customer revenue aggregated AFTER the full join —
+    // the shape every ORM/BI tool generates: join lineitem⋈orders⋈
+    // customer first, then group. The second shuffle carries the ENTIRE
+    // joined fact stream (6M rows at sf1) to the customer key. Same
+    // merge-hint no-broadcast regime and same oracle as x161 — the
+    // pair's delta is purely where the aggregate sits.
+    "q_agg_after_join" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("shuffle_merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).hint("shuffle_merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,6)")).as("rev"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast("double").as("total_revenue"),
+          max(col("rev")).cast("double").as("max_cust_revenue"))
+        .orderBy("c_mktsegment")),
+
+    // X185: eager aggregation (Yan & Larson '95) — the aggregate
+    // PUSHED BELOW the join: lineitem pre-aggregates to order grain
+    // first (decimal partials are associative, so the split is exact —
+    // the same eligibility line the navigator and the retractable view
+    // draw), and every later shuffle moves ORDER-grain partials
+    // instead of the joined item stream. A rewrite CBO-less engines
+    // don't apply and AQE cannot discover (it re-plans stages, never
+    // moves aggregates). Measured honestly: Spark's map-side partial
+    // aggregation already captures the combine half of the rewrite, so
+    // the residual win is only the second exchange's volume — the pair
+    // INVERTS at sf0.1 (1.18 vs 0.87 s: extra-stage overhead dominates)
+    // and crosses over at sf1 (1.49 vs 1.56 s); the margin grows with
+    // the item:order fan-out, which at 100 TB (and on wider payloads
+    // than one decimal) is the difference between shuffling the fact
+    // stream twice and once. Completes the reduction family: x153
+    // shrinks the join's INPUT, this shrinks what the join's OUTPUT
+    // drags into the next shuffle.
+    "x161_eager_agg" -> ((s, d) => {
+      val ordRev = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("r").cast("decimal(28,6)")).as("rev"))
+      val perCust = ordRev
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("rev").as("rev"))
+      perCust
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .hint("shuffle_merge"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast("double").as("total_revenue"),
+          max(col("rev")).cast("double").as("max_cust_revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // X183: bitemporal as-of reads — TRANSACTION time (x157's versions:
     // what the warehouse KNEW) crossed with VALID time (d5/d6's SCD2
     // intervals: what WAS true). The point is late-arriving history:
@@ -1400,6 +1459,9 @@ object Warehouse {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY ind")
     },
 
+    "q_agg_after_join" -> eagerAggOracleSql,
+    "x161_eager_agg" -> eagerAggOracleSql,
+
     "x159_bitemporal" -> {
       def cell(v: Int, vf: String, t: String): String =
         s"""SELECT $v AS version, '$t' AS asof_date, o_orderpriority,
@@ -1461,6 +1523,23 @@ object Warehouse {
            UNION ALL SELECT 'sat_customer_load2_deltas', CAST(COUNT(*) AS BIGINT) FROM load2
            UNION ALL SELECT 'reconstruction_matches', CAST(COUNT(*) AS BIGINT) FROM matches
          ) ORDER BY component""")
+
+  // shared by the x161/q_agg_after_join measured pair — identical
+  // result by construction (eager aggregation is a pure rewrite on
+  // associative decimal partials)
+  private val eagerAggOracleSql: String =
+    """WITH per_cust AS (
+         SELECT c_custkey, c_mktsegment,
+                SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS rev
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey  = c_custkey
+         GROUP BY c_custkey, c_mktsegment)
+       SELECT c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+              CAST(MAX(rev) AS DOUBLE) AS max_cust_revenue
+       FROM per_cust GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
   // shared by the x153/q_chain_direct measured pair — identical result
   // by construction (the reduction is a pure rewrite)

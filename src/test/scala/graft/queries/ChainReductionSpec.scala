@@ -29,6 +29,12 @@ class ChainReductionSpec extends SparkSpecBase {
     assert(expected < all, "gate data must make the reduction selective")
   }
 
+  test("x161 eager aggregation ≡ aggregate-after-join, row for row") {
+    val eager = Warehouse.queries("x161_eager_agg")(spark, sfDir).collect()
+    val direct = Warehouse.queries("q_agg_after_join")(spark, sfDir).collect()
+    assert(eager.toSeq === direct.toSeq)
+  }
+
   test("x154 signed fold: an insert+retract pair is an exact no-op") {
     import spark.implicits._
     val rows = Seq(("O", java.math.BigDecimal.valueOf(123.45), 1L),

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Chg(key: String, value: Double, sign: Long)
+
+/** Pins the streaming retractable view: a signed CDC feed folded per
+  * micro-batch into a stored snapshot converges to the aggregate of
+  * the net table state through inserts, an update (retract+insert
+  * pair), a delete, and a full retraction of a key.
+  */
+class RetractableViewSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("signed micro-batches converge to the net state; fully-retracted keys leave") {
+    implicit val sq = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_rv_").toString + "/view"
+    val input = MemoryStream[Chg]
+    val q = input.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch(RetractableView.sink(store, "key") _)
+      .start()
+    try {
+      // batch 1: three inserts over two keys
+      input.addData(Chg("a", 10.0, 1), Chg("a", 20.0, 1), Chg("b", 5.0, 1))
+      q.processAllAvailable()
+      // batch 2: update a:20→25 (retract+insert), delete b:5
+      input.addData(Chg("a", 20.0, -1), Chg("a", 25.0, 1), Chg("b", 5.0, -1))
+      q.processAllAvailable()
+      val view = spark.read.parquet(store)
+        .select(col("key"), col("n"), col("total").cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // a: two live rows (10 + 25); b fully retracted — GONE, not 0-count
+      assert(view === Set(("a", 2L, 35.0)))
+      // batch 3: b comes back
+      input.addData(Chg("b", 7.0, 1))
+      q.processAllAvailable()
+      val view2 = spark.read.parquet(store)
+        .select(col("key"), col("n"), col("total").cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(view2 === Set(("a", 2L, 35.0), ("b", 1L, 7.0)))
+    } finally q.stop()
+  }
+}
