@@ -993,6 +993,93 @@ object Warehouse {
         .orderBy("c_mktsegment")
     }),
 
+    // X187: mergeable-sketch rollup table — the cube-of-sketches
+    // pattern behind every serving layer: a STORED per-nation
+    // DataSketches-HLL table (25 rows × ~1.5 KB) answers "distinct
+    // parts ordered per REGION" by hll_union_agg + estimate over the
+    // sketch rows — the fact is NEVER rescanned for a coarser rollup,
+    // which is what mergeability buys that a15's plain
+    // approx_count_distinct (a final number, not a reusable state)
+    // cannot. Gated under the a15 discipline: exact per-region
+    // distincts hash-verified outright (pre-distinct passes — never a
+    // multi-distinct Expand), the sketch estimate asserted through a
+    // 5% verdict bit the oracle states as TRUE (HLL register merges
+    // are max-folds — order-invariant, so the bit cannot flap). At
+    // 100 TB the sketch table is nations-sized and any region/ALL
+    // rollup is a metadata read.
+    "x162_sketch_rollup" -> ((s, d) => {
+      val keyed = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"))
+      // the stored sketch table: one HLL state per nation
+      val sketches = keyed.groupBy("n_nationkey", "n_regionkey")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .localCheckpoint(true)
+      // region rollup reads ONLY the 25 sketch rows
+      val est = sketches.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      // exact side: one pre-distinct pass (the a26/a15 Expand lesson)
+      val exact = keyed.select("n_regionkey", "l_partkey").distinct()
+        .groupBy("n_regionkey").agg(count(lit(1)).as("exact_parts"))
+      exact.join(est, Seq("n_regionkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_nations"), col("exact_parts"),
+          (abs(col("est").cast("double") - col("exact_parts").cast("double")) <=
+            col("exact_parts").cast("double") * 0.05).as("est_within_5pct"))
+        .orderBy("r_name")
+    }),
+
+    // X188: optimistic-concurrency conflict detection — the commit
+    // validation a lake table (X178's layout) runs when two writers
+    // race from the same base snapshot: their change sets are valid
+    // together iff their touched-key sets are disjoint; intersecting
+    // keys are write-write conflicts and the loser's conflicting rows
+    // are rejected (first-committer-wins — txn A here). The check is
+    // ONE distinct-key semi-intersection (key-set-sized, never
+    // row-payload-sized — exactly what Delta/Iceberg commit protocols
+    // compare via file/row-group key ranges, done here at exact row
+    // grain). The audit emits both change-set sizes, the conflict
+    // count, what survives of B, and the final table's row count and
+    // exact cent total — proving the MERGED outcome, not just the
+    // verdict. Both txns are deterministic functions of the base
+    // table so the oracle reconstructs the same race.
+    "x163_occ_conflicts" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      // txn A: +10.00 on keys ≡1 (mod 10); txn B: +5.00 on keys ≡1
+      // (mod 14). Conflicts: k ≡ 1 (mod 70) — nonempty at every SF.
+      val aKeys = o.filter(pmod(k, lit(10L)) === 1).select(k.as("key"))
+      val bKeys = o.filter(pmod(k, lit(14L)) === 1).select(k.as("key"))
+      val conflicts = aKeys.join(bKeys, Seq("key"), "left_semi")
+        .localCheckpoint(true) // key-set-sized commit metadata
+      // first-committer-wins: A lands whole; B minus conflicted keys
+      val finalPrice = when(pmod(k, lit(10L)) === 1, cents + 1000L)
+        .when(pmod(k, lit(14L)) === 1, cents + 500L)
+        .otherwise(cents)
+      val finals = o.agg(count(lit(1)).as("n"),
+        sum(finalPrice).as("cents")).localCheckpoint(true)
+      def row(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("component"), col("n"))
+      row("txn_a_rows", aKeys)
+        .unionByName(row("txn_b_rows", bKeys))
+        .unionByName(row("conflicts", conflicts))
+        .unionByName(row("applied_b_rows",
+          bKeys.join(conflicts, Seq("key"), "left_anti")))
+        .unionByName(finals.select(lit("final_rows").as("component"),
+          col("n").as("n")))
+        .unionByName(finals.select(lit("final_total_cents").as("component"),
+          col("cents").as("n")))
+        .orderBy("component")
+    }),
+
     // X183: bitemporal as-of reads — TRANSACTION time (x157's versions:
     // what the warehouse KNEW) crossed with VALID time (d5/d6's SCD2
     // intervals: what WAS true). The point is late-arriving history:
@@ -1461,6 +1548,56 @@ object Warehouse {
 
     "q_agg_after_join" -> eagerAggOracleSql,
     "x161_eager_agg" -> eagerAggOracleSql,
+
+    // exact side hash-verified; the sketch estimate surfaces as a
+    // deterministic verdict bit (the a15 discipline)
+    "x162_sketch_rollup" ->
+      """WITH keyed AS (
+           SELECT n_regionkey, l_partkey
+           FROM lineitem
+           JOIN orders   ON l_orderkey  = o_orderkey
+           JOIN customer ON o_custkey   = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey),
+              exact AS (
+           SELECT n_regionkey, COUNT(*) AS exact_parts
+           FROM (SELECT DISTINCT n_regionkey, l_partkey FROM keyed)
+           GROUP BY n_regionkey),
+              nn AS (
+           SELECT n_regionkey, COUNT(*) AS n_nations
+           FROM (SELECT DISTINCT c_nationkey, n_regionkey
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey
+                 JOIN orders ON o_custkey = c_custkey
+                 JOIN lineitem ON l_orderkey = o_orderkey)
+           GROUP BY n_regionkey)
+         SELECT r_name,
+                CAST(nn.n_nations AS BIGINT) AS n_nations,
+                CAST(exact.exact_parts AS BIGINT) AS exact_parts,
+                TRUE AS est_within_5pct
+         FROM exact JOIN nn USING (n_regionkey)
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY r_name""",
+
+    "x163_occ_conflicts" ->
+      """WITH a AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 10 = 1),
+              b AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 14 = 1),
+              conf AS (SELECT key FROM a WHERE key IN (SELECT key FROM b)),
+              fin AS (
+           SELECT COUNT(*) AS n,
+                  SUM(CASE WHEN o_orderkey % 10 = 1
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT) + 1000
+                           WHEN o_orderkey % 14 = 1
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+                           ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS cents
+           FROM orders)
+         SELECT * FROM (
+           SELECT 'txn_a_rows' AS component, CAST(COUNT(*) AS BIGINT) AS n FROM a
+           UNION ALL SELECT 'txn_b_rows', CAST(COUNT(*) AS BIGINT) FROM b
+           UNION ALL SELECT 'conflicts', CAST(COUNT(*) AS BIGINT) FROM conf
+           UNION ALL SELECT 'applied_b_rows', CAST(COUNT(*) AS BIGINT)
+                     FROM b WHERE key NOT IN (SELECT key FROM conf)
+           UNION ALL SELECT 'final_rows', CAST(n AS BIGINT) FROM fin
+           UNION ALL SELECT 'final_total_cents', CAST(cents AS BIGINT) FROM fin
+         ) ORDER BY component""",
 
     "x159_bitemporal" -> {
       def cell(v: Int, vf: String, t: String): String =

@@ -156,6 +156,40 @@ class ChainReductionSpec extends SparkSpecBase {
       "every customer's vault-current segment must match the source truth")
   }
 
+  test("x162 sketch verdicts hold and the union estimate is partition-order-invariant") {
+    val out = Warehouse.queries("x162_sketch_rollup")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("est_within_5pct")),
+      "every region's sketch-rollup estimate must sit within 5% of exact")
+    // determinism: HLL register merges are max-folds — the estimate
+    // (hence the verdict bit) must not depend on partitioning
+    val keyed = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_regionkey"), col("l_partkey"))
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.groupBy("n_nationkey", "n_regionkey")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .groupBy("n_regionkey")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(estimates(keyed.repartition(3)) === estimates(keyed.repartition(11)))
+  }
+
+  test("x163 conflict accounting: intersection size, survivor count, merged totals") {
+    val byName = Warehouse.queries("x163_occ_conflicts")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sfDir)
+    val expectedConf = o.filter(pmod(col("o_orderkey"), lit(70L)) === 1).count()
+    assert(expectedConf > 0, "gate data must plant a write-write conflict")
+    assert(byName("conflicts") === expectedConf)
+    assert(byName("applied_b_rows") + byName("conflicts") === byName("txn_b_rows"))
+    assert(byName("final_rows") === o.count())
+  }
+
   test("x156 master identity matches x38's keeper rule; modes are true maxima") {
     val golden = TrainingData.queries("x156_golden_record")(spark, sfDir)
     val keepers = TrainingData.queries("x38_cluster_keeper")(spark, sfDir)
