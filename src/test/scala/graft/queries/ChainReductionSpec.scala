@@ -190,6 +190,41 @@ class ChainReductionSpec extends SparkSpecBase {
     assert(byName("final_rows") === o.count())
   }
 
+  test("x164 matches an independent in-process Bellman-Ford on hand-built shingles") {
+    // fully independent reference: tokenize + shingle in plain Scala,
+    // same integer weights and threshold, 3 relaxation rounds
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shingles = docs.map { case (id, text) =>
+      id -> text.trim.toLowerCase.split("\\s+").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val ids = shingles.keys.toSeq
+    val edges = (for {
+      a <- ids; b <- ids if a < b
+      i = (shingles(a) & shingles(b)).size
+      na = shingles(a).size; nb = shingles(b).size
+      if i * 10 >= (na + nb - i) * 3
+    } yield (a, b, (na + nb - 2 * i).toLong)).flatMap {
+      case (a, b, w) => Seq((a, b, w), (b, a, w))
+    }
+    var dist: Map[Long, Option[Long]] =
+      ids.map(id => id -> (if (id % 50 == 0) Some(0L) else None)).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = edges.flatMap { case (s0, t, w) =>
+        dist(s0).map(d0 => t -> (d0 + w)) }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+      dist = dist.map { case (id, d0) =>
+        id -> Seq(d0, relaxed.get(id)).flatten.minOption }
+    }
+    val got = TrainingData.queries("x164_sssp")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === dist)
+    assert(dist.values.flatten.exists(_ > 0), "a non-seed doc must be reached")
+  }
+
   test("x156 master identity matches x38's keeper rule; modes are true maxima") {
     val golden = TrainingData.queries("x156_golden_record")(spark, sfDir)
     val keepers = TrainingData.queries("x38_cluster_keeper")(spark, sfDir)

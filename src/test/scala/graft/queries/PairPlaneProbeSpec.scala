@@ -39,6 +39,10 @@ class PairPlaneProbeSpec extends SparkSpecBase {
         .orderBy("doc_id"),
       "x96_contam_spread" -> TrainingData.contamSpreadOnPairs(docs, mh),
       "x156_golden_record" -> TrainingData.goldenRecord(mh, docs),
+      "x164_sssp" -> {
+        TrainingData.ssspEdges(docs).write.mode("overwrite").parquet(dir + "/se")
+        TrainingData.ssspOnEdges(docs, spark.read.parquet(dir + "/se"))
+      },
       "x97_threshold_sweep" -> mh.agg(
         count(lit(1)).as("n_050"),
         sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_060"),
