@@ -28,12 +28,19 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   *   pass 1   one timed run of every query — runs even past the soft
   *            budget (hard-capped at 1.5× so a pathological host still
   *            terminates) because one real timed run beats
-  *            warmup-as-timing every time;
-  *   pass 2+  more timed runs, up to the per-query plan (5 samples for
+  *            warmup-as-timing every time. A pass-1 sample >3× the
+  *            row's own warmup is contention (warm ran the identical
+  *            plan PLUS codegen compile) and triggers one immediate
+  *            retry — a second real signal while the window is hot;
+  *   pass 2   one more timed run of every query, hard-guaranteed like
+  *            pass 1 (capped at 1.2×): two samples per row is the
+  *            floor a trustworthy min/median needs — the r10 artifact
+  *            resolved 92/267 rows from ONE sample because a soft 0.8×
+  *            gate starved the tail after a contended pass 1;
+  *   pass 3+  extra depth up to the per-query plan (5 samples for
   *            sub-second queries — the JVM-noise-prone ones — 3
   *            otherwise; SPARK_GRAFT_BENCH_RUNS pins it, e.g. the 10×
-  *            linearity sweep uses 1), budget-gated: pass 2 while
-  *            <80% spent, pass ≥3 while <60%.
+  *            linearity sweep uses 1), budget-gated: while <60% spent.
   *
   * A transient stall now lands on ONE sample of many queries — where
   * the per-query median (≥3 samples) or min (any) rejects it — instead
@@ -51,7 +58,12 @@ import org.apache.spark.sql.functions.{col, count, length, lit, sum, when}
   * Host-noise defenses in the artifact itself:
   *   - per-query `min` alongside the median: min is robust to
   *     contention (it can only overstate performance, never understate
-  *     it), so median≫min reads as "noisy host", not "slow query";
+  *     it), so median≫min reads as "noisy host", not "slow query". The
+  *     min is WARM-BACKED: the warmup ran the identical plan (plus
+  *     compile cost, so it only ever overstates steady state) — if
+  *     every timed sample of a row landed in a contention window, min
+  *     falls back to the warm time with `warm_min` flagged, instead of
+  *     reporting the contaminated sample as the row's best case;
   *   - a stall detector: median/min > 3× flags `stall_suspect` on the
   *     query line and logs loudly — the round-7 pollution would have
   *     announced itself;
@@ -130,15 +142,27 @@ object Bench {
     * Extracted for deterministic unit testing (BenchResolutionSpec) —
     * a live contended-host demo of the 3× threshold is inherently racy. */
   final case class Resolved(sec: Double, min: Double, runs: Int,
-                            degraded: Boolean, stall: Boolean)
+                            degraded: Boolean, stall: Boolean,
+                            warmMin: Boolean = false)
+  /** `min` is warm-backed: the warmup run executes the IDENTICAL
+    * physical plan (it differs only by paying codegen/JIT compile, so
+    * it can only OVERSTATE steady-state time) — when every timed
+    * sample of a row landed inside a host-contention window, the warm
+    * time is still an honest upper bound and beats reporting the
+    * contaminated sample as the row's best case. `warm_min` flags the
+    * rows where the fallback engaged (r10's 9-row window would have
+    * carried 8-50× "mins" without it). */
   def resolve(samples: Seq[Double], warm: Double): Resolved =
     if (samples.isEmpty) Resolved(warm, warm, 0, degraded = true, stall = false)
     else {
       val sorted = samples.sorted
       val med = sorted((sorted.size - 1) / 2)
-      val mn = sorted.head
+      val timedMin = sorted.head
+      val warmBacked = !warm.isNaN && warm < timedMin
+      val mn = if (warmBacked) warm else timedMin
       Resolved(med, mn, sorted.size, degraded = false,
-        stall = sorted.size >= 2 && med / mn > 3.0)
+        stall = (sorted.size >= 2 || warmBacked) && med / mn > 3.0,
+        warmMin = warmBacked)
     }
 
   /** Pure query-state resolution: an error BEFORE any timed sample is a
@@ -433,15 +457,34 @@ object Bench {
     for (pass <- 1 to maxPasses; st <- states
          if st.err.isEmpty && pass <= st.planned) {
       val frac = elapsed / budget
+      // passes 1 AND 2 are hard-guaranteed (soft-budget-exempt, capped
+      // only against a pathological host): r10 proved the 0.8× gate is
+      // unreachable for the tail after a full-surface warmup + pass 1
+      // under contention — 92/267 rows resolved from ONE sample, and a
+      // 9-row contention window recorded 8-50× "mins" with no second
+      // signal to reject them. Two samples per row is the floor a
+      // trustworthy min/median needs; only pass ≥3 depth is luxury.
       val allowed =
-        if (pass == 1) frac < 1.5 // one real run beats warmup-as-timing; hard cap 1.5×
-        else if (pass == 2) frac < 0.8
+        if (pass == 1) frac < 1.5 // one real run beats warmup-as-timing
+        else if (pass == 2) frac < 1.2
         else frac < 0.6
       if (allowed) {
         try {
           val s = timedRun(st.name)
           st.samples += s
           emit(s"""{"query":${jstr(st.name)},"pass":$pass,"sec":$s}""")
+          // warm-divergence retry: a pass-1 sample >3× the warmup of
+          // the SAME plan is contention, not the query (warm already
+          // paid codegen on top) — grab one immediate extra sample
+          // while the budget allows, so the row's median has a second
+          // real signal instead of waiting a full pass
+          if (pass == 1 && !st.warm.isNaN && s > 3.0 * st.warm &&
+              elapsed / budget < 1.2) {
+            val r = timedRun(st.name)
+            st.samples += r
+            emit(s"""{"query":${jstr(st.name)},"pass":$pass,"sec":$r,""" +
+              """"retry":true}""")
+          }
         } catch {
           case e: Throwable =>
             st.err = Some(fmtErr(e))
@@ -456,7 +499,7 @@ object Bench {
     sealed trait Res
     case class Ok(med: Double, min: Double, runs: Int, planned: Int,
                   warm: Double, degraded: Boolean, stall: Boolean,
-                  partialErr: Option[String]) extends Res
+                  warmMin: Boolean, partialErr: Option[String]) extends Res
     case class Err(msg: String) extends Res
     val resolved: Seq[(String, Res)] = states.map { st =>
       val res: Res = resolveState(st.err, st.samples.toSeq, st.warm) match {
@@ -467,13 +510,13 @@ object Bench {
               f"${r.min}%.2f s (${r.sec / r.min}%.1f×) — host contention " +
               "suspected; min is the trustworthy number")
           Ok(r.sec, r.min, r.runs, st.planned, st.warm, r.degraded, r.stall,
-            partial)
+            r.warmMin, partial)
       }
       res match {
-        case Ok(med, mn, runs, planned, warm, deg, stall, partial) =>
+        case Ok(med, mn, runs, planned, warm, deg, stall, wmin, partial) =>
           emit(s"""{"query":${jstr(st.name)},"sec":$med,"min":$mn,"runs":$runs,""" +
             s""""planned":$planned,"warm":$warm,"degraded":$deg,""" +
-            s""""stall_suspect":$stall,"err":null,""" +
+            s""""stall_suspect":$stall,"warm_min":$wmin,"err":null,""" +
             s""""partial_err":${partial.map(jstr).getOrElse("null")}}""")
         case Err(e) =>
           emit(s"""{"query":${jstr(st.name)},"sec":null,"err":${jstr(e)}}""")
@@ -493,6 +536,9 @@ object Bench {
       .mkString("{", ",", "}")
     val degJson = degraded.map(p => jstr(p._1)).mkString("[", ",", "]")
     val stallJson = stalls.map(p => jstr(p._1)).mkString("[", ",", "]")
+    val warmMins = clean.filter(_._2.warmMin)
+    val warmMinJson = warmMins.map(p => jstr(p._1)).mkString("[", ",", "]")
+    val minRuns = if (ok.isEmpty) 0 else ok.map(_._2.runs).min
     val totalClean = clean.map(_._2.med).sum
     val totalDegraded = degraded.map(_._2.med).sum
     val totalMin = clean.map(_._2.min).sum
@@ -512,6 +558,7 @@ object Bench {
       s"""{"metric":"total","value":$totalClean,"unit":"sec","queries":$qs,""" +
       s""""mins":$mins,"total_min":$totalMin,"total_degraded":$totalDegraded,""" +
       s""""errors":$errJson,"degraded":$degJson,"stall_suspect":$stallJson,""" +
+      s""""warm_min":$warmMinJson,"min_runs":$minRuns,""" +
       s""""partial_errs":$partialJson,"n_ok":${ok.size},"n_err":${errs.size},""" +
       s""""n_degraded":${degraded.size},"n_partial_err":${partials.size},""" +
       s""""wall":$elapsed,"sf":${jstr(sfDir)}}"""

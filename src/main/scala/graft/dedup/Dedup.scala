@@ -607,8 +607,18 @@ object Dedup {
              e.join(next, Seq("a", "b"), "left_anti").isEmpty
       e = next
     }
+    // per-doc min aggregate, NOT a raw join on e: at convergence each
+    // node carries exactly one root edge (min is the identity), but if
+    // maxRounds exhausted first, e can still hold several (node, root)
+    // candidates — a plain left join would fan out into duplicate,
+    // inconsistent label rows. min(root) keeps the output well-formed
+    // (one row per doc) in every case; callers detecting
+    // rounds == maxRounds should treat the labels as a best-effort
+    // contraction, not a proven fixpoint.
+    val roots = e.groupBy(col("a")).agg(min(col("b")).as("root"))
+      .select(col("a").as("doc_id"), col("root"))
     val labels = docs.select(col("doc_id"))
-      .join(e.select(col("a").as("doc_id"), col("b").as("root")), Seq("doc_id"), "left")
+      .join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("component"))
       .withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))

@@ -724,7 +724,13 @@ object Warehouse {
     // Yesterday's state v0 is synthesized deterministically from the
     // final state (inserts absent, updates at their pre-image price
     // +100, deleted "ghost" rows present), so both engines agree on
-    // what changed without any stored fixture.
+    // what changed without any stored fixture. The ghost rows are
+    // synthetic CLONES (offset keys) DISJOINT from the surviving rows:
+    // each surviving row appears in v0 exactly once and each ghost
+    // exactly once, so the delete retraction removes a row genuinely
+    // absent from the converged view — v0 really is the aggregate of a
+    // coherent yesterday-table (surviving rows at old prices + the
+    // soon-to-be-deleted clones), not a double-counted artifact.
     "x154_retractable_ivm" -> ((s, d) => {
       val snapDir = java.nio.file.Files.createTempDirectory("graft_retract_")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -735,13 +741,19 @@ object Warehouse {
         .cast("decimal(18,2)")
       val mod11 = pmod(col("o_orderkey"), lit(11L))
       val isGhostSrc = pmod(col("o_orderkey"), lit(13L)) === 1
+      // ghost clones: offset-key copies of the mod-13 rows, the rows
+      // "deleted today" — disjoint from every surviving row (see note
+      // above), so the retraction targets rows truly leaving the view
+      val ghosts = o.filter(isGhostSrc)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
       // v0 = yesterday's state: today's inserts absent, today's
       // updates still at their old price, today's deletes present
       val v0 = o.filter(mod11 =!= 3)
         .select(col("o_orderstatus"),
           when(mod11 === 5, oldPrice).otherwise(price).as("p"),
           lit(1L).as("sign"))
-        .unionByName(o.filter(isGhostSrc)
+        .unionByName(ghosts
           .select(col("o_orderstatus"), price.as("p"), lit(1L).as("sign")))
       def partials(df: DataFrame) = df.groupBy("o_orderstatus")
         .agg(sum(col("sign")).as("n"),
@@ -756,7 +768,7 @@ object Warehouse {
           .select(col("o_orderstatus"), oldPrice.as("p"), lit(-1L).as("sign")))
         .unionByName(o.filter(mod11 === 5)
           .select(col("o_orderstatus"), price.as("p"), lit(1L).as("sign")))
-        .unionByName(o.filter(isGhostSrc)
+        .unionByName(ghosts
           .select(col("o_orderstatus"), price.as("p"), lit(-1L).as("sign")))
       s.read.parquet(snapDir.toString).unionByName(partials(delta))
         .groupBy("o_orderstatus")
@@ -888,7 +900,14 @@ object Warehouse {
       def asOf(v: Int): DataFrame =
         versioned.filter(col("version") <= v) // partition-pruned scan
           .groupBy("k")
-          .agg(max(struct(col("version"), col("op"), col("p"))).as("mx"))
+          // the tombstone carries an orderable priority INSIDE the
+          // struct: at equal version a delete ('D' → 1) outranks any
+          // full image (0), so deletes genuinely win same-version ties
+          // — lexicographic 'I' > 'D' would quietly resurrect the key
+          // if a feed ever emitted both ops in one version
+          .agg(max(struct(col("version"),
+            when(col("op") === "D", 1).otherwise(0).as("del_pri"),
+            col("op"), col("p"))).as("mx"))
           .filter(col("mx.op") =!= "D")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("mx.p")).cast("double").as("total"))

@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * fold is the z-set algebra: count ← Σsign, sum ← Σ(sign·x) — exact
   * over decimals, commutative, associative — so replaying a batch is
   * idempotent ONLY if the sink write is transactional per batch (the
-  * K4 effectively-once contract); here the snapshot is rewritten
-  * atomically per batch (materialize-then-overwrite).
+  * K4 effectively-once contract); here the snapshot swap is
+  * crash-safe: the new snapshot is fully written to a side path and
+  * then swapped in with two renames (store→old, new→store), so at
+  * every instant either `store` or `store.old` holds a COMPLETE
+  * snapshot — a crash mid-swap is healed by `resolve` on the next
+  * batch (rename old→store), never read as empty.
   *
   * At 100 TB the snapshot is KEYS-sized and each fold touches one
   * batch + the snapshot — the base history is never rescanned, which
@@ -38,18 +42,50 @@ object RetractableView {
       .agg(sum("n").as("n"), sum("total").as("total"))
       .filter(col("n") =!= 0)
 
+  private def fs(s: org.apache.spark.sql.SparkSession,
+                 p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Heal a crash mid-swap and report whether a snapshot exists. If the
+    * current path is missing but the `.old` side survives (the crash
+    * window between the two renames in [[sink]]), rename it back —
+    * only a genuinely never-written store reads as empty. Any OTHER
+    * read failure (transient IO, corrupt file) must propagate: the
+    * pre-r11 blanket catch silently reset the view to zero. */
+  def resolve(s: org.apache.spark.sql.SparkSession, store: String): Boolean = {
+    val cur = new org.apache.hadoop.fs.Path(store)
+    val old = new org.apache.hadoop.fs.Path(store + ".old")
+    val f = fs(s, cur)
+    if (!f.exists(cur) && f.exists(old)) f.rename(old, cur)
+    f.exists(cur)
+  }
+
   /** foreachBatch sink: read the stored snapshot, fold the micro-batch,
-    * rewrite. The fold result is materialized (eager localCheckpoint)
-    * BEFORE the overwrite — Spark cannot overwrite a path it is still
-    * lazily reading from. */
+    * swap the result in crash-safely. The new snapshot is written
+    * COMPLETELY to `store.new` (materialized via eager localCheckpoint
+    * first — Spark cannot write a path it is still lazily reading
+    * from), then swapped with two directory renames; [[resolve]] heals
+    * the one-rename crash window on the next batch. Missing-path is
+    * the ONLY condition treated as an empty snapshot — IO errors
+    * rethrow instead of zeroing the view. */
   def sink(store: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val empty = partials(batch.limit(0), key)
+    val exists = resolve(s, store)
     val snapshot =
-      try s.read.parquet(store)
-      catch { case _: Throwable => empty }
+      if (exists) s.read.parquet(store)
+      else partials(batch.limit(0), key)
+    val cur = new org.apache.hadoop.fs.Path(store)
+    val old = new org.apache.hadoop.fs.Path(store + ".old")
+    val fresh = new org.apache.hadoop.fs.Path(store + ".new")
+    val f = fs(s, cur)
     fold(snapshot, batch, key)
       .localCheckpoint(eager = true)
-      .write.mode("overwrite").parquet(store)
+      .write.mode("overwrite").parquet(fresh.toString)
+    f.delete(old, true)
+    if (f.exists(cur) && !f.rename(cur, old))
+      throw new java.io.IOException(s"rename $cur -> $old failed")
+    if (!f.rename(fresh, cur))
+      throw new java.io.IOException(s"rename $fresh -> $cur failed")
+    f.delete(old, true)
   }
 }

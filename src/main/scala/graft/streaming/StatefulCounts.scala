@@ -57,29 +57,50 @@ class RunningTotalsProcessor
   * `flatMapGroupsWithState` + GroupStateTimeout, re-expressed on the
   * v2 API where the timer is an explicit, per-key-multiplicity-free
   * primitive rather than a single timeout slot fused into the state.
+  *
+  * The timer only ever moves FORWARD: the per-key max event time lives
+  * in state (`maxTs`), and the replacement timer is
+  * `max(stored maxTs, this batch's max) + gap`. An out-of-order event
+  * inside the watermark lateness allowance that arrives in a LATER
+  * micro-batch therefore extends or keeps the close time — it can
+  * never pull an already-registered timer earlier and split one
+  * session into two (the bug a batch-local max alone produces).
   */
 class SessionCloseProcessor(gapMs: Long)
     extends StatefulProcessor[Long, StampedEvent, SessionClose] {
 
   @transient private var count: ValueState[Long] = _
   @transient private var pendingTimer: ValueState[Long] = _
+  @transient private var maxSeen: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     count = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
     pendingTimer = getHandle.getValueState[Long]("timer", Encoders.scalaLong,
+      TTLConfig.NONE)
+    maxSeen = getHandle.getValueState[Long]("maxTs", Encoders.scalaLong,
       TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[StampedEvent],
                                timerValues: TimerValues): Iterator[SessionClose] = {
     var n = if (count.exists()) count.get() else 0L
-    var maxTs = Long.MinValue
+    var maxTs = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
     rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
     count.update(n)
-    if (pendingTimer.exists()) getHandle.deleteTimer(pendingTimer.get())
+    maxSeen.update(maxTs)
+    // forward-only replacement: an in-allowance out-of-order event in a
+    // later batch must never pull the close time earlier (see scaladoc)
     val timer = maxTs + gapMs
-    getHandle.registerTimer(timer)
-    pendingTimer.update(timer)
+    if (pendingTimer.exists()) {
+      if (timer > pendingTimer.get()) {
+        getHandle.deleteTimer(pendingTimer.get())
+        getHandle.registerTimer(timer)
+        pendingTimer.update(timer)
+      }
+    } else {
+      getHandle.registerTimer(timer)
+      pendingTimer.update(timer)
+    }
     Iterator.empty
   }
 
@@ -88,6 +109,7 @@ class SessionCloseProcessor(gapMs: Long)
     val n = if (count.exists()) count.get() else 0L
     count.clear()
     pendingTimer.clear()
+    maxSeen.clear()
     Iterator.single(SessionClose(key, n, expiredTimerInfo.getExpiryTimeInMs))
   }
 }

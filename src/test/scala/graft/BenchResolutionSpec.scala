@@ -36,8 +36,30 @@ class BenchResolutionSpec extends AnyFunSuite {
       "lower-median-of-2 IS the clean run; nothing to flag")
   }
 
-  test("a single sample can never flag (no min to compare)") {
-    assert(!Bench.resolve(Seq(50.0), warm = 1.0).stall)
+  test("a single contaminated sample flags via the warm-backed min") {
+    // the r10 signature: one timed sample, landed in a contention
+    // window, with a warmup of the identical plan 50× faster — pre-r11
+    // this resolved as a clean 50 s row; now warm backs the min and
+    // the 3× detector fires
+    val r = Bench.resolve(Seq(50.0), warm = 1.0)
+    assert(r.min === 1.0 && r.warmMin && r.stall)
+    assert(r.sec === 50.0, "median still reports the timed sample")
+  }
+
+  test("a single honest sample does not flag (warm is slower, as usual)") {
+    val r = Bench.resolve(Seq(2.0), warm = 3.5)
+    assert(r.min === 2.0 && !r.warmMin && !r.stall)
+  }
+
+  test("warm-backed min engages only when warm beats every timed sample") {
+    val r = Bench.resolve(Seq(2.4, 2.5), warm = 2.0)
+    assert(r.min === 2.0 && r.warmMin && !r.stall,
+      "min falls back to warm; 2.4/2.0 is honest noise, no stall")
+  }
+
+  test("NaN warm (warmup errored) never backs the min") {
+    val r = Bench.resolve(Seq(5.0), warm = Double.NaN)
+    assert(r.min === 5.0 && !r.warmMin && !r.stall)
   }
 
   test("no samples: warmup fallback, flagged degraded") {

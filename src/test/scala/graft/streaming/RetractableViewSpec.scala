@@ -43,4 +43,36 @@ class RetractableViewSpec extends SparkSpecBase {
       assert(view2 === Set(("a", 2L, 35.0), ("b", 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("resolve heals a crash between the two swap renames") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rv_heal_").toString
+    val store = base + "/view"
+    val batch = Seq(Chg("a", 10.0, 1)).toDF()
+    RetractableView.sink(store, "key")(batch, 0L)
+    // simulate the crash window: store renamed aside, new never landed
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".old")))
+    assert(RetractableView.resolve(spark, store),
+      "resolve must rename the .old snapshot back, not report empty")
+    // the next batch folds into the HEALED snapshot, not a zeroed view
+    RetractableView.sink(store, "key")(Seq(Chg("a", 5.0, 1)).toDF(), 1L)
+    val view = spark.read.parquet(store)
+      .select(col("key"), col("n"), col("total").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(view === Set(("a", 2L, 15.0)))
+  }
+
+  test("a corrupt snapshot rethrows instead of silently zeroing the view") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rv_bad_").toString
+    val store = base + "/view"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, "part-00000.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] {
+      RetractableView.sink(store, "key")(Seq(Chg("a", 1.0, 1)).toDF(), 0L)
+    }
+  }
 }

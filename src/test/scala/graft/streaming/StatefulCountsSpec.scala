@@ -79,4 +79,44 @@ class StatefulCountsSpec extends AnyFunSuite {
       assert(!closed.exists(_.user_id == 2))
     } finally q.stop()
   }
+
+  test("an in-allowance out-of-order event in a later batch never pulls the timer earlier") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[StampedEvent]
+    // 10-minute gap, 30-minute lateness allowance: late events are
+    // legitimate input here, and each must extend-or-keep the close
+    // time — the batch-local-max bug replaced the 00:30 timer with
+    // 00:05+gap = 00:15 and split the session in two
+    val q = StatefulCounts.sessionCloses(input.toDS(), "30 minutes",
+        gapMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("twtimer_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(StampedEvent(1, t("2024-01-01 00:00:00")),
+        StampedEvent(1, t("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      // the out-of-order straggler, well inside the allowance
+      input.addData(StampedEvent(1, t("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // advance the watermark past the WRONG close time (00:15) but
+      // not the right one (00:30): wm = 00:50 − 30 min = 00:20
+      input.addData(StampedEvent(2, t("2024-01-01 00:50:00")))
+      q.processAllAvailable()
+      input.addData(StampedEvent(2, t("2024-01-01 00:51:00")))
+      q.processAllAvailable()
+      assert(spark.table("twtimer_ooo").count() === 0,
+        "session must NOT close at straggler+gap while last-event+gap is ahead")
+      // now pass the RIGHT close time: wm = 01:10 − 30 min = 00:40
+      input.addData(StampedEvent(2, t("2024-01-01 01:10:00")))
+      q.processAllAvailable()
+      input.addData(StampedEvent(2, t("2024-01-01 01:11:00")))
+      q.processAllAvailable()
+      val closed = spark.table("twtimer_ooo").as[SessionClose].collect()
+      assert(closed.exists(c => c.user_id == 1 && c.n_events == 3 &&
+        c.closed_at_ms == t("2024-01-01 00:30:00").getTime),
+        s"expected ONE 3-event session closed at 00:30, got ${closed.mkString(",")}")
+    } finally q.stop()
+  }
 }
