@@ -213,7 +213,8 @@ object Bench {
     // to the self-contained gate forms rather than killing the bench.
     val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-index")
       .toString
-    val pairConsumers = Set("x17_dedup_clusters", "x38_cluster_keeper",
+    val pairConsumers = Set("x17_dedup_clusters", "x165_cc_lss",
+      "x38_cluster_keeper",
       "x42_split_leakage", "x43_component_split", "x70_dedup_agreement",
       "x75_source_overlap", "x84_dup_pagerank", "x96_contam_spread",
       "x97_threshold_sweep", "x123_triangles", "x131_kcore",
@@ -290,6 +291,10 @@ object Bench {
             m += "x17_dedup_clusters" -> ((s: SparkSession, d: String) =>
               graft.dedup.Dedup.nearDupComponents(mhPairs(s), Tables.documents(s, d))
                 .orderBy("doc_id"))
+          if (names.contains("x165_cc_lss"))
+            m += "x165_cc_lss" -> ((s: SparkSession, d: String) =>
+              graft.dedup.Dedup.ccLargeStarSmallStar(mhPairs(s), Tables.documents(s, d))
+                ._1.orderBy("doc_id"))
           if (names.contains("x38_cluster_keeper"))
             m += "x38_cluster_keeper" -> ((s: SparkSession, d: String) => {
               val ds = Tables.documents(s, d)

@@ -413,10 +413,16 @@ object TrainingData {
       docs.select(col("doc_id"), splitCol(col("doc_id")).as("split")))
 
   /** x43 tail: the x42 matrix with the assignment keyed on the near-dup
-    * COMPONENT — every member of a dup cluster lands in one split. */
+    * COMPONENT — every member of a dup cluster lands in one split.
+    * The components come from the large-star/small-star contraction
+    * (diameter-independent, O(log n) rounds): an UNDER-merged cluster
+    * here leaks train rows into val/test, so this consumer wants the
+    * convergence-guaranteed CC, not a fixed hop count — LSS roots at
+    * component minima like the min-label forms, so the swap is
+    * drop-in (hash-gated ≡ the unrolled min-label oracle). */
   def componentSplit(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val p = pairs.select("doc_a", "doc_b").cache()
-    val labels = Dedup.nearDupComponents(p, docs)
+    val labels = Dedup.ccLargeStarSmallStar(p, docs)._1
     splitMatrix(p,
       labels.select(col("doc_id"), splitCol(col("component")).as("split")))
   }
@@ -1135,6 +1141,21 @@ object TrainingData {
     "x17_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.nearDupComponents(Dedup.minhashNearDups(docs, 0.5), docs).orderBy("doc_id")
+    }),
+
+    // X181 promoted to a gate row: large-star/small-star CC (Kiveris
+    // et al. SoCC'14) over the SAME real pair plane as x17 — converged
+    // stars root at each component's minimum, so the x17 unrolled
+    // min-label oracle applies verbatim and hash equality proves the
+    // O(log n)-round contraction ≡ min-label propagation on the gate
+    // corpus (CcLssSpec adds the diameter-32 chain where the round
+    // advantage shows: ≤8 rounds vs 32). This is the CC form a
+    // web-scale dup graph runs — diameter-independent, each round
+    // edge-bounded joins + min aggregates with eager checkpoints.
+    "x165_cc_lss" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ccLargeStarSmallStar(Dedup.minhashNearDups(docs, 0.5), docs)
+        ._1.orderBy("doc_id")
     }),
 
     // Keeper-by-quality: same components, but each cluster keeps its
@@ -2672,13 +2693,21 @@ object TrainingData {
     // safe for THIS embedding version — trained-with-MRL embeddings
     // hold high overlap, PCA-rotated ones collapse. Both sides are the
     // x11/x55-bounded brute-force shape (queries × corpus, element
-    // join, codegen'd long dots); outputs all-integer.
+    // join, codegen'd long dots) over a DETERMINISTIC 1-in-4 corpus
+    // sample: the audit is a statistical read (mean overlap decides
+    // the rollout), so the candidate pool is sampled, never the full
+    // corpus — both legs rank the SAME pool, so the overlap verdict
+    // is unchanged in kind while the audit's cost stays a bounded
+    // fraction of a full brute-force pass (at 100 TB nobody dots the
+    // whole corpus to estimate a recall mean). Outputs all-integer.
     "x147_matryoshka" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val corpusSample = pmod(col("vec_id"), lit(4L)) === 0
       val trunc = emb.withColumn("embedding",
         slice(col("embedding"), 1, MatryoshkaPrefix))
       def top5(e: DataFrame) =
-        Similarity.topK(e, e.filter(col("vec_id") < 10), 5).select("qid", "vb")
+        Similarity.topK(e.filter(corpusSample), e.filter(col("vec_id") < 10), 5)
+          .select("qid", "vb")
       val full = top5(emb)
       val overlap = full.join(top5(trunc), Seq("qid", "vb"))
         .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
@@ -3018,15 +3047,16 @@ object TrainingData {
                    AS skip_ppm
           FROM mb JOIN tr USING (term), tot ORDER BY term"""
     },
-    // both top-5s replayed with the x11 ranking (cos DESC, vb); the
-    // prefix side re-derives ITS OWN norms over the leading dims
+    // both top-5s replayed with the x11 ranking (cos DESC, vb) over
+    // the same 1-in-4 corpus sample; the prefix side re-derives ITS
+    // OWN norms over the leading dims
     "x147_matryoshka" ->
       s"""WITH $embCte,
           ep AS (SELECT vec_id, q, pos FROM e WHERE pos <= $MatryoshkaPrefix),
           normsp AS (SELECT vec_id, CAST(SUM(q * q) AS DOUBLE) AS nsq FROM ep GROUP BY vec_id),
           df AS (SELECT a.vec_id AS qid, b.vec_id AS vb, SUM(a.q * b.q) AS dot
                  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
-                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+                 WHERE a.vec_id < 10 AND b.vec_id % 4 = 0 GROUP BY 1, 2),
           rf AS (SELECT qid, vb FROM
                   (SELECT qid, vb, row_number() OVER (PARTITION BY qid
                      ORDER BY CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) DESC, vb) AS rank
@@ -3034,7 +3064,7 @@ object TrainingData {
                  WHERE rank <= 5),
           dp AS (SELECT a.vec_id AS qid, b.vec_id AS vb, SUM(a.q * b.q) AS dot
                  FROM ep a JOIN ep b ON a.pos = b.pos AND a.vec_id <> b.vec_id
-                 WHERE a.vec_id < 10 GROUP BY 1, 2),
+                 WHERE a.vec_id < 10 AND b.vec_id % 4 = 0 GROUP BY 1, 2),
           rp AS (SELECT qid, vb FROM
                   (SELECT qid, vb, row_number() OVER (PARTITION BY qid
                      ORDER BY CAST(dot AS DOUBLE) / sqrt(x.nsq * y.nsq) DESC, vb) AS rank
@@ -3353,6 +3383,9 @@ object TrainingData {
           ${(1 to 4).map(pagerankIterCte).mkString(",\n          ")}
           SELECT doc_id, pr AS pr_ppm FROM pr4 ORDER BY doc_id""",
     "x17_dedup_clusters" -> clusterOracleSql(),
+    // LSS roots components at their minima — x17's unrolled min-label
+    // oracle is exactly its contract on the gate corpus
+    "x165_cc_lss" -> clusterOracleSql(),
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
     "x156_golden_record" -> goldenRecordOracleSql(),
     "x164_sssp" -> {
