@@ -223,6 +223,7 @@ object Bench {
       if (!names.exists(n => n == "x41_minhash_est" || n == "x55_ann_recall"
                           || n == "x61_semdedup" || n == "x74_semantic_decontam"
                           || n == "q_bucketed_join" || n == "k9_incremental_join"
+                          || n == "x166_star_bi_cascade"
                           || pairConsumers(n))) Map.empty
       else try {
         import graft.sim.Similarity
@@ -350,6 +351,20 @@ object Bench {
                 sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_070"),
                 sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_080"),
                 sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_090")))
+        }
+        if (names.contains("x166_star_bi_cascade")) {
+          // the standing SUMMARY LAYER — a warehouse writes its rollups
+          // once and every navigator-routed query rides them; the timed
+          // leg is the full optimizer cascade (join-elim + navigator)
+          // over the parquet summary, require()d to have fired, beside
+          // q_star_bi_plain's as-written join + fact scan
+          graft.plans.AggRewrite.summarize(Tables.lineitem(spark, sfDir),
+              Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+            .write.mode("overwrite").parquet(idxDir + "/star_mv")
+          m += "x166_star_bi_cascade" -> ((s: SparkSession, d: String) =>
+            graft.queries.Warehouse.starBiCascade(s, d, Tables.lineitem(s, d),
+              s.read.parquet(idxDir + "/star_mv"),
+              summaryTag = Some("star_mv")))
         }
         val needsLayout = names.contains("q_bucketed_join") ||
           names.contains("k9_incremental_join")

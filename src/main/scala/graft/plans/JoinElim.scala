@@ -108,10 +108,17 @@ object JoinElim {
   }
 
   /** The right side may be the dim itself or the dim under bare
-    * column-pruning Projects. */
+    * column-pruning Projects and/or the `IsNotNull(pk)` filter the
+    * optimizer infers on equi-join keys (InferFiltersFromConstraints
+    * runs before the user-rule batch, so by the time this rule sees
+    * the plan the dim is always wrapped). Accepting that filter is
+    * sound for elimination: a null PK can never equi-match a fact FK,
+    * so dim-with-isnotnull(pk) joins identically to the raw dim. Any
+    * OTHER filter narrows the dim and must block elimination. */
   private def dimMatches(p: LogicalPlan, c: KeyConstraint): Boolean = p match {
     case d if AggRewrite.sameBase(d, c.dim) => true
     case Project(pl, d) if pl.forall(_.isInstanceOf[AttributeReference]) => dimMatches(d, c)
+    case Filter(IsNotNull(a: AttributeReference), d) if a.name == c.pk => dimMatches(d, c)
     case _ => false
   }
 

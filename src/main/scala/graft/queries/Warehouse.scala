@@ -25,6 +25,58 @@ object Warehouse {
   private def scratch(tag: String, sfDir: String): String =
     s"target/wh_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
+  /** Shared cascade leg of the X190 pair (gate form AND the bench's
+    * standing-parquet probe): registers the dim-key constraint and the
+    * summary, installs both optimizer rules session-wide (the
+    * GraftExtensions path), plans the BI star query, and REQUIRES the
+    * cascade fired — after join-elim + navigator, the only file
+    * relation allowed in the optimized plan is the standing summary
+    * itself (`summaryTag`; the gate's checkpointed summary is a
+    * LogicalRDD, so it allows none). Planning is forced while the
+    * rules are installed; the cached QueryExecution is what executes
+    * later. Rules and registries are uninstalled on exit so no other
+    * query sees them. */
+  def starBiCascade(s: SparkSession, d: String, li: DataFrame, mv: DataFrame,
+                    summaryTag: Option[String]): DataFrame = {
+    val p = Tables.part(s, d)
+    AggRewrite.register(AggRewrite.summaryFor(li, mv,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")))
+    JoinElim.register(JoinElim.constraint(p, "p_partkey", referential = false))
+    val prev = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations =
+      prev ++ Seq(JoinElim.RegistryRule, AggRewrite.RegistryRule)
+    try {
+      val out = li.join(p, li("l_partkey") === p("p_partkey"), "left")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sq").cast("double").as("sum_qty"), col("n_items"))
+        .orderBy("l_returnflag", "l_linestatus")
+      val survivors = out.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.mkString(",")
+            case other => other.toString
+          }
+      }
+      val offending = summaryTag match {
+        case Some(tag) => survivors.filterNot(_.contains(tag))
+        case None => survivors
+      }
+      require(offending.isEmpty,
+        "optimizer cascade did not fire: base relation(s) survive the " +
+          s"rewrite: ${offending.mkString("; ")}")
+      out.queryExecution.executedPlan // pin physical planning under the rules
+      out
+    } finally {
+      s.experimental.extraOptimizations = prev
+      AggRewrite.clearRegistry()
+      JoinElim.clearRegistry()
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X153: aggregate navigator — the optimizer routes a coarser
@@ -704,6 +756,47 @@ object Warehouse {
         .join(broadcast(eurNations), col("nk") === col("n_nationkey"))
         .select(col("n_name"), col("n_items"), col("revenue"))
         .orderBy("n_name")
+    }),
+
+    // X190 (pair): the BI star query a reporting tool generates —
+    // joins a dimension it never reads (part), groups at the rollup
+    // grain — run EXACTLY as written, no rewrites. This is the direct
+    // leg of the optimizer-cascade pair: the join builds and probes
+    // the dim and the aggregate scans the full fact table.
+    "q_star_bi_plain" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(p, li("l_partkey") === p("p_partkey"), "left")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sq").cast("double").as("sum_qty"), col("n_items"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // X190: the SAME BI text under the full optimizer-rule cascade
+    // (the GraftExtensions / extraOptimizations path RewriteCascadeSpec
+    // pins): PK-FK join elimination drops the never-read dim join,
+    // exposing an Aggregate-over-base that the aggregate navigator
+    // then routes onto the standing summary — within one fixed-point
+    // optimizer batch, no per-plan calls. The require() keeps the
+    // gate honest (x133 discipline): if either rule stops firing, a
+    // base relation survives in the optimized plan and the query
+    // FAILS instead of silently computing the same answer the
+    // expensive way. The oracle is the direct star SQL, so hash
+    // equality proves cascade ≡ direct. At 100 TB the rewritten plan
+    // reads a |returnflag × linestatus|-row summary instead of the
+    // fact table AND skips the dim build/probe per executor — the
+    // zero-fact-scan path a summary layer exists for; the bench times
+    // this leg over a standing parquet summary beside q_star_bi_plain
+    // (the x153/q_chain_direct measured-pair discipline).
+    "x166_star_bi_cascade" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val mv = AggRewrite.summarize(li, Seq("l_returnflag", "l_linestatus"),
+          Seq("l_quantity"))
+        .localCheckpoint(eager = true) // the standing summary layer
+      starBiCascade(s, d, li, mv, summaryTag = None)
     }),
 
     // X174: retractable incremental view maintenance — k8 folds
@@ -1484,6 +1577,11 @@ object Warehouse {
     "q_chain_direct" -> chainOracleSql,
     "x153_yannakakis" -> chainOracleSql,
 
+    // the X190 pair shares the direct star SQL: hash equality proves
+    // join-elim + navigator cascade ≡ the query as written
+    "q_star_bi_plain" -> starBiOracleSql,
+    "x166_star_bi_cascade" -> starBiOracleSql,
+
     "x154_retractable_ivm" ->
       """SELECT o_orderstatus,
                 CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1710,4 +1808,14 @@ object Warehouse {
        JOIN region   ON n_regionkey = r_regionkey
        WHERE r_name = 'EUROPE'
        GROUP BY n_name ORDER BY n_name"""
+
+  // shared by the X190 q_star_bi_plain / x166_star_bi_cascade pair —
+  // the BI text as written (never-read dim joined, rollup grain)
+  private val starBiOracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+       FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
 }

@@ -67,4 +67,25 @@ class JoinElimSpec extends SparkSpecBase {
     assert(relCount(JoinElim(spark, nonEqui, Seq(ri))) == 2,
       "a non-equi join must not eliminate")
   }
+
+  test("inferred isnotnull(pk) on the dim is peeled; any other dim filter blocks") {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val c = JoinElim.constraint(p, "p_partkey", referential = false)
+    // the optimizer-shaped dim side (InferFiltersFromConstraints wraps
+    // the join key in isnotnull before the user-rule batch runs) —
+    // null PKs never equi-match, so elimination stays sound
+    val wrapped = li.join(p.filter(col("p_partkey").isNotNull),
+        li("l_partkey") === p("p_partkey"), "left")
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    assert(relCount(JoinElim(spark, wrapped, Seq(c))) == 1,
+      "isnotnull(pk) wrap must not block elimination")
+    // a genuine narrowing filter changes left-join semantics (rows
+    // lose their match) — must block
+    val narrowed = li.join(p.filter(col("p_partkey") > 100),
+        li("l_partkey") === p("p_partkey"), "left")
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    assert(relCount(JoinElim(spark, narrowed, Seq(c))) == 2,
+      "a narrowing dim filter must block elimination")
+  }
 }

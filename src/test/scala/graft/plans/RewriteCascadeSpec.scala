@@ -40,6 +40,17 @@ class RewriteCascadeSpec extends SparkSpecBase {
       val star = li.join(p, li("l_partkey") === p("p_partkey"), "left")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      // assert on the OPTIMIZED LOGICAL plan: under AQE the executed
+      // plan is a leaf AdaptiveSparkPlanExec whose collect sees no
+      // inner scans, which made the pre-r11 executedPlan assertion
+      // vacuous — and indeed the cascade was NOT firing (the optimizer
+      // wraps the dim in an inferred isnotnull(pk) filter that
+      // dimMatches had to learn to peel)
+      val rels = star.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(rels.isEmpty,
+        s"cascade must leave only the checkpointed summary; base relations survive: $rels")
       val scans = star.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec => f
       }
