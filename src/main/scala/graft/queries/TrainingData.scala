@@ -427,6 +427,34 @@ object TrainingData {
       labels.select(col("doc_id"), splitCol(col("component")).as("split")))
   }
 
+  /** x73 tail: Bloom pre-screen accuracy audit over a shingle plane —
+    * bloom-passing vs exact benchmark hits per train doc, false
+    * positives = the difference. Factored over (sh5, bits) so the
+    * bench can ride the STANDING shingle plane + benchmark bit-set (a
+    * decontamination service keeps both: the bit-set is broadcast
+    * metadata built once per benchmark release, the shingle plane is
+    * the same one the MinHash detector derives from) while the gate
+    * form rebuilds both under the hash — probe ≡ gate pinned by
+    * PairPlaneProbeSpec. */
+  def bloomScreenOnPlane(docs: DataFrame, sh5: DataFrame,
+                         bits: DataFrame): DataFrame = {
+    val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+    val train = sh5.filter(col("doc_id") % 20 =!= 0)
+    val bloomHits = graft.util.Bloom.passing(train, bits, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val exactHits = train.join(bench, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("ne"))
+    docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+      .join(bloomHits, Seq("doc_id"), "left")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bloom_hits"),
+        coalesce(col("ne"), lit(0L)).as("n_exact_hits"),
+        (coalesce(col("nb"), lit(0L)) - coalesce(col("ne"), lit(0L)))
+          .as("n_false_positives"))
+      .orderBy("doc_id")
+  }
+
   /** x164's DETECTOR: the weighted similarity-edge table — shingle-set
     * symmetric-difference weights (|AΔB| = na+nb−2i, exact integers),
     * edges kept at jaccard ≥ 0.3 via the cross-multiplied integer
@@ -2065,20 +2093,7 @@ object TrainingData {
       val docs = Tables.documents(s, d)
       val sh5 = Dedup.docShingles(docs, n = 5).cache()
       val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
-      val train = sh5.filter(col("doc_id") % 20 =!= 0)
-      val bloomHits = graft.util.Bloom.passing(train, graft.util.Bloom.bits(bench, "sh"), "sh")
-        .groupBy("doc_id").agg(count(lit(1)).as("nb"))
-      val exactHits = train.join(bench, Seq("sh"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("ne"))
-      docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
-        .join(bloomHits, Seq("doc_id"), "left")
-        .join(exactHits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("nb"), lit(0L)).as("n_bloom_hits"),
-          coalesce(col("ne"), lit(0L)).as("n_exact_hits"),
-          (coalesce(col("nb"), lit(0L)) - coalesce(col("ne"), lit(0L)))
-            .as("n_false_positives"))
-        .orderBy("doc_id")
+      bloomScreenOnPlane(docs, sh5, graft.util.Bloom.bits(bench, "sh"))
     }),
 
     // Count-Min sketch accuracy audit: CMS frequency estimates vs

@@ -44,6 +44,14 @@ class PairPlaneProbeSpec extends SparkSpecBase {
         TrainingData.ssspEdges(docs).write.mode("overwrite").parquet(dir + "/se")
         TrainingData.ssspOnEdges(docs, spark.read.parquet(dir + "/se"))
       },
+      "x73_bloom_screen" -> {
+        Dedup.docShingles(docs, n = 5).write.mode("overwrite").parquet(dir + "/sh5")
+        val sh5 = spark.read.parquet(dir + "/sh5")
+        graft.util.Bloom.bits(
+            sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct(), "sh")
+          .write.mode("overwrite").parquet(dir + "/bits")
+        TrainingData.bloomScreenOnPlane(docs, sh5, spark.read.parquet(dir + "/bits"))
+      },
       "x97_threshold_sweep" -> mh.agg(
         count(lit(1)).as("n_050"),
         sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_060"),
