@@ -2758,6 +2758,166 @@ object TrainingData {
     // bits of metadata beside the zone maps (parquet's own
     // bloom_filter columns in practice); the decision join is
     // bloom-bits×probe-bits, never the corpus.
+    // X191: BM25 sparse retrieval (Robertson-Spärck Jones / Okapi
+    // shape) — the lexical complement of the dense ANN family (x11/
+    // x16/x62), and the second leg RRF fusion (x53) exists to merge.
+    // One 5-term query (the rarest non-hapax terms, df ≥ 5, ties by
+    // token — the probe set where sparse retrieval pays, per x120's
+    // rule), scored ALL-INTEGER: k1 = 6/5 and b = 3/4 are exact
+    // rationals, so the tf saturation term multiplies out to
+    //   44·tf·avgdl_m / (20·tf·avgdl_m + 6·avgdl_m + 18000·dl)
+    // with avgdl in milli-units, and the RSJ idf is the exact rational
+    // (2N − 2df + 1)/(2df + 1); both floor to ppm before the per-doc
+    // sum, so scores are bit-identical in any engine (the x84/x51
+    // fixed-point discipline — no transcendental log in the hot path,
+    // monotone in the same order as the log form for fixed N).
+    // Scale shape: only docs CONTAINING a query term are ever scored —
+    // the postings equi-join bounds candidates by Σ df(q), never the
+    // corpus; df/avgdl are broadcast 1-row/5-row metadata;
+    // TakeOrderedAndProject merges per-partition top-10 heaps.
+    "x167_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // one explode, one (doc, tok) aggregate; dl and df both derive
+      // from the tf table (dl = Σ tf per doc), so the corpus text is
+      // scanned and shuffled exactly once
+      val tf = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      val dfTab = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val terms = dfTab.filter(col("df") >= 5)
+        .orderBy(col("df"), col("tok")).limit(5)
+      tf.join(broadcast(terms), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl_m", expr("(total_len * 1000) div n_docs"))
+        .withColumn("tfc_ppm", expr(
+          "(44 * tf * avgdl_m * 1000000) div (20 * tf * avgdl_m + 6 * avgdl_m + 18000 * dl)"))
+        .withColumn("idf_ppm", expr(
+          "((2 * n_docs - 2 * df + 1) * 1000000) div (2 * df + 1)"))
+        .withColumn("contrib", expr("(tfc_ppm * idf_ppm) div 1000000"))
+        .groupBy("doc_id")
+        .agg(sum("contrib").as("score_ppm"), count(lit(1)).as("n_terms_hit"))
+        .orderBy(desc("score_ppm"), col("doc_id")).limit(10)
+    }),
+
+    // X192: Fellegi-Sunter probabilistic record linkage with
+    // SORTED-NEIGHBORHOOD candidate generation (Hernández-Stolfo) —
+    // the scoring step between blocking and x156's golden-record
+    // merge. Naive within-block self-joins are Σ per-block² and a 10×
+    // corpus pays 100× (measured 1.25 → 31.7 s before this form);
+    // sorted-neighborhood instead ranks each (lang × 200-char-bucket)
+    // block by (n_chars, doc_id) and pairs each record with only its
+    // w = 3 successors — candidate count is ≤ 3·n (LINEAR), and the
+    // pairing is a pure EQUI-join on (block, rank+offset), never a
+    // block cross product (the merge phase materializes 3 offset rows
+    // per record, not neighborhoods). Each candidate pair accumulates
+    // per-field agreement/disagreement log-odds weights (STATED
+    // integer milli-log-odds — the m/u probabilities a real deploy
+    // estimates by EM; fixed so both engines agree bit-for-bit) over
+    // three comparators: source equality, length proximity
+    // (|Δn_chars| ≤ 20), and simhash proximity (hamming ≤ 8 on the
+    // md5-parity 32-bit signature — content compared by fingerprint,
+    // text never enters the pair join). The summed score classifies
+    // match / possible / non-match at stated thresholds — the
+    // three-way rule that routes "possible" to clerical review.
+    // Output is the per-verdict audit (counts + score range),
+    // metadata-sized; the rank window is block-partitioned (bounded).
+    "x168_linkage_score" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val feat = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .join(Dedup.simhashMd5(docs), Seq("doc_id"))
+        .withColumn("blk", expr("n_chars div 200"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang", "blk").orderBy(col("n_chars"), col("doc_id"))))
+      val a = feat.columns.foldLeft(feat)((df, c) => df.withColumnRenamed(c, c + "_a"))
+      val b = feat.columns.foldLeft(feat)((df, c) => df.withColumnRenamed(c, c + "_b"))
+      a.select(col("*"), explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .join(b, col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b")
+          && col("rn_a") + col("off") === col("rn_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          when(col("source_a") === col("source_b"), 2197L).otherwise(-693L).as("w_src"),
+          when(abs(col("n_chars_a") - col("n_chars_b")) <= 20, 1386L)
+            .otherwise(-511L).as("w_len"),
+          when(bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))) <= 8, 2996L)
+            .otherwise(-916L).as("w_sim"))
+        .withColumn("score", col("w_src") + col("w_len") + col("w_sim"))
+        .withColumn("verdict",
+          when(col("score") >= 4000, "match")
+            .when(col("score") >= 1000, "possible")
+            .otherwise("non_match"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("score").as("score_min"), max("score").as("score_max"))
+        .orderBy("verdict")
+    }),
+
+    // X194: first-occurrence n-gram novelty — the x73/x66 family's
+    // ordering-aware member: how much of each document's 5-gram mass
+    // is NEW relative to everything earlier in the corpus (doc_id
+    // order = ingest order)? first_doc = min(doc_id) per shingle — one
+    // map-combined aggregate over the shingle plane — then each doc's
+    // novel fraction in exact ppm. The curation read that separates
+    // original content from recombination: boilerplate-heavy docs
+    // score near 0 even when no single pairwise near-dup fires (the
+    // signal x8's intra-doc repetition and x2's pairwise jaccard both
+    // miss). Docs with < 5 tokens carry no shingles and are excluded
+    // (stated). Scale: TWO map-combined aggregates and one DOC-keyed
+    // join — n_novel(doc) = |{sh : min(doc_id over sh) = doc}| falls
+    // straight out of re-grouping the per-shingle minima by their
+    // winner, so the shingle-row-sized join back to the plane (the
+    // first-draft form: 1.4 → 10.2 s at 10×) never happens; both
+    // aggregate outputs are doc-count-sized.
+    "x170_novelty" -> ((s, d) => {
+      val sh5 = Dedup.docShingles(Tables.documents(s, d), n = 5)
+      val novel = sh5.groupBy("sh").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      sh5.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // X195: two-phase distributed top-k audit — the pattern every
+    // heavy-hitters deployment actually runs (local top-m per shard,
+    // merge, re-rank) has a quantifiable failure mode: a token just
+    // below some shard's local cut loses that shard's mass. This row
+    // AUDITS it against the exact x72-style global top-20: for each
+    // true top-20 token, whether the m=5 two-phase candidate set
+    // recalled it and how much count mass the local cuts dropped —
+    // the read that SIZES m before anyone trusts local truncation at
+    // 1000 shards. The local rank window is shard-partitioned
+    // (bounded); the merge is candidate-sized (≤ shards·m rows);
+    // the exact side is the x120 TakeOrdered shape. Mirrors the
+    // sketch-audit discipline (x41/x72/x83): approximation gated
+    // beside exact truth, verdict bits deterministic.
+    "x172_local_topk_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("shard", expr("doc_id div 8"))
+        .groupBy("shard", "tok").agg(count(lit(1)).as("cnt"))
+        .cache()
+      val localTop = counts.withColumn("rn", row_number().over(
+          Window.partitionBy("shard").orderBy(desc("cnt"), col("tok"))))
+        .filter(col("rn") <= 5)
+      val candidate = localTop.groupBy("tok").agg(sum("cnt").as("partial_cnt"))
+      val exact = counts.groupBy("tok").agg(sum("cnt").as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("tok")).limit(20)
+      exact.join(candidate, Seq("tok"), "left")
+        .select(col("tok"), col("exact_cnt"),
+          coalesce(col("partial_cnt"), lit(0L)).as("partial_cnt"),
+          col("partial_cnt").isNotNull.cast("int").as("recalled"),
+          (col("exact_cnt") - coalesce(col("partial_cnt"), lit(0L)))
+            .as("undercount"))
+        .orderBy("tok")
+    }),
+
     "x132_shard_blooms" -> ((s, d) => {
       import graft.util.Bloom
       val toks = Tables.documents(s, d)
@@ -3026,6 +3186,91 @@ object TrainingData {
     // the same md5-salted bit geometry replayed in nibble arithmetic
     // (x73's trick); probe-bit multiplicity preserved so duplicate bit
     // positions count like the engine's explode
+    // the same all-integer rational BM25 (k1 = 6/5, b = 3/4, RSJ idf as
+    // an exact rational), staged floors mirrored operation-for-operation
+    "x167_bm25_topk" ->
+      s"""WITH $tokCte,
+          tfu AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+          tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tfu GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+          dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          terms AS (SELECT tok, df FROM dfq WHERE df >= 5 ORDER BY df, tok LIMIT 5),
+          scored AS (
+            SELECT tf.doc_id,
+                   ((44 * tf.tf * ((total_len * 1000) // n_docs) * 1000000)
+                      // (20 * tf.tf * ((total_len * 1000) // n_docs)
+                          + 6 * ((total_len * 1000) // n_docs) + 18000 * dl.dl)
+                    * (((2 * n_docs - 2 * df + 1) * 1000000) // (2 * df + 1)))
+                     // 1000000 AS contrib
+            FROM tf JOIN terms USING (tok) JOIN dl USING (doc_id), stats)
+          SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_ppm,
+                 CAST(count(*) AS BIGINT) AS n_terms_hit
+          FROM scored GROUP BY doc_id
+          ORDER BY score_ppm DESC, doc_id LIMIT 10""",
+
+    "x168_linkage_score" ->
+      s"""WITH $simhashSelect,
+          feat AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, s.simhash,
+                          d.n_chars // 200 AS blk,
+                          row_number() OVER (PARTITION BY d.lang, d.n_chars // 200
+                                             ORDER BY d.n_chars, d.doc_id) AS rn
+                   FROM documents d JOIN sims s USING (doc_id)),
+          pairs AS (SELECT
+              CASE WHEN a.source = b.source THEN 2197 ELSE -693 END +
+              CASE WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1386 ELSE -511 END +
+              CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 8 THEN 2996 ELSE -916 END
+                AS score
+            FROM feat a JOIN feat b
+              ON a.lang = b.lang AND a.blk = b.blk
+             AND b.rn - a.rn BETWEEN 1 AND 3),
+          v AS (SELECT CASE WHEN score >= 4000 THEN 'match'
+                            WHEN score >= 1000 THEN 'possible'
+                            ELSE 'non_match' END AS verdict, score FROM pairs)
+          SELECT verdict, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(min(score) AS BIGINT) AS score_min,
+                 CAST(max(score) AS BIGINT) AS score_max
+          FROM v GROUP BY verdict ORDER BY verdict""",
+
+    "x170_novelty" ->
+      s"""WITH $tokCte,
+          xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+                 FROM tok WHERE len(t) >= 5),
+          sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM xg),
+          nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM
+                   (SELECT min(doc_id) AS doc_id FROM sh5 GROUP BY sh)
+                 GROUP BY doc_id),
+          ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                 FROM sh5 GROUP BY doc_id)
+          SELECT ns.doc_id, ns.n_shingles,
+                 COALESCE(nv.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+                 (COALESCE(nv.n_novel, CAST(0 AS BIGINT)) * 1000000) // ns.n_shingles
+                   AS novelty_ppm
+          FROM ns LEFT JOIN nv USING (doc_id) ORDER BY ns.doc_id""",
+
+    "x172_local_topk_audit" ->
+      s"""WITH $tokCte,
+          tfu AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+          counts AS (SELECT doc_id // 8 AS shard, tok,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM tfu GROUP BY 1, 2),
+          lt AS (SELECT shard, tok, cnt FROM
+                  (SELECT *, row_number() OVER (PARTITION BY shard
+                     ORDER BY cnt DESC, tok) AS rn FROM counts)
+                 WHERE rn <= 5),
+          cand AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS partial_cnt
+                   FROM lt GROUP BY tok),
+          ex AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS exact_cnt
+                 FROM counts GROUP BY tok
+                 ORDER BY exact_cnt DESC, tok LIMIT 20)
+          SELECT e.tok, e.exact_cnt,
+                 COALESCE(c.partial_cnt, CAST(0 AS BIGINT)) AS partial_cnt,
+                 CAST(CASE WHEN c.partial_cnt IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS recalled,
+                 e.exact_cnt - COALESCE(c.partial_cnt, CAST(0 AS BIGINT)) AS undercount
+          FROM ex e LEFT JOIN cand c USING (tok) ORDER BY e.tok""",
+
     "x132_shard_blooms" -> {
       val hexv = "strpos('0123456789abcdef', substring(md5(%s), %d, 1)) - 1"
       def bitExpr(salt: Int, keySql: String) = {

@@ -799,6 +799,96 @@ object Warehouse {
       starBiCascade(s, d, li, mv, summaryTag = None)
     }),
 
+    // X193: validity-interval overlap join (temporal join) — the
+    // INTERVAL member of the join family (equi J1-J3, anti/semi,
+    // range j6, as-of j8, d6's point-in-time): each order carries an
+    // active window [orderdate, orderdate + (key mod 7 + 1) days) and
+    // joins every monthly promo window [month start, +10 days) it
+    // OVERLAPS, aggregating exact overlap days per promo month. The
+    // scale shape is GRID BLOCKING, the standard range-join rewrite: a
+    // naive overlap predicate is a cartesian Catalyst can't prune, so
+    // each ≤8-day order interval expands to its ≤2 covered calendar
+    // months (explode of a 2-element array — bounded, never
+    // row-multiplying beyond 2×) and the promo join becomes an
+    // EQUI-join on the month key with the exact overlap test as a
+    // residual filter. All-integer day arithmetic (datediff on
+    // half-open intervals), no timestamps shuffled.
+    "x169_interval_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val iv = o.select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("st"),
+          (pmod(col("o_orderkey"), lit(7L)) + 1).cast("int").as("len_d"))
+        .withColumn("en", expr("date_add(st, len_d)"))
+      val promos = o.select(trunc(to_date(col("o_orderdate")), "month").as("p_st"))
+        .distinct()
+        .select(col("p_st"), date_add(col("p_st"), 10).as("p_en"),
+          date_format(col("p_st"), "yyyy-MM").as("promo_month"))
+      val expanded = iv.select(col("o_orderkey"), col("st"), col("en"),
+          explode(array(trunc(col("st"), "month"), trunc(col("en"), "month")))
+            .as("p_st"))
+        .distinct()
+      expanded.join(broadcast(promos), Seq("p_st"))
+        .withColumn("overlap_days",
+          greatest(lit(0), datediff(least(col("en"), col("p_en")),
+            greatest(col("st"), col("p_st")))))
+        .filter(col("overlap_days") > 0)
+        .groupBy("promo_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("overlap_days").cast("long")).as("total_overlap_days"))
+        .orderBy("promo_month")
+    }),
+
+    // X196: MERGE statement semantics in one batch pass — the
+    // three-clause upsert (WHEN MATCHED AND op='U' THEN UPDATE, WHEN
+    // MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED THEN INSERT,
+    // implicit NOT-MATCHED-BY-SOURCE → keep) that K2's per-row ON
+    // CONFLICT and x157's per-version folds each cover half of: here
+    // the whole statement is ONE full-outer key join + a case
+    // projection — one shuffle over state ∪ source, the batch-MERGE
+    // plan every lake engine lowers to (and exchange-free when the
+    // state table keeps the q_bucketed_join layout on the key). The
+    // source's key sets are disjoint by construction (mod-5 classes;
+    // inserts offset +50M), so each key sees exactly one action —
+    // the precondition a real MERGE enforces with a cardinality
+    // check. Output: post-merge state aggregate + per-status action
+    // counts; the oracle reconstructs the same end state in SQL.
+    "x171_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val src = o.filter(pmod(k, lit(5L)) === 1)
+          .select(k.as("k"), lit("U").as("op"),
+            (price + lit(10).cast("decimal(18,2)")).cast("decimal(18,2)").as("sp"),
+            col("o_orderstatus").as("sst"))
+        .unionByName(o.filter(pmod(k, lit(5L)) === 2 && pmod(k, lit(7L)) === 0)
+          .select(k.as("k"), lit("D").as("op"), price.as("sp"),
+            col("o_orderstatus").as("sst")))
+        .unionByName(o.filter(pmod(k, lit(5L)) === 3)
+          .select((k + 50000000L).as("k"), lit("I").as("op"), price.as("sp"),
+            col("o_orderstatus").as("sst")))
+      val state = o.select(k.as("k"), price.as("tp"),
+        col("o_orderstatus").as("tst"))
+      state.join(src, Seq("k"), "full_outer")
+        .select(
+          when(col("op").isNull, "keep")
+            .when(col("tp").isNull, "insert")
+            .when(col("op") === "D", "delete")
+            .otherwise("update").as("action"),
+          when(col("op") === "U", col("sp"))
+            .when(col("tp").isNull, col("sp"))
+            .otherwise(col("tp")).as("p"),
+          coalesce(col("tst"), col("sst")).as("o_orderstatus"))
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("action") =!= "delete", 1L).otherwise(0L)).as("n_rows"),
+          sum(when(col("action") =!= "delete", col("p"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("total_price"),
+          sum(when(col("action") === "update", 1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("action") === "insert", 1L).otherwise(0L)).as("n_inserted"),
+          sum(when(col("action") === "delete", 1L).otherwise(0L)).as("n_deleted"))
+        .orderBy("o_orderstatus")
+    }),
+
     // X174: retractable incremental view maintenance — k8 folds
     // INSERT-only deltas; real CDC feeds carry updates and deletes
     // too. The general algebra (the DBSP / differential-dataflow
@@ -1581,6 +1671,67 @@ object Warehouse {
     // join-elim + navigator cascade ≡ the query as written
     "q_star_bi_plain" -> starBiOracleSql,
     "x166_star_bi_cascade" -> starBiOracleSql,
+
+    // the same grid-blocked overlap join restated in date arithmetic
+    "x169_interval_join" ->
+      """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS st,
+                            CAST(o_orderdate AS DATE)
+                              + CAST(o_orderkey % 7 + 1 AS INT) AS en
+                     FROM orders),
+              pr AS (SELECT p_st, p_st + 10 AS p_en,
+                            strftime(p_st, '%Y-%m') AS promo_month
+                     FROM (SELECT DISTINCT
+                             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS p_st
+                           FROM orders)),
+              ex AS (SELECT o_orderkey, st, en,
+                            CAST(date_trunc('month', st) AS DATE) AS p_st FROM iv
+                     UNION
+                     SELECT o_orderkey, st, en,
+                            CAST(date_trunc('month', en) AS DATE) FROM iv),
+              j AS (SELECT promo_month,
+                           greatest(0, date_diff('day', greatest(st, p_st),
+                                                 least(en, p_en))) AS od
+                    FROM ex JOIN pr USING (p_st))
+         SELECT promo_month, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(od) AS BIGINT) AS total_overlap_days
+         FROM j WHERE od > 0
+         GROUP BY promo_month ORDER BY promo_month""",
+
+    // the three-clause MERGE reconstructed declaratively
+    "x171_merge_upsert" ->
+      """WITH state AS (SELECT o_orderkey AS k,
+                               CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+                               o_orderstatus AS tst FROM orders),
+              src AS (
+                SELECT o_orderkey AS k, 'U' AS op,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DECIMAL(18,2)) AS sp,
+                       o_orderstatus AS sst
+                FROM orders WHERE o_orderkey % 5 = 1
+                UNION ALL
+                SELECT o_orderkey, 'D', CAST(o_totalprice AS DECIMAL(18,2)),
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 5 = 2 AND o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 50000000, 'I',
+                       CAST(o_totalprice AS DECIMAL(18,2)), o_orderstatus
+                FROM orders WHERE o_orderkey % 5 = 3),
+              m AS (SELECT
+                      CASE WHEN s.op IS NULL THEN 'keep'
+                           WHEN t.tp IS NULL THEN 'insert'
+                           WHEN s.op = 'D' THEN 'delete'
+                           ELSE 'update' END AS action,
+                      CASE WHEN s.op = 'U' THEN s.sp
+                           WHEN t.tp IS NULL THEN s.sp
+                           ELSE t.tp END AS p,
+                      COALESCE(t.tst, s.sst) AS o_orderstatus
+                    FROM state t FULL OUTER JOIN src s ON t.k = s.k)
+         SELECT o_orderstatus,
+                CAST(SUM(CASE WHEN action <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN action <> 'delete' THEN p ELSE 0 END) AS DOUBLE) AS total_price,
+                CAST(SUM(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+                CAST(SUM(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                CAST(SUM(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+         FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "x154_retractable_ivm" ->
       """SELECT o_orderstatus,

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Targeted pins for the r11 tranche (X191-X196): invariants the
+  * DuckDB hash gate cannot express — cross-aggregate consistency,
+  * independent in-process recomputation, and bound checks. */
+class R11TrancheSpec extends SparkSpecBase {
+
+  test("x167 BM25: scores positive, bounded terms, deterministic top-10") {
+    val q = TrainingData.queries("x167_bm25_topk")
+    val rows = q(spark, sfDir).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "single-term contributions are positive, so sums are")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 5, "1..5 query terms per doc")
+    }
+    assert(q(spark, sfDir).collect().toSeq == rows.toSeq, "same top-10 every run")
+  }
+
+  test("x168 linkage: verdicts partition candidates; scores within weight bounds") {
+    val rows = TrainingData.queries("x168_linkage_score")(spark, sfDir).collect()
+    val verdicts = rows.map(_.getString(0)).toSet
+    assert(verdicts.subsetOf(Set("match", "possible", "non_match")))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= -693L - 511L - 916L, "min below total disagreement weight")
+      assert(r.getLong(3) <= 2197L + 1386L + 2996L, "max above total agreement weight")
+    }
+    assert(rows.map(_.getLong(1)).sum > 0, "sorted neighborhood must yield candidates")
+  }
+
+  test("x169 interval join equals an independent in-process overlap loop") {
+    import java.time.temporal.ChronoUnit
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("st"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val promos = orders.map(_._2.withDayOfMonth(1)).distinct
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((k, st) <- orders; p <- promos) {
+      val en = st.plusDays(k % 7 + 1)
+      val pEn = p.plusDays(10)
+      val lo = if (st.isAfter(p)) st else p
+      val hi = if (en.isBefore(pEn)) en else pEn
+      val ov = ChronoUnit.DAYS.between(lo, hi)
+      if (ov > 0) {
+        val m = f"${p.getYear}%04d-${p.getMonthValue}%02d"
+        val (n, t) = agg.getOrElse(m, (0L, 0L))
+        agg(m) = (n + 1, t + ov)
+      }
+    }
+    val got = Warehouse.queries("x169_interval_join")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == agg.toMap, "grid-blocked equi-join must equal the naive overlap loop")
+  }
+
+  test("x170 novelty: first doc fully novel; novel counts sum to distinct shingles") {
+    val res = TrainingData.queries("x170_novelty")(spark, sfDir).collect()
+    val firstDoc = res.map(_.getLong(0)).min
+    val first = res.find(_.getLong(0) == firstDoc).get
+    assert(first.getLong(2) == first.getLong(1) && first.getLong(3) == 1000000L,
+      "the earliest doc owns every one of its shingles")
+    val totalNovel = res.map(_.getLong(2)).sum
+    val distinctSh = graft.dedup.Dedup
+      .docShingles(Tables.documents(spark, sfDir), n = 5)
+      .select("sh").distinct().count()
+    assert(totalNovel == distinctSh,
+      "every distinct shingle is novel for exactly one doc")
+    res.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
+  }
+
+  test("x171 merge: action counts match the change-set classes; row balance holds") {
+    val o = Tables.orders(spark, sfDir)
+    val nState = o.count()
+    val k = col("o_orderkey")
+    val nUpd = o.filter(pmod(k, lit(5L)) === 1).count()
+    val nDel = o.filter(pmod(k, lit(5L)) === 2 && pmod(k, lit(7L)) === 0).count()
+    val nIns = o.filter(pmod(k, lit(5L)) === 3).count()
+    val rows = Warehouse.queries("x171_merge_upsert")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(3)).sum == nUpd)
+    assert(rows.map(_.getLong(5)).sum == nDel)
+    assert(rows.map(_.getLong(4)).sum == nIns)
+    assert(rows.map(_.getLong(1)).sum == nState - nDel + nIns,
+      "post-merge cardinality = state - deletes + inserts")
+  }
+
+  test("x172 local top-k audit: partials never exceed exact; exact side is the true top-20") {
+    val rows = TrainingData.queries("x172_local_topk_audit")(spark, sfDir).collect()
+    assert(rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "shard-truncated partial <= exact")
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(2))
+      assert((r.getInt(3) == 1) == (r.getLong(2) > 0))
+    }
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == exact,
+      "the audit's exact side must be the true global top-20")
+  }
+}
