@@ -70,6 +70,16 @@ object Cdc {
         Tables.events(s, d).drop("props"), "1 day")
         .orderBy("win_start", "event_type")),
 
+    // T-extension: SLIDING windows (1-day window, 6-hour slide) — each
+    // event lands in exactly 4 epoch-aligned windows; batch semantics
+    // of the same plan the streaming path runs. The oracle expands the
+    // 4 covering starts per event explicitly (bucket(ts) − k·6h,
+    // k = 0..3), which IS the window-assignment rule Spark applies.
+    "t5_sliding_window" -> ((s, d) =>
+      graft.streaming.EventAggregates.slidingCounts(
+        Tables.events(s, d).drop("props"), "1 day", "6 hours")
+        .orderBy("win_start", "event_type")),
+
     // T4: session windows (1-hour gap) per user, batch semantics.
     "t3_session_window" -> ((s, d) =>
       graft.streaming.EventAggregates.sessionized(
@@ -110,6 +120,14 @@ object Cdc {
       """SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_type,
                 count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "t5_sliding_window" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '6 hours', ts)
+                            - k * INTERVAL '6 hours' AS win_start,
+                          event_type, value
+                    FROM events CROSS JOIN generate_series(0, 3) AS g(k))
+         SELECT win_start, event_type, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t3_session_window" ->
       """WITH m AS (SELECT user_id, ts, value,
                 CASE WHEN lag(ts) OVER w IS NULL

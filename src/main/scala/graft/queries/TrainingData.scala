@@ -2399,6 +2399,78 @@ object TrainingData {
         .orderBy("doc_id")
     }),
 
+    // X197: media payload near-dup WITHOUT decode — the dedup member
+    // of the multimodal family (X14/X15/X93): x80's 16-byte stride
+    // fingerprint is the only thing that ever enters the pair join
+    // (payloads stay in place — the §6.1 multimodal rule), candidates
+    // come from the X5 pigeonhole (two fingerprints within byte-
+    // hamming ≤ 4 must agree on ≥1 of 4 4-byte chunks — the simhash
+    // chunk-block applied to the byte domain), and the verdict is the
+    // exact per-byte agreement count ≥ 12/16. Catches byte-identical
+    // and locally-perturbed payloads (re-serialized, metadata-patched
+    // copies); a re-ENCODED image needs the decoded-feature path (X15)
+    // — stated, that's the division of labor. Only full-length
+    // fingerprints (n ≥ 16 bytes) participate; the stride rule makes
+    // same-content-same-length payloads collide exactly.
+    "x173_media_neardups" -> ((s, d) => {
+      val th = Multimodal.asMedia(Tables.documents(s, d))
+        .select(col("doc_id"), Multimodal.resizeHex(col("media"), 16).as("thumb"))
+        .filter(length(col("thumb")) === 32)
+      val chunks = th.select(col("doc_id"), col("thumb"),
+        posexplode(array((0 until 4).map(c =>
+          substring(col("thumb"), c * 8 + 1, 8)): _*)).as(Seq("ci", "chunk")))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.thumb").as("ta"), col("b.thumb").as("tb"))
+        .distinct()
+      cand.withColumn("n_equal_bytes",
+          (0 until 16).map(i =>
+            when(substring(col("ta"), i * 2 + 1, 2) ===
+              substring(col("tb"), i * 2 + 1, 2), 1).otherwise(0))
+            .reduce(_ + _))
+        .filter(col("n_equal_bytes") >= 12)
+        .select("doc_a", "doc_b", "n_equal_bytes")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // X198: re-occurrence horizon audit — the capacity-planning read
+    // behind X25's streaming ingest-dedup: keyed dedup state kept for
+    // TTL T catches exactly the re-occurrences whose gap ≤ T, so the
+    // observed gap distribution of (user, event_type) repeats IS the
+    // TTL sizing curve. Consecutive-repeat gaps via one key-bounded
+    // lag window (exact microseconds), bucketed ≤1m/≤1h/≤6h/≤1d/more,
+    // with the cumulative captured-fraction in ppm per bucket — read
+    // "a 6-hour RocksDB TTL would have deduped X% of repeats". The
+    // cumulative window runs on the 5-row bucket grid (bounded, the
+    // month-grid discipline).
+    "x174_dedup_horizon" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("gap_us",
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us"))
+        .withColumn("bucket",
+          when(col("gap_us") <= 60L * 1000000, "a_1m")
+            .when(col("gap_us") <= 3600L * 1000000, "b_1h")
+            .when(col("gap_us") <= 21600L * 1000000, "c_6h")
+            .when(col("gap_us") <= 86400L * 1000000, "d_1d")
+            .otherwise("e_more"))
+      val perBucket = gaps.groupBy("bucket").agg(count(lit(1)).as("n_repeats"))
+      val grid = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket
+        .withColumn("cum", sum("n_repeats").over(grid))
+        .crossJoin(broadcast(gaps.agg(count(lit(1)).as("total"))))
+        .withColumn("captured_ppm", expr("(cum * 1000000) div total"))
+        .select("bucket", "n_repeats", "captured_ppm")
+        .orderBy("bucket")
+    }),
+
     // X130: exact two-sample Kolmogorov–Smirnov drift — per source, the
     // KS distance between its document-length distribution and the
     // corpus-wide one: the distribution-shift alarm a curation stack
@@ -4592,6 +4664,57 @@ object TrainingData {
          SELECT b.doc_id, CAST(b.n AS INT) AS n_bytes,
                 coalesce(th.thumb_hex, '') AS thumb_hex
          FROM b LEFT JOIN th USING (doc_id) ORDER BY doc_id""",
+    // the same stride fingerprints, chunk-blocked candidates, and exact
+    // per-byte agreement restated over the hex encoding
+    "x173_media_neardups" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                           octet_length(encode(text)) AS n
+                    FROM documents),
+          p AS (SELECT doc_id, hx, n, greatest(1, n // 16) AS stride
+                FROM b WHERE n >= 16),
+          idx AS (SELECT doc_id, hx, stride,
+                         unnest(generate_series(0, least(15, (n - 1) // stride))) AS i
+                  FROM p),
+          th AS (SELECT doc_id,
+                        string_agg(lower(substring(hx, i * stride * 2 + 1, 2)), ''
+                                   ORDER BY i) AS thumb
+                 FROM idx GROUP BY doc_id),
+          tf AS (SELECT doc_id, thumb FROM th WHERE length(thumb) = 32),
+          ch AS (SELECT doc_id, thumb, ci, substring(thumb, ci * 8 + 1, 8) AS chunk
+                 FROM tf CROSS JOIN generate_series(0, 3) AS g(ci)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.thumb AS ta, b.thumb AS tb
+                   FROM ch a JOIN ch b
+                     ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+          eq AS (SELECT doc_a, doc_b,
+                        CAST(SUM(CASE WHEN substring(ta, i * 2 + 1, 2)
+                                         = substring(tb, i * 2 + 1, 2)
+                                      THEN 1 ELSE 0 END) AS INT) AS n_equal_bytes
+                 FROM cand CROSS JOIN generate_series(0, 15) AS h(i)
+                 GROUP BY doc_a, doc_b)
+         SELECT doc_a, doc_b, n_equal_bytes FROM eq
+         WHERE n_equal_bytes >= 12 ORDER BY doc_a, doc_b""",
+
+    "x174_dedup_horizon" ->
+      """WITH g AS (SELECT epoch_us(ts) AS us,
+                           lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                   ORDER BY ts, event_id) AS prev
+                    FROM events),
+          r AS (SELECT us - prev AS gap_us FROM g WHERE prev IS NOT NULL),
+          bk AS (SELECT CASE WHEN gap_us <= 60000000 THEN 'a_1m'
+                             WHEN gap_us <= 3600000000 THEN 'b_1h'
+                             WHEN gap_us <= 21600000000 THEN 'c_6h'
+                             WHEN gap_us <= 86400000000 THEN 'd_1d'
+                             ELSE 'e_more' END AS bucket FROM r),
+          pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_repeats
+                 FROM bk GROUP BY bucket),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bk)
+         SELECT bucket, n_repeats,
+                (CAST(SUM(n_repeats) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000) // total
+                  AS captured_ppm
+         FROM pb, tot ORDER BY bucket""",
+
     "x14_mm_features" ->
       """SELECT doc_id,
                 octet_length(encode(text)) AS n_bytes,

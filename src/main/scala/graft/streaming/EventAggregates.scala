@@ -28,6 +28,23 @@ object EventAggregates {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** SLIDING windows (win/slide overlap) — each event lands in exactly
+    * win/slide epoch-aligned windows (4 at the 1-day/6-hour default),
+    * the bounded row multiplier Spark's `window(ts, win, slide)`
+    * generates BEFORE the aggregate, so the shuffle carries one partial
+    * per (window, type) per partition, never 4× the events. The
+    * trend-smoothing face of [[tumblingCounts]]: same watermark/state
+    * contract, windows finalize win after their start instead of
+    * slide. */
+  def slidingCounts(events: DataFrame, win: String = "1 day",
+                    slide: String = "6 hours",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** T4: session windows — a session extends while consecutive events per
     * user arrive within `gap`; end = last event + gap. */
   def sessionized(events: DataFrame, gap: String = "1 hour",

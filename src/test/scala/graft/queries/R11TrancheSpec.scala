@@ -84,6 +84,47 @@ class R11TrancheSpec extends SparkSpecBase {
       "post-merge cardinality = state - deletes + inserts")
   }
 
+  test("t5 sliding windows: every event lands in exactly win/slide windows") {
+    val t5 = Cdc.queries("t5_sliding_window")(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(t5.map(_.getLong(2)).sum == 4 * nEvents,
+      "1-day/6-hour sliding windows must count each event exactly 4 times")
+    val t2 = Cdc.queries("t2_tumbling_window")(spark, sfDir).collect()
+    assert(t5.map(_.getLong(2)).sum == 4 * t2.map(_.getLong(2)).sum)
+  }
+
+  test("x173 media near-dups: byte-identical payloads pair at 16/16; bounds hold") {
+    val rows = TrainingData.queries("x173_media_neardups")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical a<b pairs only")
+      assert(r.getInt(2) >= 12 && r.getInt(2) <= 16)
+    }
+    // exact text dups (same bytes, >=16 of them) must surface as 16/16
+    val docs = Tables.documents(spark, sfDir)
+      .filter(length(col("text").cast("binary")) >= 16)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val dupPairs = docs.as("a").join(docs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sixteens = rows.filter(_.getInt(2) == 16)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.subsetOf(sixteens),
+      s"byte-identical payload pairs must all score 16/16: missing ${dupPairs -- sixteens}")
+  }
+
+  test("x174 dedup horizon: buckets partition all repeats; cumulative reaches 100%") {
+    val rows = TrainingData.queries("x174_dedup_horizon")(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+    val totalRepeats = ev.count() -
+      ev.select("user_id", "event_type").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == totalRepeats,
+      "every consecutive (user, type) repeat falls in exactly one bucket")
+    assert(rows.last.getLong(2) == 1000000L, "last cumulative bucket = 100%")
+    assert(rows.map(_.getLong(2)).toSeq == rows.map(_.getLong(2)).toSeq.sorted,
+      "captured fraction is monotone in the bucket order")
+  }
+
   test("x172 local top-k audit: partials never exceed exact; exact side is the true top-20") {
     val rows = TrainingData.queries("x172_local_topk_audit")(spark, sfDir).collect()
     assert(rows.length <= 20)
