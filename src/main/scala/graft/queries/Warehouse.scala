@@ -77,6 +77,38 @@ object Warehouse {
     }
   }
 
+  /** X200 core: per-status price stats computed THROUGH mergeable
+    * per-shard partials (n, Σcents, Σcents² in decimal(38,0), min,
+    * max). By construction the result is independent of `shardWidth` —
+    * that invariance IS the mergeability contract (spec-pinned with
+    * two widths), and the hash gate proves merge ≡ direct rescan. */
+  def shardedStats(o: DataFrame, shardWidth: Int): DataFrame = {
+    val xc = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long") // exact cents
+    val partials = o
+      .withColumn("shard", expr(s"o_orderkey div $shardWidth"))
+      .withColumn("xc", xc)
+      .groupBy("shard", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("s1"),
+        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"),
+        min(col("xc")).as("mn"), max(col("xc")).as("mx"))
+    partials.groupBy("o_orderstatus")
+      .agg(sum("n").as("n_rows"),
+        sum("s1").as("s1"),
+        sum("s2").cast("decimal(38,0)").as("s2"),
+        min("mn").as("mn"), max("mx").as("mx"))
+      .select(col("o_orderstatus"), col("n_rows"),
+        (col("s1").cast("double") / 100.0).as("total"),
+        (col("s1").cast("double") / (col("n_rows").cast("double") * 100.0))
+          .as("mean"),
+        expr("""(n_rows * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+                div (n_rows * n_rows * 10)""").as("var_pop_milli"),
+        (col("mn").cast("double") / 100.0).as("min_price"),
+        (col("mx").cast("double") / 100.0).as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X153: aggregate navigator — the optimizer routes a coarser
@@ -798,6 +830,26 @@ object Warehouse {
         .localCheckpoint(eager = true) // the standing summary layer
       starBiCascade(s, d, li, mv, summaryTag = None)
     }),
+
+    // X200: incremental statistics maintenance — x85's ANALYZE pass
+    // recomputes column stats by rescanning the table; a warehouse
+    // instead stores MERGEABLE partials per ingest shard (n, Σx, Σx²
+    // in exact decimals, min, max) and refreshes global stats by
+    // merging the shard table — new data touches only its own shard's
+    // partial, never the history (the x162 sketch-rollup discipline
+    // applied to moments). Variance needs Σx² BECAUSE it is the
+    // mergeable form — per-shard variances don't combine, the sum of
+    // squares does. The gate computes per-status stats THROUGH the
+    // shard partials; the oracle computes them directly from the
+    // table, so hash equality proves merge ≡ rescan. ALL-INTEGER
+    // moments in the CENTS domain: the textbook E[x²]−mean² form
+    // subtracts two ~1e15 doubles and amplifies a last-ulp
+    // decimal→double rounding difference between engines (measured:
+    // hash-mismatched at sf0.1), so the variance is instead the exact
+    // integer rational (n·Σx² − (Σx)²)/(n²) computed in decimal(38,0)
+    // cents² and floored to milli-dollars² — bit-identical anywhere.
+    "x175_incremental_stats" -> ((s, d) =>
+      shardedStats(Tables.orders(s, d), shardWidth = 4096)),
 
     // X193: validity-interval overlap join (temporal join) — the
     // INTERVAL member of the join family (equi J1-J3, anti/semi,
@@ -1671,6 +1723,30 @@ object Warehouse {
     // join-elim + navigator cascade ≡ the query as written
     "q_star_bi_plain" -> starBiOracleSql,
     "x166_star_bi_cascade" -> starBiOracleSql,
+
+    // the DIRECT rescan the shard-partial merge must reproduce exactly
+    // (same cents-domain integer moments)
+    "x175_incremental_stats" ->
+      """WITH t AS (SELECT o_orderstatus,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+                    FROM orders),
+              a AS (SELECT o_orderstatus,
+                           CAST(count(*) AS BIGINT) AS n_rows,
+                           CAST(SUM(xc) AS BIGINT) AS s1,
+                           SUM(CAST(xc AS HUGEINT) * xc) AS s2
+                    FROM t GROUP BY o_orderstatus),
+              mm AS (SELECT o_orderstatus,
+                            CAST(MIN(xc) AS DOUBLE) / 100.0 AS min_price,
+                            CAST(MAX(xc) AS DOUBLE) / 100.0 AS max_price
+                     FROM t GROUP BY o_orderstatus)
+         SELECT a.o_orderstatus, a.n_rows,
+                CAST(s1 AS DOUBLE) / 100.0 AS total,
+                CAST(s1 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 100.0) AS mean,
+                CAST((n_rows * s2 - CAST(s1 AS HUGEINT) * s1)
+                     // (CAST(n_rows AS HUGEINT) * n_rows * 10) AS BIGINT)
+                  AS var_pop_milli,
+                mm.min_price, mm.max_price
+         FROM a JOIN mm USING (o_orderstatus) ORDER BY a.o_orderstatus""",
 
     // the same grid-blocked overlap join restated in date arithmetic
     "x169_interval_join" ->

@@ -125,6 +125,26 @@ class R11TrancheSpec extends SparkSpecBase {
       "captured fraction is monotone in the bucket order")
   }
 
+  test("x175 incremental stats: shard-width invariant (mergeability) and variance sane") {
+    val o = Tables.orders(spark, sfDir)
+    val w4096 = Warehouse.shardedStats(o, 4096).collect().map(_.toSeq)
+    val w1000 = Warehouse.shardedStats(o, 1000).collect().map(_.toSeq)
+    val w1 = Warehouse.shardedStats(o, 1).collect().map(_.toSeq)
+    assert(w4096.toSeq == w1000.toSeq && w4096.toSeq == w1.toSeq,
+      "merged partials must be independent of the shard layout — that IS mergeability")
+    // the integer milli-variance tracks Spark's double var_pop closely
+    val ref = o.select(col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("x"))
+      .groupBy("o_orderstatus").agg(var_pop(col("x")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Warehouse.shardedStats(o, 4096).collect().foreach { r =>
+      val got = r.getLong(4) / 1000.0
+      val want = ref(r.getString(0))
+      assert(math.abs(got - want) / want < 1e-6,
+        s"${r.getString(0)}: integer variance $got vs Spark var_pop $want")
+    }
+  }
+
   test("x172 local top-k audit: partials never exceed exact; exact side is the true top-20") {
     val rows = TrainingData.queries("x172_local_topk_audit")(spark, sfDir).collect()
     assert(rows.length <= 20)
