@@ -980,6 +980,41 @@ object Relational {
     // over that metadata-sized table partitioned by type. Only days
     // with a full 7-day baseline judge (rn ≥ 8) — the warm-up edge is
     // not a verdict.
+    // X202: seasonal-baseline anomaly profile — x100's rolling window
+    // catches TREND breaks but flags every Friday peak as anomalous;
+    // the operations-monitoring complement is a SEASONAL baseline:
+    // per (day-of-week × hour) cell, the exact median event value and
+    // the MAD around it (both via GroupedQuantiles — histogram
+    // refinement, no cell-sized percentile buffers), and the robust
+    // verdict count |v − med| > 3·MAD per cell. Values quantized to
+    // exact milli longs, so every double downstream (.5-grain medians,
+    // residuals) is exactly representable and the 3·MAD comparison is
+    // deterministic in any engine. The 168-cell baseline table is the
+    // broadcast metadata a live monitor ships; at 100 TB both medians
+    // run over the (cell, value)-histogram, never the event rows.
+    "x177_seasonal_anomaly" -> ((s, d) => {
+      import graft.util.GroupedQuantiles
+      val ev = Tables.events(s, d)
+        .withColumn("vm", (col("value").cast("decimal(18,3)") * 1000).cast("long"))
+        .withColumn("dow", dayofweek(col("ts")))
+        .withColumn("hour", hour(col("ts")))
+        .withColumn("cell", col("dow") * 100 + col("hour"))
+      val med = GroupedQuantiles.cuts(ev, "cell", "vm", Seq(("med", 0.5)))
+        .select(col("cell"), col("med"))
+      val withRes = ev.join(broadcast(med), Seq("cell"))
+        .withColumn("resid", abs(col("vm").cast("double") - col("med")))
+      val mad = GroupedQuantiles.cuts(withRes, "cell", "resid", Seq(("mad", 0.5)))
+        .select(col("cell"), col("mad"))
+      withRes.join(broadcast(mad), Seq("cell"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n"),
+          max("med").as("baseline_med_milli"),
+          max("mad").as("mad_milli"),
+          sum(when(col("resid") > col("mad") * 3.0, 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .orderBy("dow", "hour")
+    }),
+
     "x100_rolling_anomaly" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -3019,6 +3054,25 @@ object Relational {
                   SUM(n_pairs) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
          FROM pc ORDER BY from_type, to_type""",
     // the 3-sigma test in the multiplied-through integer form
+    // same milli quantization, quantile_cont medians (the
+    // GroupedQuantiles ≡ quantile_cont contract), dow aligned +1
+    "x177_seasonal_anomaly" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS vm,
+                           dayofweek(ts) + 1 AS dow, hour(ts) AS hour
+                    FROM events),
+          c AS (SELECT *, dow * 100 + hour AS cell FROM e),
+          med AS (SELECT cell, quantile_cont(vm, 0.5) AS med FROM c GROUP BY cell),
+          r AS (SELECT c.cell, c.dow, c.hour,
+                       abs(CAST(c.vm AS DOUBLE) - med.med) AS resid, med.med
+                FROM c JOIN med USING (cell)),
+          mad AS (SELECT cell, quantile_cont(resid, 0.5) AS mad FROM r GROUP BY cell)
+         SELECT r.dow, r.hour, CAST(count(*) AS BIGINT) AS n,
+                MAX(r.med) AS baseline_med_milli, MAX(mad.mad) AS mad_milli,
+                CAST(SUM(CASE WHEN r.resid > mad.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_anomalies
+         FROM r JOIN mad USING (cell)
+         GROUP BY r.dow, r.hour ORDER BY r.dow, r.hour""",
+
     "x100_rolling_anomaly" ->
       """WITH daily AS (SELECT event_type,
                                CAST(date_trunc('microseconds', ts) AS DATE) AS day,

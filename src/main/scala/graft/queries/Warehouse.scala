@@ -851,6 +851,41 @@ object Warehouse {
     "x175_incremental_stats" -> ((s, d) =>
       shardedStats(Tables.orders(s, d), shardWidth = 4096)),
 
+    // X201: equi-depth histogram build (the CBO selectivity input) —
+    // X104's equi-width histogram misestimates skewed columns by
+    // construction; real optimizers keep EQUI-DEPTH bounds (~n/B rows
+    // per bucket, so worst-case selectivity error is bounded by 1/B
+    // regardless of skew). Boundaries are the seven exact interpolated
+    // octile values via GroupedQuantiles — histogram refinement, never
+    // a group-sized percentile buffer (the a17/x85 discipline) — then
+    // one broadcast join buckets the fact (bucket = Σ [v > qᵢ], the
+    // stated strictly-greater tie rule) and the occupancy audit
+    // reports each bucket's deviation from the ideal n/8 in ppm (ties
+    // and duplicates are WHY occupancy isn't exactly n/8 — the audit
+    // quantifies what the CBO's uniformity assumption is worth on
+    // this column). Boundary frame is 1 row of metadata; one fact
+    // scan; all verdict integers exact.
+    "x176_equidepth_hist" -> ((s, d) => {
+      import graft.util.GroupedQuantiles
+      val o = Tables.orders(s, d).withColumn("g", lit("all"))
+      val q = GroupedQuantiles.cuts(o, "g", "o_totalprice",
+        (1 to 7).map(i => (s"q$i", i / 8.0)))
+      val bucket = (1 to 7).map(i =>
+        when(col("o_totalprice") > col(s"q$i"), 1).otherwise(0)).reduce(_ + _)
+      o.crossJoin(broadcast(q.select((1 to 7).map(i => col(s"q$i")): _*)))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_total"))))
+        .select(col("bucket"), col("lo"), col("hi"), col("n_rows"),
+          expr("n_total div 8").as("ideal"),
+          expr("abs(n_rows - n_total div 8) * 1000000 div (n_total div 8)")
+            .as("dev_ppm"))
+        .orderBy("bucket")
+    }),
+
     // X193: validity-interval overlap join (temporal join) — the
     // INTERVAL member of the join family (equi J1-J3, anti/semi,
     // range j6, as-of j8, d6's point-in-time): each order carries an
@@ -1723,6 +1758,24 @@ object Warehouse {
     // join-elim + navigator cascade ≡ the query as written
     "q_star_bi_plain" -> starBiOracleSql,
     "x166_star_bi_cascade" -> starBiOracleSql,
+
+    // quantile_cont octiles (GroupedQuantiles ≡ quantile_cont is the
+    // a17-proven contract), same strictly-greater bucket rule
+    "x176_equidepth_hist" -> {
+      val qs = (1 to 7).map(i =>
+        s"quantile_cont(o_totalprice, ${i / 8.0}) AS q$i").mkString(", ")
+      val bucket = (1 to 7).map(i =>
+        s"CASE WHEN v > q$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH q AS (SELECT $qs FROM orders),
+          t AS (SELECT o_totalprice AS v FROM orders),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+          b AS (SELECT ($bucket) AS bucket, v FROM t, q)
+         SELECT bucket, MIN(v) AS lo, MAX(v) AS hi,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                n_total // 8 AS ideal,
+                abs(count(*) - n_total // 8) * 1000000 // (n_total // 8) AS dev_ppm
+         FROM b, tot GROUP BY bucket, n_total ORDER BY bucket"""
+    },
 
     // the DIRECT rescan the shard-partial merge must reproduce exactly
     // (same cents-domain integer moments)

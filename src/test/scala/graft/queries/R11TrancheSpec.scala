@@ -145,6 +145,28 @@ class R11TrancheSpec extends SparkSpecBase {
     }
   }
 
+  test("x176 equi-depth histogram: 8 buckets partition the table, ranges nest") {
+    val rows = Warehouse.queries("x176_equidepth_hist")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 7), "all 8 buckets present")
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(3)).sum == total, "buckets partition every row")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(1),
+        "bucket value ranges are ordered: hi(k) <= lo(k+1)")
+    case _ => }
+  }
+
+  test("x177 seasonal anomaly: cells cover all events; 3-MAD flags a robust minority") {
+    val rows = Relational.queries("x177_seasonal_anomaly")(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents, "dow x hour cells cover every event")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, "MAD is non-negative")
+      assert(r.getLong(5) * 2 < r.getLong(2),
+        "by MAD's definition, >3-MAD residuals are a minority of the cell")
+    }
+  }
+
   test("x172 local top-k audit: partials never exceed exact; exact side is the true top-20") {
     val rows = TrainingData.queries("x172_local_topk_audit")(spark, sfDir).collect()
     assert(rows.length <= 20)
