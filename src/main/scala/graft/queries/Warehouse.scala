@@ -851,6 +851,35 @@ object Warehouse {
     "x175_incremental_stats" -> ((s, d) =>
       shardedStats(Tables.orders(s, d), shardWidth = 4096)),
 
+    // X203: plan-fingerprint result cache — the repeated-dashboard
+    // serving face (Snowflake/BigQuery result cache): query identity =
+    // md5 of the CANONICALIZED analyzed plan, so two INDEPENDENT
+    // builds of the same rollup (fresh scans, fresh exprIds) hit, and
+    // any literal/column/source change misses (ResultCacheSpec probes
+    // both sides). The gate runs the rollup twice through the cache
+    // and require()s miss-then-hit — if the fingerprint ever stops
+    // normalizing exprIds, the gate FAILS rather than silently
+    // recomputing. The served result is the materialized first run;
+    // the oracle hashes it against the direct SQL, proving a hit
+    // serves exactly the query's answer. At 100 TB the hit path reads
+    // a result-store entry instead of the fact table — the same
+    // fact-scan-vs-kilobytes delta as X153, for UNCHANGED repeats.
+    "x178_result_cache" -> ((s, d) => {
+      import graft.operators.ResultCache
+      ResultCache.clear()
+      def build() = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total_price"))
+      ResultCache.through(build())
+      require(!ResultCache.lastHit, "first pass must be a cache miss")
+      val served = ResultCache.through(build())
+      require(ResultCache.lastHit,
+        "independent rebuild of the same plan must hit the result cache")
+      served.orderBy("o_orderpriority")
+    }),
+
     // X201: equi-depth histogram build (the CBO selectivity input) —
     // X104's equi-width histogram misestimates skewed columns by
     // construction; real optimizers keep EQUI-DEPTH bounds (~n/B rows
@@ -1758,6 +1787,13 @@ object Warehouse {
     // join-elim + navigator cascade ≡ the query as written
     "q_star_bi_plain" -> starBiOracleSql,
     "x166_star_bi_cascade" -> starBiOracleSql,
+
+    // the cache-served result must hash-equal the direct rollup
+    "x178_result_cache" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // quantile_cont octiles (GroupedQuantiles ≡ quantile_cont is the
     // a17-proven contract), same strictly-greater bucket rule
