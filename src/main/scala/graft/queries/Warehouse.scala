@@ -851,6 +851,73 @@ object Warehouse {
     "x175_incremental_stats" -> ((s, d) =>
       shardedStats(Tables.orders(s, d), shardWidth = 4096)),
 
+    // X204: snapshot-consistent MULTI-TABLE as-of read — x157 time-
+    // travels ONE table; a report joining fact and dim must read BOTH
+    // at the SAME version or it mixes states (the classic torn read:
+    // today's orders against yesterday's customer segments). Both
+    // tables carry versioned change sets (orders: v1 price updates,
+    // v2 insert clones; customer: v1 segment moves, v2 tombstones),
+    // each reconstructs at version v with the same one-aggregate
+    // max(struct(version, del_pri, …)) merge as x157 (delete priority
+    // inside the struct — tombstones win same-version ties), and the
+    // JOIN runs on the two same-v states. The v2 row proves the
+    // consistency property observably: orders of customers deleted at
+    // v2 leave the report exactly when the dim side is read at v2.
+    // At 100 TB both merges are version-partition-pruned scans (the
+    // x157 layout) and the join is the ordinary fact⋈dim plan — the
+    // operator is the VERSION COORDINATION, not a new join.
+    "x179_snapshot_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val ok = col("o_orderkey")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      // orders: v0 base, v1 = +50 updates on k%7==3, v2 = clone
+      // inserts (k%23==5, offset PK, same custkey)
+      val oImg = (v: Int, op: String, key: org.apache.spark.sql.Column,
+                  p: org.apache.spark.sql.Column) =>
+        Seq(lit(v).as("version"), lit(op).as("op"), key.as("k"),
+          col("o_custkey").as("ck"), p.as("p"))
+      val oVers = o.select(oImg(0, "I", ok, price): _*)
+        .unionByName(o.filter(pmod(ok, lit(7L)) === 3)
+          .select(oImg(1, "I", ok, (price + 50).cast("decimal(18,2)")): _*))
+        .unionByName(o.filter(pmod(ok, lit(23L)) === 5)
+          .select(oImg(2, "I", ok + 30000000L, price): _*))
+      // customer: v0 base, v1 = segment moves on c%11==2, v2 =
+      // tombstones on c%13==7
+      val cImg = (v: Int, op: String, seg: org.apache.spark.sql.Column) =>
+        Seq(lit(v).as("version"), lit(op).as("op"),
+          col("c_custkey").as("ck"), seg.as("seg"))
+      val cVers = c.select(cImg(0, "I", col("c_mktsegment")): _*)
+        .unionByName(c.filter(pmod(col("c_custkey"), lit(11L)) === 2)
+          .select(cImg(1, "I", lit("MOVED")): _*))
+        .unionByName(c.filter(pmod(col("c_custkey"), lit(13L)) === 7)
+          .select(cImg(2, "D", col("c_mktsegment")): _*))
+      def asOf(v: Int): DataFrame = {
+        val oState = oVers.filter(col("version") <= v)
+          .groupBy("k")
+          .agg(max(struct(col("version"),
+            when(col("op") === "D", 1).otherwise(0).as("del_pri"),
+            col("op"), col("ck"), col("p"))).as("mx"))
+          .filter(col("mx.op") =!= "D")
+          .select(col("mx.ck").as("ck"), col("mx.p").as("p"))
+        val cState = cVers.filter(col("version") <= v)
+          .groupBy("ck")
+          .agg(max(struct(col("version"),
+            when(col("op") === "D", 1).otherwise(0).as("del_pri"),
+            col("op"), col("seg"))).as("mx"))
+          .filter(col("mx.op") =!= "D")
+          .select(col("ck"), col("mx.seg").as("seg"))
+        oState.join(cState, Seq("ck"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("p").cast("double").as("total"))
+          .select(lit(v).as("version"), col("seg").as("c_mktsegment"),
+            col("n_orders"), col("total"))
+      }
+      asOf(0).unionByName(asOf(1)).unionByName(asOf(2))
+        .orderBy("version", "c_mktsegment")
+    }),
+
     // X203: plan-fingerprint result cache — the repeated-dashboard
     // serving face (Snowflake/BigQuery result cache): query identity =
     // md5 of the CANONICALIZED analyzed plan, so two INDEPENDENT
@@ -1787,6 +1854,34 @@ object Warehouse {
     // join-elim + navigator cascade ≡ the query as written
     "q_star_bi_plain" -> starBiOracleSql,
     "x166_star_bi_cascade" -> starBiOracleSql,
+
+    // each version's joint state reconstructed directly; the merge-
+    // then-join must reproduce it exactly
+    "x179_snapshot_join" ->
+      """WITH o0 AS (SELECT o_orderkey AS k, o_custkey AS ck,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+              o1 AS (SELECT k, ck,
+                            CASE WHEN k % 7 = 3 THEN CAST(p + 50 AS DECIMAL(18,2))
+                                 ELSE p END AS p FROM o0),
+              o2 AS (SELECT * FROM o1
+                     UNION ALL
+                     SELECT k + 30000000, ck, p FROM o0 WHERE k % 23 = 5),
+              c0 AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
+              c1 AS (SELECT ck, CASE WHEN ck % 11 = 2 THEN 'MOVED' ELSE seg END AS seg
+                     FROM c0),
+              c2 AS (SELECT ck, seg FROM c1 WHERE ck % 13 <> 7)
+         SELECT * FROM (
+           SELECT 0 AS version, seg AS c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(p) AS DOUBLE) AS total
+           FROM o0 JOIN c0 USING (ck) GROUP BY seg
+           UNION ALL
+           SELECT 1, seg, CAST(count(*) AS BIGINT), CAST(SUM(p) AS DOUBLE)
+           FROM o1 JOIN c1 USING (ck) GROUP BY seg
+           UNION ALL
+           SELECT 2, seg, CAST(count(*) AS BIGINT), CAST(SUM(p) AS DOUBLE)
+           FROM o2 JOIN c2 USING (ck) GROUP BY seg)
+         ORDER BY version, c_mktsegment""",
 
     // the cache-served result must hash-equal the direct rollup
     "x178_result_cache" ->
