@@ -36,7 +36,16 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     // mini-dimension: the surrogate-rank window runs over the DISTINCT
     // (band, segment, region) combo table — bands × segments × regions
     // bounded metadata at any corpus size
-    "x151_minidim")
+    "x151_minidim",
+    // dedup horizon: the cumulative window runs over the FIVE-row gap-
+    // bucket grid (the x145 month-grid shape)
+    "x174_dedup_horizon",
+    // equi-depth histogram: GroupedQuantiles partitions its windows by
+    // the group key, but the single-group call uses a LITERAL group —
+    // constant-folded out of partitionSpec — and the window input is
+    // the metadata-sized coarse histogram (≤ range/coarseDiv rows),
+    // the TopFrac exemption class
+    "x176_equidepth_hist")
 
   test("no surface query plans an un-partitioned Window (TopFrac histogram exemptions aside)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
