@@ -214,7 +214,7 @@ object Bench {
     val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-index")
       .toString
     val pairConsumers = Set("x17_dedup_clusters", "x165_cc_lss",
-      "x38_cluster_keeper",
+      "x180_cluster_cohesion", "x38_cluster_keeper",
       "x42_split_leakage", "x43_component_split", "x70_dedup_agreement",
       "x75_source_overlap", "x84_dup_pagerank", "x96_contam_spread",
       "x97_threshold_sweep", "x123_triangles", "x131_kcore",
@@ -297,6 +297,10 @@ object Bench {
             m += "x165_cc_lss" -> ((s: SparkSession, d: String) =>
               graft.dedup.Dedup.ccLargeStarSmallStar(mhPairs(s), Tables.documents(s, d))
                 ._1.orderBy("doc_id"))
+          if (names.contains("x180_cluster_cohesion"))
+            m += "x180_cluster_cohesion" -> ((s: SparkSession, d: String) =>
+              graft.queries.TrainingData.clusterCohesion(
+                mhPairs(s), Tables.documents(s, d)))
           if (names.contains("x38_cluster_keeper"))
             m += "x38_cluster_keeper" -> ((s: SparkSession, d: String) => {
               val ds = Tables.documents(s, d)

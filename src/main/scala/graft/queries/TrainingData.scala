@@ -427,6 +427,28 @@ object TrainingData {
       labels.select(col("doc_id"), splitCol(col("component")).as("split")))
   }
 
+  /** x180 tail: per-component cohesion over a pair plane — members,
+    * verified pairs, clique density in exact ppm, and min/max verified
+    * jaccard for every multi-member near-dup component (see the gate
+    * comment; rides the standing plane in the bench, probe ≡ gate via
+    * PairPlaneProbeSpec). */
+  def clusterCohesion(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val labels = Dedup.nearDupComponents(pairs, docs)
+    val members = labels.groupBy("component").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val pc = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("component")), Seq("doc_a"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jaccard").as("min_jaccard"), max("jaccard").as("max_jaccard"))
+    members.join(pc, Seq("component"))
+      .select(col("component"), col("n_members"), col("n_pairs"),
+        expr("n_pairs * 2000000 div (n_members * (n_members - 1))")
+          .as("density_ppm"),
+        col("min_jaccard"), col("max_jaccard"))
+      .orderBy("component")
+  }
+
   /** x73 tail: Bloom pre-screen accuracy audit over a shingle plane —
     * bloom-passing vs exact benchmark hits per train doc, false
     * positives = the difference. Factored over (sh5, bits) so the
@@ -1169,6 +1191,24 @@ object TrainingData {
     "x17_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.nearDupComponents(Dedup.minhashNearDups(docs, 0.5), docs).orderBy("doc_id")
+    }),
+
+    // X205: near-dup cluster cohesion audit — the QA read between
+    // pair detection (x4) and keeper selection (x38): a component with
+    // pair DENSITY near 100 % is a clique (one true duplicate family —
+    // any keeper rule is safe); a long low-density chain is transitive
+    // gluing (A~B~C with A̸~C), where keep-one-per-cluster silently
+    // drops non-duplicates — exactly the clusters a curation pipeline
+    // routes to review instead. Per multi-member component: members,
+    // verified pairs, density in exact ppm (pairs·2·10⁶ div m(m−1)),
+    // and the min/max verified jaccard (min of exact per-pair doubles
+    // — order-independent; no mean-of-doubles anywhere). Component-
+    // keyed aggregates over the standing pair plane + labels — all
+    // shuffles fingerprint-sized; the audit table is components-sized
+    // metadata.
+    "x180_cluster_cohesion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      clusterCohesion(Dedup.minhashNearDups(docs, 0.5).cache(), docs)
     }),
 
     // X181 promoted to a gate row: large-star/small-star CC (Kiveris
@@ -3718,6 +3758,20 @@ object TrainingData {
     // LSS roots components at their minima — x17's unrolled min-label
     // oracle is exactly its contract on the gate corpus
     "x165_cc_lss" -> clusterOracleSql(),
+    // cohesion over the same labels + verified pairs
+    "x180_cluster_cohesion" ->
+      s"""WITH ${clusterCtes(2)},
+          members AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+                      FROM l2 GROUP BY component HAVING count(*) >= 2),
+          pc AS (SELECT l.component, CAST(count(*) AS BIGINT) AS n_pairs,
+                        min(v.jaccard) AS min_jaccard,
+                        max(v.jaccard) AS max_jaccard
+                 FROM verified v JOIN l2 l ON l.doc_id = v.doc_a
+                 GROUP BY l.component)
+          SELECT component, n_members, n_pairs,
+                 n_pairs * 2000000 // (n_members * (n_members - 1)) AS density_ppm,
+                 min_jaccard, max_jaccard
+          FROM members JOIN pc USING (component) ORDER BY component""",
     "x38_cluster_keeper" -> clusterKeeperOracleSql(),
     "x156_golden_record" -> goldenRecordOracleSql(),
     "x164_sssp" -> {

@@ -27,6 +27,7 @@ class PairPlaneProbeSpec extends SparkSpecBase {
     val probes: Seq[(String, DataFrame)] = Seq(
       "x17_dedup_clusters" -> Dedup.nearDupComponents(mh, docs).orderBy("doc_id"),
       "x165_cc_lss" -> Dedup.ccLargeStarSmallStar(mh, docs)._1.orderBy("doc_id"),
+      "x180_cluster_cohesion" -> TrainingData.clusterCohesion(mh, docs),
       "x38_cluster_keeper" -> Dedup.componentKeepers(
         Dedup.nearDupComponents(mh, docs),
         docs.select(col("doc_id"), length(col("text")).as("len")), "len")
