@@ -151,14 +151,19 @@ object Bench {
     * time is still an honest upper bound and beats reporting the
     * contaminated sample as the row's best case. `warm_min` flags the
     * rows where the fallback engaged (r10's 9-row window would have
-    * carried 8-50× "mins" without it). */
+    * carried 8-50× "mins" without it). The fallback requires a
+    * DIVERGENCE MARGIN (warm < timedMin/1.5): a warmup can legitimately
+    * edge out timed passes (page-cache state, no full-surface
+    * interleave, AQE reuse), and without the margin ordinary
+    * warm-slightly-faster noise would systematically substitute a
+    * non-timed measurement for a perfectly good timed min. */
   def resolve(samples: Seq[Double], warm: Double): Resolved =
     if (samples.isEmpty) Resolved(warm, warm, 0, degraded = true, stall = false)
     else {
       val sorted = samples.sorted
       val med = sorted((sorted.size - 1) / 2)
       val timedMin = sorted.head
-      val warmBacked = !warm.isNaN && warm < timedMin
+      val warmBacked = !warm.isNaN && warm < timedMin / 1.5
       val mn = if (warmBacked) warm else timedMin
       Resolved(med, mn, sorted.size, degraded = false,
         stall = (sorted.size >= 2 || warmBacked) && med / mn > 3.0,
@@ -205,8 +210,17 @@ object Bench {
     // driver leaves it unset and always times the full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // heavy contention-prone rows run FIRST in every pass: the r11
+    // artifact resolved these five via the warm_min fallback because
+    // their timed samples kept landing in the tail of each pass where
+    // budget pressure and accumulated JVM state are worst; fronting
+    // them gives each a clean early slot so warm_min stays the
+    // exception, not a standing state for the same rows every round.
+    val front = Seq("x81_prefix_pairs", "x96_contam_spread", "x170_novelty",
+      "x6_simhash_neardups", "x70_dedup_agreement")
+    val base = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val names = front.filter(base.contains) ++ base.filterNot(front.toSet)
 
     // ---- untimed prelude: materialize the standing index artifacts the
     // service-shape probes read (see scaladoc). Failure here falls back
@@ -519,12 +533,15 @@ object Bench {
           val s = timedRun(st.name)
           st.samples += s
           emit(s"""{"query":${jstr(st.name)},"pass":$pass,"sec":$s}""")
-          // warm-divergence retry: a pass-1 sample >3× the warmup of
+          // warm-divergence retry: a pass-1/2 sample >3× the warmup of
           // the SAME plan is contention, not the query (warm already
           // paid codegen on top) — grab one immediate extra sample
           // while the budget allows, so the row's median has a second
-          // real signal instead of waiting a full pass
-          if (pass == 1 && !st.warm.isNaN && s > 3.0 * st.warm &&
+          // real signal instead of waiting a full pass (pass 2 included
+          // since r12: a row whose BOTH guaranteed passes land in
+          // contention windows otherwise resolves warm_min with no
+          // clean timed sample at all — the r11 standing-five pattern)
+          if (pass <= 2 && !st.warm.isNaN && s > 3.0 * st.warm &&
               elapsed / budget < 1.2) {
             val r = timedRun(st.name)
             st.samples += r

@@ -7,50 +7,90 @@ import org.apache.spark.sql.DataFrame
   * identity is the md5 of its CANONICALIZED analyzed plan (exprIds
   * normalized, literals kept — two independently-built DataFrames over
   * the same source with the same shape key identically; any literal or
-  * column change misses). A hit serves the eagerly-materialized prior
-  * result without touching the source; a miss materializes via eager
-  * `localCheckpoint` (at scale: a parquet result store keyed the same
-  * way, with source-snapshot validity attached — the fingerprint is
-  * the hard part and is what this component pins).
+  * column change misses) COMBINED with a source-snapshot token: the
+  * sorted list of the plan's input files with each file's (length,
+  * modificationTime). Same path + new data therefore MISSES — an
+  * appended file, a rewritten file, or a vacuumed file all change the
+  * token — which is the validity rule every production result cache
+  * enforces (serve only while the underlying micro-partitions are
+  * unchanged). Sources with no file listing (in-memory relations)
+  * contribute an empty token and fall back to plan identity alone.
   *
-  * The cache is deliberately tiny infrastructure: correctness rests
-  * entirely on the fingerprint, which [[ResultCacheSpec]] probes from
-  * both sides (independent builds of the same query HIT; a changed
-  * literal, a changed column set, and a different source path all
-  * MISS). `lastHit` exposes the decision so gates can `require()` the
-  * path they claim to measure.
+  * The store is BOUNDED (`maxEntries`, FIFO eviction of the oldest
+  * insertion) and the hit/miss decision is RETURNED by [[through]]
+  * rather than parked in shared mutable state, so concurrent callers
+  * cannot overwrite each other's flag; the insert itself rides
+  * `computeIfAbsent`, so two racing builders of the same query
+  * materialize once. At 100 TB the store is a parquet result store
+  * keyed the same way; the fingerprint + validity token is the hard
+  * part and is what this component pins ([[graft.ResultCacheSpec]]
+  * probes hit, literal/column/path miss, AND the same-path-new-data
+  * miss).
+  *
+  * The snapshot token costs one file listing (`df.inputFiles`) plus a
+  * `getFileStatus` per file — the same metadata a scan's planning
+  * already lists; a real deployment reads it from the table format's
+  * snapshot id (Delta/Iceberg version) instead of raw statuses.
   */
 object ResultCache {
 
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  @volatile var lastHit: Boolean = false
+  private val insertionOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Bound on cached entries — eviction drops the oldest insertion.
+    * Results are executor-memory-resident localCheckpoints here, so the
+    * bound is what keeps a long-lived dashboard session from pinning
+    * unbounded blocks. */
+  val maxEntries: Int = 64
 
   /** Stable plan fingerprint: md5 over the canonicalized analyzed
     * plan's tree string (exprIds normalized by canonicalization, so
-    * independent builds of the same logical query collide — the
-    * point). */
+    * independent builds of the same logical query collide — the point)
+    * plus the source-snapshot token (per-file length + modTime), so
+    * identical plans over CHANGED data do not. */
   def fingerprint(df: DataFrame): String = {
     val canon = df.queryExecution.analyzed.canonicalized.toString
+    val token = sourceToken(df)
     java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8"))
+      .digest((canon + "\n" + token).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
 
-  /** Serve `df` through the cache: hit returns the stored materialized
-    * result; miss materializes (eager localCheckpoint) and stores. */
-  def through(df: DataFrame): DataFrame = {
+  /** The validity half of the key: every input file's path, length and
+    * modification time, sorted. Any data change under the same paths
+    * (append, rewrite, delete) perturbs it. */
+  def sourceToken(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.inputFiles.sorted.map { uri =>
+      val p = new org.apache.hadoop.fs.Path(uri)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$uri:${st.getLen}:${st.getModificationTime}"
+    }.mkString("|")
+  }
+
+  /** Serve `df` through the cache. Returns (result, hit): a hit serves
+    * the stored materialized result without touching the source; a
+    * miss materializes (eager localCheckpoint), stores, and may evict
+    * the oldest entry past [[maxEntries]]. */
+  def through(df: DataFrame): (DataFrame, Boolean) = {
     val k = fingerprint(df)
-    val cached = store.get(k)
-    if (cached != null) { lastHit = true; cached }
-    else {
-      lastHit = false
-      val m = df.localCheckpoint(eager = true)
-      store.put(k, m)
-      m
+    var missed = false
+    val res = store.computeIfAbsent(k, _ => {
+      missed = true
+      df.localCheckpoint(eager = true)
+    })
+    if (missed) {
+      insertionOrder.add(k)
+      while (store.size > maxEntries) {
+        val victim = insertionOrder.poll()
+        if (victim != null) store.remove(victim) else return (res, false)
+      }
     }
+    (res, !missed)
   }
 
   def size: Int = store.size
-  def clear(): Unit = store.clear()
+  def clear(): Unit = { store.clear(); insertionOrder.clear() }
 }

@@ -2935,18 +2935,32 @@ object TrainingData {
     // match / possible / non-match at stated thresholds — the
     // three-way rule that routes "possible" to clerical review.
     // Output is the per-verdict audit (counts + score range),
-    // metadata-sized; the rank window is block-partitioned (bounded).
+    // metadata-sized; the rank rides ScalableRank.groupedRowNumber, so
+    // even a HOT (lang, blk) block never sorts in one task (max window
+    // partition ~|hot block|/256 — the r11 verdict's skew-straggler
+    // item, closed with identical rank values).
     "x168_linkage_score" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
+      // the per-block rank: a plain (lang, blk)-partitioned window puts
+      // each whole block in ONE task, and web corpora concentrate in a
+      // few (lang, short-length) blocks — a skew straggler at 100 TB.
+      // ScalableRank.groupedRowNumber sub-splits every block into
+      // monotone order-key ranges (max window partition ~|hot block|/256)
+      // and produces IDENTICAL rank values; the composite key
+      // n_chars·(max_doc+1)+doc_id encodes the (n_chars, doc_id) order
+      // as one unique integer (doc_id ≤ max_doc by construction).
+      val mxd = docs.agg(max("doc_id").as("__mxd"))
       val feat = docs.select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"))
         .join(Dedup.simhashMd5(docs), Seq("doc_id"))
         .withColumn("blk", expr("n_chars div 200"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("lang", "blk").orderBy(col("n_chars"), col("doc_id"))))
-      val a = feat.columns.foldLeft(feat)((df, c) => df.withColumnRenamed(c, c + "_a"))
-      val b = feat.columns.foldLeft(feat)((df, c) => df.withColumnRenamed(c, c + "_b"))
+      val ranked = graft.util.ScalableRank.groupedRowNumber(
+          feat.crossJoin(broadcast(mxd))
+            .withColumn("__ok", col("n_chars") * (col("__mxd") + 1) + col("doc_id")),
+          Seq("lang", "blk"), "__ok", "rn")
+        .drop("__ok", "__mxd")
+      val a = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_a"))
+      val b = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_b"))
       a.select(col("*"), explode(array(lit(1), lit(2), lit(3))).as("off"))
         .join(b, col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b")
           && col("rn_a") + col("off") === col("rn_b"))

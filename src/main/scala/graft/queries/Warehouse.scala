@@ -872,7 +872,11 @@ object Warehouse {
       val ok = col("o_orderkey")
       val price = col("o_totalprice").cast("decimal(18,2)")
       // orders: v0 base, v1 = +50 updates on k%7==3, v2 = clone
-      // inserts (k%23==5, offset PK, same custkey)
+      // inserts (k%23==5, NEGATED PK — a key domain disjoint from the
+      // real positive orderkeys at EVERY scale factor, where a fixed
+      // +30M offset collides with real keys at SF>=5 and the Spark
+      // max-version merge would dedupe what the oracle's UNION ALL
+      // keeps; same custkey)
       val oImg = (v: Int, op: String, key: org.apache.spark.sql.Column,
                   p: org.apache.spark.sql.Column) =>
         Seq(lit(v).as("version"), lit(op).as("op"), key.as("k"),
@@ -881,7 +885,7 @@ object Warehouse {
         .unionByName(o.filter(pmod(ok, lit(7L)) === 3)
           .select(oImg(1, "I", ok, (price + 50).cast("decimal(18,2)")): _*))
         .unionByName(o.filter(pmod(ok, lit(23L)) === 5)
-          .select(oImg(2, "I", ok + 30000000L, price): _*))
+          .select(oImg(2, "I", -ok, price): _*))
       // customer: v0 base, v1 = segment moves on c%11==2, v2 =
       // tombstones on c%13==7
       val cImg = (v: Int, op: String, seg: org.apache.spark.sql.Column) =>
@@ -922,8 +926,11 @@ object Warehouse {
     // serving face (Snowflake/BigQuery result cache): query identity =
     // md5 of the CANONICALIZED analyzed plan, so two INDEPENDENT
     // builds of the same rollup (fresh scans, fresh exprIds) hit, and
-    // any literal/column/source change misses (ResultCacheSpec probes
-    // both sides). The gate runs the rollup twice through the cache
+    // any literal/column/source change misses, and the fingerprint
+    // folds in a source-snapshot token (per-file length + modTime) so
+    // same-path-NEW-DATA misses too (ResultCacheSpec probes all
+    // sides, including the append-then-miss validity case and the
+    // eviction bound). The gate runs the rollup twice through the cache
     // and require()s miss-then-hit — if the fingerprint ever stops
     // normalizing exprIds, the gate FAILS rather than silently
     // recomputing. The served result is the materialized first run;
@@ -939,10 +946,9 @@ object Warehouse {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("total_price"))
-      ResultCache.through(build())
-      require(!ResultCache.lastHit, "first pass must be a cache miss")
-      val served = ResultCache.through(build())
-      require(ResultCache.lastHit,
+      require(!ResultCache.through(build())._2, "first pass must be a cache miss")
+      val (served, hit) = ResultCache.through(build())
+      require(hit,
         "independent rebuild of the same plan must hit the result cache")
       served.orderBy("o_orderpriority")
     }),
@@ -1031,7 +1037,9 @@ object Warehouse {
     // plan every lake engine lowers to (and exchange-free when the
     // state table keeps the q_bucketed_join layout on the key). The
     // source's key sets are disjoint by construction (mod-5 classes;
-    // inserts offset +50M), so each key sees exactly one action —
+    // inserts carry NEGATED keys — disjoint from the positive real
+    // domain at every SF, unlike a fixed offset), so each key sees
+    // exactly one action —
     // the precondition a real MERGE enforces with a cardinality
     // check. Output: post-merge state aggregate + per-status action
     // counts; the oracle reconstructs the same end state in SQL.
@@ -1047,7 +1055,7 @@ object Warehouse {
           .select(k.as("k"), lit("D").as("op"), price.as("sp"),
             col("o_orderstatus").as("sst")))
         .unionByName(o.filter(pmod(k, lit(5L)) === 3)
-          .select((k + 50000000L).as("k"), lit("I").as("op"), price.as("sp"),
+          .select((-k).as("k"), lit("I").as("op"), price.as("sp"),
             col("o_orderstatus").as("sst")))
       val state = o.select(k.as("k"), price.as("tp"),
         col("o_orderstatus").as("tst"))
@@ -1091,7 +1099,7 @@ object Warehouse {
     // final state (inserts absent, updates at their pre-image price
     // +100, deleted "ghost" rows present), so both engines agree on
     // what changed without any stored fixture. The ghost rows are
-    // synthetic CLONES (offset keys) DISJOINT from the surviving rows:
+    // synthetic CLONES (negated keys) DISJOINT from the surviving rows:
     // each surviving row appears in v0 exactly once and each ghost
     // exactly once, so the delete retraction removes a row genuinely
     // absent from the converged view — v0 really is the aggregate of a
@@ -1107,11 +1115,12 @@ object Warehouse {
         .cast("decimal(18,2)")
       val mod11 = pmod(col("o_orderkey"), lit(11L))
       val isGhostSrc = pmod(col("o_orderkey"), lit(13L)) === 1
-      // ghost clones: offset-key copies of the mod-13 rows, the rows
-      // "deleted today" — disjoint from every surviving row (see note
-      // above), so the retraction targets rows truly leaving the view
+      // ghost clones: negated-key copies of the mod-13 rows, the rows
+      // "deleted today" — negation keeps the ghost domain disjoint
+      // from every surviving (positive) key at any scale factor, so
+      // the retraction targets rows truly leaving the view
       val ghosts = o.filter(isGhostSrc)
-        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+        .select((-col("o_orderkey")).as("o_orderkey"),
           col("o_orderstatus"), col("o_totalprice"))
       // v0 = yesterday's state: today's inserts absent, today's
       // updates still at their old price, today's deletes present
@@ -1143,6 +1152,74 @@ object Warehouse {
           col("t").cast("double").as("total"),
           (col("t").cast("double") / col("n_orders").cast("double"))
             .as("avg_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // X206: the STREAMING retractable-view sink driven END-TO-END — the
+    // x154 z-set fold executed through the REAL foreachBatch sink path
+    // (crash-safe two-rename snapshot swap + _batch replay marker),
+    // promoted from spec-only to a hash-gated row (the x165 promotion
+    // pattern): a file-stream source delivers the two signed change
+    // batches as separate micro-batches (maxFilesPerTrigger=1,
+    // Trigger.AvailableNow), RetractableView.sink folds each into the
+    // stored parquet snapshot, a deliberate REPLAY of an
+    // already-applied batchId is require()d to no-op (the marker
+    // guard — if it ever re-folds, both the require and the hash
+    // fail), and the read-back snapshot is hashed against the
+    // final-state aggregate — proving the streaming sink converges to
+    // truth through inserts, update retract+insert pairs, and delete
+    // retractions. At 100 TB: the snapshot is KEYS-sized, each fold
+    // touches one micro-batch + the snapshot, and the swap is two
+    // metadata renames (see RetractableView scaladoc).
+    "x181_retract_sink" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.RetractableView
+      val scratch = java.nio.file.Files.createTempDirectory("graft_rsink_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile): Unit))
+      val inDir = scratch.toString + "/in"
+      val store = scratch.toString + "/view"
+      val o = Tables.orders(s, d)
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val oldPrice = (price + lit(100).cast("decimal(18,2)")).cast("decimal(18,2)")
+      val mod11 = pmod(col("o_orderkey"), lit(11L))
+      // rows "deleted today": present in v0, retracted by the delta
+      val ghosts = o.filter(pmod(col("o_orderkey"), lit(13L)) === 1)
+        .select(col("o_orderstatus"), price.as("value"))
+      // batch 0 = yesterday's state v0 (x154's construction: today's
+      // inserts absent, updates at old price, deletes present)
+      val v0 = o.filter(mod11 =!= 3)
+        .select(col("o_orderstatus"),
+          when(mod11 === 5, oldPrice).otherwise(price).as("value"),
+          lit(1L).as("sign"))
+        .unionByName(ghosts.withColumn("sign", lit(1L)))
+      // batch 1 = today's signed changes
+      val delta = o.filter(mod11 === 3)
+        .select(col("o_orderstatus"), price.as("value"), lit(1L).as("sign"))
+        .unionByName(o.filter(mod11 === 5)
+          .select(col("o_orderstatus"), oldPrice.as("value"), lit(-1L).as("sign")))
+        .unionByName(o.filter(mod11 === 5)
+          .select(col("o_orderstatus"), price.as("value"), lit(1L).as("sign")))
+        .unionByName(ghosts.withColumn("sign", lit(-1L)))
+      v0.coalesce(1).write.parquet(inDir + "/b0")
+      delta.coalesce(1).write.parquet(inDir + "/b1")
+      val q = s.readStream.schema(v0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir + "/*")
+        .writeStream
+        .option("checkpointLocation", scratch.toString + "/ckpt")
+        .foreachBatch(RetractableView.sink(store, "o_orderstatus") _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val applied = RetractableView.lastApplied(s, store)
+      require(applied == 1L, s"expected two micro-batches applied, marker=$applied")
+      // crash-replay: redeliver an already-applied id — must no-op (a
+      // re-fold would move the marker back to 0 AND break the hash)
+      RetractableView.sink(store, "o_orderstatus")(delta, 0L)
+      require(RetractableView.lastApplied(s, store) == 1L,
+        "replaying an already-applied batchId must be a no-op")
+      s.read.parquet(store)
+        .select(col("o_orderstatus"), col("n").as("n_orders"),
+          col("total").cast("double").as("total"))
         .orderBy("o_orderstatus")
     }),
 
@@ -1865,7 +1942,7 @@ object Warehouse {
                                  ELSE p END AS p FROM o0),
               o2 AS (SELECT * FROM o1
                      UNION ALL
-                     SELECT k + 30000000, ck, p FROM o0 WHERE k % 23 = 5),
+                     SELECT -k, ck, p FROM o0 WHERE k % 23 = 5),
               c0 AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer),
               c1 AS (SELECT ck, CASE WHEN ck % 11 = 2 THEN 'MOVED' ELSE seg END AS seg
                      FROM c0),
@@ -1972,7 +2049,7 @@ object Warehouse {
                        o_orderstatus
                 FROM orders WHERE o_orderkey % 5 = 2 AND o_orderkey % 7 = 0
                 UNION ALL
-                SELECT o_orderkey + 50000000, 'I',
+                SELECT -o_orderkey, 'I',
                        CAST(o_totalprice AS DECIMAL(18,2)), o_orderstatus
                 FROM orders WHERE o_orderkey % 5 = 3),
               m AS (SELECT
@@ -1999,6 +2076,14 @@ object Warehouse {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) AS avg_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the streaming sink's converged snapshot must equal the aggregate
+    // of the FINAL table state (v0 ⊕ delta ≡ orders, as in x154)
+    "x181_retract_sink" ->
+      """SELECT o_orderstatus,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // the naive whole-table diff grouped by bucket: the engine's

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * an update arrives as a retract/insert pair) folds into a stored
   * keyed aggregate snapshot per micro-batch via `foreachBatch`. The
   * fold is the z-set algebra: count ← Σsign, sum ← Σ(sign·x) — exact
-  * over decimals, commutative, associative — so replaying a batch is
-  * idempotent ONLY if the sink write is transactional per batch (the
-  * K4 effectively-once contract); here the snapshot swap is
+  * over decimals, commutative, associative — and replay-safe: the
+  * last applied batchId rides INSIDE each snapshot (`_batch` marker,
+  * swapped atomically with the data), so the crash-replay of an
+  * already-folded batch is a detected no-op rather than a double
+  * application (the K4 effectively-once contract); the snapshot swap is
   * crash-safe: the new snapshot is fully written to a side path and
   * then swapped in with two renames (store→old, new→store), so at
   * every instant either `store` or `store.old` holds a COMPLETE
@@ -56,8 +58,34 @@ object RetractableView {
     val cur = new org.apache.hadoop.fs.Path(store)
     val old = new org.apache.hadoop.fs.Path(store + ".old")
     val f = fs(s, cur)
-    if (!f.exists(cur) && f.exists(old)) f.rename(old, cur)
+    if (!f.exists(cur) && f.exists(old) && !f.rename(old, cur))
+      // a failed heal rename must PROPAGATE, not fall through to
+      // "no snapshot" — returning false here would let sink silently
+      // reinitialize the view to empty, the exact zeroing failure
+      // mode the two-rename swap exists to eliminate
+      throw new java.io.IOException(s"heal rename $old -> $cur failed")
     f.exists(cur)
+  }
+
+  /** The snapshot's replay marker: `_batch` INSIDE the snapshot
+    * directory (underscore-prefixed, so parquet reads ignore it),
+    * holding the last applied batchId. Written into the FRESH snapshot
+    * before the swap, so the marker travels atomically with the data:
+    * after a crash the surviving snapshot always carries the id of the
+    * last batch folded into it. Absent (a pre-marker store, or a
+    * never-written view) reads as -1 = "apply anything". */
+  private def markerPath(store: String) =
+    new org.apache.hadoop.fs.Path(store, "_batch")
+
+  def lastApplied(s: org.apache.spark.sql.SparkSession, store: String): Long = {
+    val p = markerPath(store)
+    val f = fs(s, p)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
   }
 
   /** foreachBatch sink: read the stored snapshot, fold the micro-batch,
@@ -71,6 +99,12 @@ object RetractableView {
   def sink(store: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val exists = resolve(s, store)
+    // replay guard: foreachBatch redelivers the last batch when a crash
+    // lands between the snapshot swap and the streaming checkpoint
+    // commit; re-folding an already-applied signed batch double-counts
+    // it. The marker rode the swap, so "applied" is exactly "visible in
+    // the surviving snapshot" — an already-applied id is a no-op.
+    if (exists && batchId <= lastApplied(s, store)) return
     val snapshot =
       if (exists) s.read.parquet(store)
       else partials(batch.limit(0), key)
@@ -81,6 +115,8 @@ object RetractableView {
     fold(snapshot, batch, key)
       .localCheckpoint(eager = true)
       .write.mode("overwrite").parquet(fresh.toString)
+    val out = f.create(new org.apache.hadoop.fs.Path(fresh, "_batch"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     f.delete(old, true)
     if (f.exists(cur) && !f.rename(cur, old))
       throw new java.io.IOException(s"rename $cur -> $old failed")

@@ -52,4 +52,48 @@ object ScalableRank {
       .withColumn(outCol, (row_number().over(wLocal) + col("__off")).cast("long"))
       .drop("__bucket", "__mn", "__mx", "__off")
   }
+
+  /** Append `outCol` = 1-based PER-GROUP row number by `orderCol` asc
+    * within each `groupCols` group — the bounded form of
+    * `row_number().over(Window.partitionBy(groupCols).orderBy(orderCol))`.
+    *
+    * The plain grouped window puts an ENTIRE group in one task; when
+    * group sizes follow the data (e.g. (lang, length-bucket) blocks of
+    * a web corpus), one hot group is a straggler that sorts a large
+    * corpus fraction alone. This form sub-splits every group into
+    * `nBuckets` monotone order-key ranges exactly as [[globalRowNumber]]
+    * does globally — per-group (min,max) from one aggregate, integer
+    * interpolation, per-(group,bucket) counts, a triangular offset join
+    * over the (groups × B)-row counts table — so the max window
+    * partition is ~|hottest group|/B and shrinks with B, while the rank
+    * values are IDENTICAL to the plain window (bucketing is monotone in
+    * the order key; spec: WindowScaleSafetySpec). Pass a UNIQUE order
+    * key (compose one if needed) — ties would rank nondeterministically
+    * in both forms. */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                       outCol: String = "row_num", nBuckets: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    val stats = df.groupBy(g: _*)
+      .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
+    val bucketed = df.join(stats, groupCols)
+      .withColumn("__bucket",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(expr(
+            s"""((CAST($orderCol AS BIGINT) - CAST(__mn AS BIGINT)) * $nBuckets)
+                div (CAST(__mx AS BIGINT) - CAST(__mn AS BIGINT) + 1)""")))
+    val counts = bucketed.groupBy((g :+ col("__bucket")): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"),
+        groupCols.map(c => col("a." + c) === col("b." + c)).reduce(_ && _)
+          && col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy((groupCols.map(c => col("a." + c)) :+ col("a.__bucket")): _*)
+      .agg(coalesce(sum(col("b.__bn")), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy((groupCols :+ "__bucket").map(col): _*)
+      .orderBy(orderCol)
+    bucketed
+      .join(offsets, groupCols :+ "__bucket")
+      .withColumn(outCol, (row_number().over(wLocal) + col("__off")).cast("long"))
+      .drop("__bucket", "__mn", "__mx", "__off")
+  }
 }

@@ -51,10 +51,22 @@ class BenchResolutionSpec extends AnyFunSuite {
     assert(r.min === 2.0 && !r.warmMin && !r.stall)
   }
 
-  test("warm-backed min engages only when warm beats every timed sample") {
+  test("warm slightly faster than the timed min keeps the TIMED min (no margin)") {
+    // a warmup can legitimately edge out timed passes (page-cache state,
+    // no full-surface interleave) — without the /1.5 margin this row
+    // would systematically report a non-timed measurement as its min
     val r = Bench.resolve(Seq(2.4, 2.5), warm = 2.0)
-    assert(r.min === 2.0 && r.warmMin && !r.stall,
-      "min falls back to warm; 2.4/2.0 is honest noise, no stall")
+    assert(r.min === 2.4 && !r.warmMin && !r.stall,
+      "2.0 vs 2.4 is ordinary warm-faster noise; the timed min stands")
+  }
+
+  test("warm-backed min engages only past the 1.5x divergence margin") {
+    val r = Bench.resolve(Seq(2.4, 2.5), warm = 1.0)
+    assert(r.min === 1.0 && r.warmMin && !r.stall,
+      "1.0 < 2.4/1.5: every timed sample diverges from warm, fallback engages")
+    // exactly at the margin boundary: timedMin/1.5 is exclusive
+    val edge = Bench.resolve(Seq(3.0), warm = 2.0)
+    assert(edge.min === 3.0 && !edge.warmMin)
   }
 
   test("NaN warm (warmup errored) never backs the min") {

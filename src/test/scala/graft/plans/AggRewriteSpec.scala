@@ -48,6 +48,12 @@ class AggRewriteSpec extends SparkSpecBase {
     val factScans = routed.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
     assert(factScans.isEmpty,
       s"routed plan still scans files: ${factScans.map(_.nodeName).mkString(",")}")
+    // negative control (non-vacuity): the UN-routed plan shows its fact
+    // scan to the same matcher on the same layer — isEmpty above can
+    // only mean the rewrite genuinely removed it
+    assert(direct.queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }.nonEmpty,
+      "matcher must see the fact scan on the un-routed plan")
 
     val got = routed.orderBy("l_returnflag").collect().map(_.toString)
     val want = direct.orderBy("l_returnflag").collect().map(_.toString)

@@ -51,7 +51,11 @@ class RewriteCascadeSpec extends SparkSpecBase {
       }
       assert(rels.isEmpty,
         s"cascade must leave only the checkpointed summary; base relations survive: $rels")
-      val scans = star.queryExecution.executedPlan.collect {
+      // physical layer on sparkPlan, NOT executedPlan: AQE's
+      // AdaptiveSparkPlanExec is a leaf to collect(), which made the
+      // pre-r11 form of this assertion pass even while the cascade
+      // never fired (the r11 verdict's #1 lesson)
+      val scans = star.queryExecution.sparkPlan.collect {
         case f: FileSourceScanExec => f
       }
       assert(scans.isEmpty,
@@ -78,5 +82,30 @@ class RewriteCascadeSpec extends SparkSpecBase {
       spark.experimental.extraOptimizations = prevExtra
       AggRewrite.clearRegistry(); JoinElim.clearRegistry(); DistinctElim.clearRegistry()
     }
+  }
+
+  test("negative control: with the rules uninstalled, the same pins FAIL on the same layers") {
+    // proves the assertions above are non-vacuous: the collected node
+    // sets are NON-empty on the exact same query shape when the rewrite
+    // is off — i.e. the matchers genuinely see base relations and file
+    // scans at the layers the positive test inspects (the r11 cascade
+    // bug survived a full round precisely because this control was
+    // missing)
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    AggRewrite.clearRegistry(); JoinElim.clearRegistry(); DistinctElim.clearRegistry()
+    val star = li.join(p, li("l_partkey") === p("p_partkey"), "left")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+    val rels = star.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(rels.size == 2,
+      s"un-rewritten star must show BOTH base relations to this matcher, got ${rels.size}")
+    val scans = star.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 2,
+      s"un-rewritten star must show both file scans on sparkPlan, got ${scans.size}")
   }
 }

@@ -84,6 +84,38 @@ class WindowScaleSafetySpec extends SparkSpecBase {
     assert(gotRepart === want)
   }
 
+  test("ScalableRank.groupedRowNumber equals the grouped-window reference; partitions by (group, bucket)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 200").as("blk"),
+        (col("n_chars") * 1000000L + col("doc_id")).as("ok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "blk").orderBy("ok")
+    val want = docs.select(col("doc_id"),
+        row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ranked = graft.util.ScalableRank.groupedRowNumber(
+      docs, Seq("lang", "blk"), "ok", "rn")
+    val got = ranked.select("doc_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // the scale property itself: every window in the plan partitions by
+    // MORE than the group key (group + bucket), so no whole group ever
+    // sorts in one task
+    ranked.queryExecution.optimizedPlan.collect { case w: Window => w }
+      .foreach(w => assert(w.partitionSpec.size >= 3,
+        s"grouped rank must window on (group..., bucket), got ${w.partitionSpec}"))
+    assert(unpartitionedWindows(ranked).isEmpty)
+  }
+
+  test("x168 linkage rank windows only on (lang, blk, bucket) — hot blocks sub-split") {
+    val df = TrainingData.queries("x168_linkage_score")(spark, sfDir)
+    assert(unpartitionedWindows(df).isEmpty)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.nonEmpty, "expected the grouped rank window in the x168 plan")
+    windows.foreach(w => assert(w.partitionSpec.size >= 3,
+      s"x168's rank must sub-split blocks (lang, blk, bucket), got ${w.partitionSpec}"))
+  }
+
   test("winnowing hashes shingles outside the window frame") {
     // the window aggregate's child must be a bound reference, not md5(...)
     // — WindowExec re-evaluates the child once per overlapping frame

@@ -65,6 +65,18 @@ class WarehouseOpsSpec extends SparkSpecBase {
         scans.map(s => s.tableIdentifier.toString + " pf=" + s.partitionFilters.mkString(";"))
           .mkString(" | "))
     assert(df.collect().nonEmpty)
+    // negative control (non-vacuity): with the rule disabled, the SAME
+    // matcher on the SAME query finds nothing — the positive assertion
+    // above can only pass because DPP genuinely fired
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try {
+      val off = run("x138_dpp").queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+        .filter(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning")))
+      assert(off.isEmpty, "matcher must find no DPP filter when the rule is off")
+    } finally
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
   }
 
   test("x140: the joined fact values survive the bloom prune; the filter is in the plan") {

@@ -64,6 +64,26 @@ class RetractableViewSpec extends SparkSpecBase {
     assert(view === Set(("a", 2L, 15.0)))
   }
 
+  test("replaying an already-applied batchId is a no-op, not a double fold") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rv_replay_").toString
+    val store = base + "/view"
+    RetractableView.sink(store, "key")(Seq(Chg("a", 10.0, 1)).toDF(), 0L)
+    RetractableView.sink(store, "key")(Seq(Chg("a", 5.0, 1)).toDF(), 1L)
+    assert(RetractableView.lastApplied(spark, store) === 1L)
+    // the foreachBatch crash-replay: the SAME batch redelivered with the
+    // SAME id after the snapshot swap committed but before the streaming
+    // checkpoint did — must not double-apply
+    RetractableView.sink(store, "key")(Seq(Chg("a", 5.0, 1)).toDF(), 1L)
+    val view = spark.read.parquet(store)
+      .select(col("key"), col("n"), col("total").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(view === Set(("a", 2L, 15.0)),
+      "replayed batch must be detected by the snapshot's _batch marker")
+    // a NEW batch after the replayed one still applies
+    RetractableView.sink(store, "key")(Seq(Chg("b", 1.0, 1)).toDF(), 2L)
+    assert(spark.read.parquet(store).count() === 2)
+  }
+
   test("a corrupt snapshot rethrows instead of silently zeroing the view") {
     val base = java.nio.file.Files.createTempDirectory("graft_rv_bad_").toString
     val store = base + "/view"
