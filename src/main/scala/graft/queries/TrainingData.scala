@@ -1856,6 +1856,43 @@ object TrainingData {
         .orderBy("bin_id")
     }),
 
+    // X210: sequence-packing split-leakage audit — x27 packs documents
+    // into fixed-token training bins and x42 audits near-dup leakage
+    // across splits, but packing opens a THIRD leakage channel neither
+    // catches: a bin holding both train and eval documents puts eval
+    // text inside a training sequence (full attention within the
+    // packed window), leaking a benchmark with ZERO near-duplicates
+    // involved. The audit joins the packed bin assignment with the
+    // split assignment and classifies every bin — pure_<split> or
+    // mixed — reporting the eval-doc count sitting inside mixed bins,
+    // the number a curation stack drives to zero by packing per-split
+    // (the fix this read motivates). Scale: one doc-keyed join on top
+    // of x27's two-phase packing; the output is the 4-row bin-kind
+    // rollup.
+    "x182_pack_leakage" -> ((s, d) => {
+      val packed = seqPack(s, d, budget = 512).select("doc_id", "bin_id")
+      val assign = Tables.documents(s, d)
+        .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+      packed.join(assign, Seq("doc_id"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("ns"))
+        .select(col("nd"), col("nt"), col("nv"), col("ns"),
+          when((when(col("nt") > 0, 1).otherwise(0)
+              + when(col("nv") > 0, 1).otherwise(0)
+              + when(col("ns") > 0, 1).otherwise(0)) > 1, "mixed")
+            .when(col("nt") > 0, "pure_train")
+            .when(col("nv") > 0, "pure_val")
+            .otherwise("pure_test").as("bin_kind"))
+        .groupBy("bin_kind")
+        .agg(count(lit(1)).as("n_bins"), sum("nd").as("n_docs"),
+          sum(when(col("bin_kind") === "mixed", col("nv") + col("ns"))
+            .otherwise(0L)).as("n_eval_docs_at_risk"))
+        .orderBy("bin_kind")
+    }),
+
     // Benchmark decontamination — flag training documents sharing any
     // 5-gram with the benchmark set (stand-in: every 20th document).
     // Candidate generation is a semi-join on the shingle — one shuffle
@@ -4597,6 +4634,42 @@ object TrainingData {
          SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
                 CAST(start_offset // 512 AS BIGINT) AS bin_id
          FROM s ORDER BY doc_id""",
+    // x27's packing CTE + x42's split assignment; the bin-kind rollup
+    // must classify every bin identically
+    "x182_pack_leakage" ->
+      """WITH b AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS sk
+                FROM documents),
+          s AS (SELECT doc_id,
+                  SUM(n_tokens) OVER (ORDER BY sk ROWS UNBOUNDED PRECEDING) - n_tokens AS so
+                FROM b),
+          p AS (SELECT doc_id, CAST(so // 512 AS BIGINT) AS bin_id FROM s),
+          assign AS (SELECT doc_id,
+                  CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205 THEN 'train'
+                       WHEN (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM documents),
+          k AS (SELECT bin_id, count(*) AS nd,
+                  SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS nt,
+                  SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nv,
+                  SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS ns
+                FROM p JOIN assign USING (doc_id) GROUP BY bin_id),
+          c AS (SELECT nd, nv, ns,
+                  CASE WHEN (CASE WHEN nt > 0 THEN 1 ELSE 0 END
+                           + CASE WHEN nv > 0 THEN 1 ELSE 0 END
+                           + CASE WHEN ns > 0 THEN 1 ELSE 0 END) > 1 THEN 'mixed'
+                       WHEN nt > 0 THEN 'pure_train'
+                       WHEN nv > 0 THEN 'pure_val'
+                       ELSE 'pure_test' END AS bin_kind
+                FROM k)
+         SELECT bin_kind, CAST(count(*) AS BIGINT) AS n_bins,
+                CAST(SUM(nd) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN bin_kind = 'mixed' THEN nv + ns ELSE 0 END) AS BIGINT)
+                  AS n_eval_docs_at_risk
+         FROM c GROUP BY bin_kind ORDER BY bin_kind""",
     "x45_doc_novelty" ->
       s"""WITH $tokCte,
           xg AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i

@@ -1223,6 +1223,110 @@ object Warehouse {
         .orderBy("o_orderstatus")
     }),
 
+    // X207: order-preserving dictionary encoding — the warehouse layout
+    // face every columnar engine leans on: a low/mid-cardinality column
+    // maps to a DENSE integer domain ordered by value, so range
+    // predicates on the encoded ints are exactly range predicates on
+    // the values (the property that lets zone maps (X140) and sort
+    // orders survive encoding) and the fact carries 4-byte ids instead
+    // of repeated values. Built scale-first: the dictionary derives
+    // from the DISTINCT-value table (one map-combined aggregate —
+    // values-sized, not fact-sized), ids assigned by
+    // ScalableRank.globalRowNumber (two-phase bucketed rank, never an
+    // AllTuples window), and the fact encodes through ONE broadcast
+    // join of the values-sized dictionary. The audit rolls the encoded
+    // fact up per id-century: contiguous id ranges + non-overlapping
+    // ascending date ranges per bucket, hashed against dense_rank
+    // truth — proving density AND order preservation exactly.
+    "x183_dict_encode" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val values = o.select(col("o_orderdate").cast("date").as("v")).distinct()
+        .withColumn("dk", datediff(col("v"), to_date(lit("1990-01-01"))))
+      val dict = graft.util.ScalableRank.globalRowNumber(values, "dk", "id")
+        .select(col("v"), col("id"))
+      o.select(col("o_orderdate").cast("date").as("v"))
+        .join(broadcast(dict), Seq("v"))
+        .withColumn("bucket", expr("(id - 1) div 100"))
+        .groupBy("bucket")
+        .agg(countDistinct(col("v")).as("n_values"),
+          min("id").as("id_min"), max("id").as("id_max"),
+          date_format(min(col("v")), "yyyy-MM-dd").as("date_min"),
+          date_format(max(col("v")), "yyyy-MM-dd").as("date_max"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("bucket")
+    }),
+
+    // X208: append-only dictionary maintenance — X207's dictionary is
+    // only usable at scale if it is STABLE: re-ranking after new values
+    // arrive would renumber old ids and force a full re-encode of
+    // every fact file referencing them. The maintenance contract is
+    // append-only assignment: values known at epoch 0 keep their
+    // order-preserving ids 1..K forever; values first seen later get
+    // K+1..K+m (ordered among themselves), trading GLOBAL order for
+    // id stability — the same trade every real dictionary-encoded
+    // format makes. Both epochs assign through the two-phase rank;
+    // K crosses as a 1-row broadcast. The audit reports each epoch's
+    // id interval and coverage: epoch-0 ids occupy exactly [1, K] and
+    // epoch-1 exactly [K+1, K+m] — stability observable in the hash.
+    "x184_dict_evolve" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cutoff = to_date(lit("1997-06-01"))
+      val vals = o.select(col("o_orderdate").cast("date").as("v")).distinct()
+        .withColumn("dk", datediff(col("v"), to_date(lit("1990-01-01"))))
+      val oldDict = graft.util.ScalableRank.globalRowNumber(
+        vals.filter(col("v") < cutoff), "dk", "id")
+      val kRow = oldDict.agg(max("id").as("k0"))
+      val newDict = graft.util.ScalableRank.globalRowNumber(
+          vals.filter(col("v") >= cutoff), "dk", "nid")
+        .crossJoin(broadcast(kRow))
+        .select(col("v"), (col("nid") + col("k0")).as("id"))
+      val dict = oldDict.select(col("v"), col("id"), lit(0).as("epoch"))
+        .unionByName(newDict.select(col("v"), col("id"), lit(1).as("epoch")))
+      o.select(col("o_orderdate").cast("date").as("v"))
+        .join(broadcast(dict), Seq("v"))
+        .groupBy("epoch")
+        .agg(countDistinct(col("v")).as("n_values"),
+          min("id").as("id_min"), max("id").as("id_max"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("epoch")
+    }),
+
+    // X209: MERGE source-cardinality audit — the pre-flight check
+    // behind x171's stated precondition: a relational MERGE is only
+    // well-defined when AT MOST ONE source row matches each target
+    // key (lake engines raise at runtime otherwise, after shuffling
+    // the whole join). This audit finds and CLASSIFIES the offenders
+    // first — per violating key the fan-out and the action mix
+    // (update+update = last-writer ambiguity; update+delete = outcome
+    // depends on clause order) — on a change feed with deliberate
+    // collisions (the x171 update class, a second update on its mod-7
+    // subset, a delete on its mod-11 subset). One map-combined
+    // aggregate over the SOURCE only (the target is never touched —
+    // the audit is source-sized, cheap to run before every merge);
+    // output is the (fan_out × mix) rollup, bounded metadata.
+    "x185_merge_cardinality" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      val src = o.filter(pmod(k, lit(5L)) === 1)
+          .select(k.as("k"), lit("U").as("op"))
+        .unionByName(o.filter(pmod(k, lit(5L)) === 1 && pmod(k, lit(7L)) === 0)
+          .select(k.as("k"), lit("U").as("op")))
+        .unionByName(o.filter(pmod(k, lit(5L)) === 1 && pmod(k, lit(11L)) === 0)
+          .select(k.as("k"), lit("D").as("op")))
+      src.groupBy("k")
+        .agg(count(lit(1)).as("fan_out"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_upd"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_del"))
+        .withColumn("mix",
+          when(col("n_del") > 0 && col("n_upd") > 0, "update+delete")
+            .when(col("n_upd") > 1, "update+update")
+            .when(col("fan_out") === 1, "clean")
+            .otherwise("other"))
+        .groupBy("fan_out", "mix")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("fan_out", "mix")
+    }),
+
     // X175: checksum drill-down (bucket-localized row diff) — the
     // second half of the q_table_checksum protocol: once the bucketed
     // digests localize a divergence, the ROW-level diff runs only
@@ -2085,6 +2189,65 @@ object Warehouse {
                 CAST(COUNT(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // dense_rank over the distinct values IS the order-preserving
+    // dictionary; the rollup must match the two-phase rank exactly
+    "x183_dict_encode" ->
+      """WITH dv AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS v FROM orders),
+              dict AS (SELECT v, row_number() OVER (ORDER BY v) AS id FROM dv),
+              e AS (SELECT CAST(o_orderdate AS DATE) AS v FROM orders)
+         SELECT (id - 1) // 100 AS bucket,
+                CAST(count(DISTINCT e.v) AS BIGINT) AS n_values,
+                CAST(min(id) AS BIGINT) AS id_min,
+                CAST(max(id) AS BIGINT) AS id_max,
+                strftime(min(e.v), '%Y-%m-%d') AS date_min,
+                strftime(max(e.v), '%Y-%m-%d') AS date_max,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM e JOIN dict USING (v)
+         GROUP BY 1 ORDER BY bucket""",
+
+    // the append-only two-epoch assignment restated declaratively:
+    // epoch-0 ids are the pre-cutoff rank, epoch-1 ids offset past K
+    "x184_dict_evolve" ->
+      """WITH dv AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS v FROM orders),
+              oldd AS (SELECT v, row_number() OVER (ORDER BY v) AS id, 0 AS epoch
+                       FROM dv WHERE v < DATE '1997-06-01'),
+              k AS (SELECT count(*) AS k0 FROM oldd),
+              newd AS (SELECT v, row_number() OVER (ORDER BY v) + k0 AS id, 1 AS epoch
+                       FROM dv, k WHERE v >= DATE '1997-06-01'),
+              dict AS (SELECT * FROM oldd UNION ALL SELECT * FROM newd),
+              e AS (SELECT CAST(o_orderdate AS DATE) AS v FROM orders)
+         SELECT epoch,
+                CAST(count(DISTINCT e.v) AS BIGINT) AS n_values,
+                CAST(min(id) AS BIGINT) AS id_min,
+                CAST(max(id) AS BIGINT) AS id_max,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM e JOIN dict USING (v)
+         GROUP BY epoch ORDER BY epoch""",
+
+    // the same fan-out classification over the same colliding feed
+    "x185_merge_cardinality" ->
+      """WITH src AS (
+           SELECT o_orderkey AS k, 'U' AS op FROM orders WHERE o_orderkey % 5 = 1
+           UNION ALL
+           SELECT o_orderkey, 'U' FROM orders
+           WHERE o_orderkey % 5 = 1 AND o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, 'D' FROM orders
+           WHERE o_orderkey % 5 = 1 AND o_orderkey % 11 = 0),
+              g AS (SELECT k, count(*) AS fan_out,
+                           SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_upd,
+                           SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_del
+                    FROM src GROUP BY k),
+              c AS (SELECT fan_out,
+                           CASE WHEN n_del > 0 AND n_upd > 0 THEN 'update+delete'
+                                WHEN n_upd > 1 THEN 'update+update'
+                                WHEN fan_out = 1 THEN 'clean'
+                                ELSE 'other' END AS mix
+                    FROM g)
+         SELECT CAST(fan_out AS BIGINT) AS fan_out, mix,
+                CAST(count(*) AS BIGINT) AS n_keys
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the naive whole-table diff grouped by bucket: the engine's
     // checksum-gated phase-2 must find exactly these buckets and counts
