@@ -940,6 +940,43 @@ object Relational {
         .orderBy("events_per_session")
     }),
 
+    // X211: session-gap sensitivity curve — x98 sessionizes at ONE
+    // stated gap (30 min); this is the read that JUSTIFIES the number:
+    // for each candidate gap g, the session count and mean session
+    // size that rule would produce, all from one pass over the
+    // inter-event gap distribution (n_sessions(g) = first-events +
+    // |gaps > g| — a session boundary IS a gap exceeding g, so no
+    // re-sessionization per candidate). The t3/X25 state-sizing
+    // companion: TTL and gap parameters get picked off this curve, not
+    // guessed. Scale: ONE user-keyed lag window (the x98 exchange),
+    // then a bounded 5× explode of the gap rows feeding one
+    // map-combined aggregate; output is the 5-row curve. Mean session
+    // size in exact ppm (integer division — hash-stable).
+    "x186_session_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .select(
+          // events ts is TIMESTAMP_NTZ; cast to TIMESTAMP under the
+          // session's UTC zone so unix_micros applies (pure differences
+          // are zone-invariant anyway)
+          (unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(col("prev_ts").cast("timestamp"))).as("gap_us"))
+      gaps
+        .select(explode(array(lit(5L), lit(15L), lit(30L), lit(60L), lit(120L)))
+          .as("gap_min"), col("gap_us"))
+        .groupBy("gap_min")
+        .agg(
+          sum(when(col("gap_us").isNull
+              || col("gap_us") > col("gap_min") * lit(60000000L), 1L)
+            .otherwise(0L)).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .withColumn("events_per_session_ppm",
+          expr("n_events * 1000000 div n_sessions"))
+        .orderBy("gap_min")
+    }),
+
     // X115: event-type transition matrix — P(next type | type) from
     // per-user ordered event streams: lead() over the SAME user-keyed
     // window discipline as x90/x95 (ts, event_id total order), pair
@@ -3040,6 +3077,27 @@ object Relational {
                   FROM sid GROUP BY 1, 2)
          SELECT events_per_session, count(*) AS n_sessions
          FROM per GROUP BY 1 ORDER BY 1""",
+    // the same gap distribution × the same candidate grid; a session
+    // boundary IS a gap exceeding g
+    "x186_session_gaps" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                            date_trunc('microseconds', ts) AS ts FROM events),
+              g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+                    FROM ev),
+              x AS (SELECT CAST(gap_min AS BIGINT) AS gap_min, gap_us
+                    FROM g, (SELECT unnest([5, 15, 30, 60, 120]) AS gap_min))
+         SELECT gap_min,
+                CAST(SUM(CASE WHEN gap_us IS NULL
+                               OR gap_us > gap_min * 60000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_sessions,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(*) * 1000000 //
+                     SUM(CASE WHEN gap_us IS NULL
+                               OR gap_us > gap_min * 60000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS events_per_session_ppm
+         FROM x GROUP BY gap_min ORDER BY gap_min""",
+
     // pair counts + ppm row-normalization over the bounded matrix
     "x99_transition_matrix" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,

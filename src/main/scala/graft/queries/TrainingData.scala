@@ -2987,15 +2987,20 @@ object TrainingData {
       // n_chars·(max_doc+1)+doc_id encodes the (n_chars, doc_id) order
       // as one unique integer (doc_id ≤ max_doc by construction).
       val mxd = docs.agg(max("doc_id").as("__mxd"))
-      val feat = docs.select(col("doc_id"), col("lang"), col("source"),
+      // rank a SLIM projection (the grouped rank evaluates its input in
+      // the stats pass AND the ranked pass — simhash's per-doc md5 must
+      // not sit in that lineage), then join the signature ONCE and
+      // cache: the a/b self-join below reads the ranked+signed frame
+      // twice within the one action
+      val slim = docs.select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"))
-        .join(Dedup.simhashMd5(docs), Seq("doc_id"))
         .withColumn("blk", expr("n_chars div 200"))
       val ranked = graft.util.ScalableRank.groupedRowNumber(
-          feat.crossJoin(broadcast(mxd))
+          slim.crossJoin(broadcast(mxd))
             .withColumn("__ok", col("n_chars") * (col("__mxd") + 1) + col("doc_id")),
           Seq("lang", "blk"), "__ok", "rn")
         .drop("__ok", "__mxd")
+        .join(Dedup.simhashMd5(docs), Seq("doc_id"))
       val a = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_a"))
       val b = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_b"))
       a.select(col("*"), explode(array(lit(1), lit(2), lit(3))).as("off"))

@@ -953,6 +953,47 @@ object Warehouse {
       served.orderBy("o_orderpriority")
     }),
 
+    // X212: join-size estimation audit (the CBO formula tested against
+    // truth) — x176 builds the histogram; this row audits what the
+    // optimizer DOES with it: the System-R equi-join estimate
+    // |A⋈B| ≈ n_A·n_B / max(ndv_A, ndv_B), applied per month bucket of
+    // an M:N date join (o_orderdate = l_shipdate), against the exact
+    // join size. The exact size NEVER materializes the join: per-date
+    // count tables (two map-combined aggregates, dates-sized) give
+    // exact = Σ_d n_o(d)·n_l(d) — the trick that makes join-size truth
+    // affordable at 100 TB (the fact is scanned twice for counts, the
+    // ~n_o·n_l-row join never happens). err_ppm per bucket quantifies
+    // what the within-bucket uniformity assumption is worth on THIS
+    // data — the read that decides whether the optimizer needs x176's
+    // finer buckets. Per-date products stay in longs to ~3·10⁹ rows
+    // per side per date (the x58 bound discipline — shard beyond).
+    "x187_joinsize_est" -> ((s, d) => {
+      val od = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("dt"))
+        .agg(count(lit(1)).as("n_o"))
+      val ld = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("dt"))
+        .agg(count(lit(1)).as("n_l"))
+      od.join(ld, Seq("dt"), "full_outer")
+        .select(date_format(col("dt"), "yyyy-MM").as("month"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"),
+          coalesce(col("n_l"), lit(0L)).as("n_l"))
+        .groupBy("month")
+        .agg(sum(expr("n_o * n_l")).as("exact_rows"),
+          sum("n_o").as("no_tot"), sum("n_l").as("nl_tot"),
+          sum(when(col("n_o") > 0, 1L).otherwise(0L)).as("ndv_o"),
+          sum(when(col("n_l") > 0, 1L).otherwise(0L)).as("ndv_l"))
+        .withColumn("est_rows",
+          expr("no_tot * nl_tot div greatest(ndv_o, ndv_l)"))
+        .withColumn("err_ppm", expr(
+          """CASE WHEN exact_rows = 0
+                  THEN CASE WHEN est_rows = 0 THEN 0L ELSE 1000000L END
+                  ELSE abs(est_rows - exact_rows) * 1000000 div exact_rows
+             END"""))
+        .select("month", "exact_rows", "est_rows", "err_ppm")
+        .orderBy("month")
+    }),
+
     // X201: equi-depth histogram build (the CBO selectivity input) —
     // X104's equi-width histogram misestimates skewed columns by
     // construction; real optimizers keep EQUI-DEPTH bounds (~n/B rows
@@ -2070,6 +2111,33 @@ object Warehouse {
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the System-R estimate and the per-date-product exact size,
+    // restated declaratively
+    "x187_joinsize_est" ->
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS dt, count(*) AS n_o
+                     FROM orders GROUP BY 1),
+              ld AS (SELECT CAST(l_shipdate AS DATE) AS dt, count(*) AS n_l
+                     FROM lineitem GROUP BY 1),
+              j AS (SELECT COALESCE(od.dt, ld.dt) AS dt,
+                           COALESCE(n_o, 0) AS n_o, COALESCE(n_l, 0) AS n_l
+                    FROM od FULL OUTER JOIN ld ON od.dt = ld.dt),
+              m AS (SELECT strftime(dt, '%Y-%m') AS month,
+                           SUM(n_o * n_l) AS exact_rows,
+                           SUM(n_o) AS no_tot, SUM(n_l) AS nl_tot,
+                           SUM(CASE WHEN n_o > 0 THEN 1 ELSE 0 END) AS ndv_o,
+                           SUM(CASE WHEN n_l > 0 THEN 1 ELSE 0 END) AS ndv_l
+                    FROM j GROUP BY 1),
+              e AS (SELECT month, exact_rows,
+                           no_tot * nl_tot // greatest(ndv_o, ndv_l) AS est_rows
+                    FROM m)
+         SELECT month, CAST(exact_rows AS BIGINT) AS exact_rows,
+                CAST(est_rows AS BIGINT) AS est_rows,
+                CAST(CASE WHEN exact_rows = 0
+                          THEN CASE WHEN est_rows = 0 THEN 0 ELSE 1000000 END
+                          ELSE abs(est_rows - exact_rows) * 1000000 // exact_rows
+                     END AS BIGINT) AS err_ppm
+         FROM e ORDER BY month""",
 
     // quantile_cont octiles (GroupedQuantiles ≡ quantile_cont is the
     // a17-proven contract), same strictly-greater bucket rule

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class R12TrancheSpec extends SparkSpecBase {
 
   private def run(name: String) =
-    Warehouse.queries.getOrElse(name, TrainingData.queries(name))(spark, sfDir)
+    graft.SparkEntry.queries(name)(spark, sfDir)
 
   test("x183: dictionary ids are dense 1..K and order-preserving; every order encodes") {
     val rows = run("x183_dict_encode").collect()
@@ -63,6 +63,31 @@ class R12TrancheSpec extends SparkSpecBase {
     assert(rows.getOrElse((2L, "update+delete"), 0L) == n11 - n77)
     assert(rows.getOrElse((3L, "update+delete"), 0L) == n77)
     assert(rows.values.sum == nAll, "every source key classified exactly once")
+  }
+
+  test("x186: session count is monotone nonincreasing in the gap; event totals constant") {
+    val rows = run("x186_session_gaps").collect() // gap-ordered
+    val nEvents = Tables.events(spark, sfDir).count()
+    rows.foreach(r => assert(r.getLong(2) == nEvents,
+      "every candidate gap classifies ALL events"))
+    val sess = rows.map(_.getLong(1))
+    sess.zip(sess.tail).foreach { case (a, b) =>
+      assert(b <= a, "a larger gap can only merge sessions, never split them") }
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= nEvents))
+  }
+
+  test("x187: the per-date-product exact size equals a REAL join count") {
+    val rows = run("x187_joinsize_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val month = rows.keys.toSeq.sorted.apply(rows.size / 2)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate").cast("date").as("dt"))
+      .filter(date_format(col("dt"), "yyyy-MM") === month)
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_shipdate").cast("date").as("dt"))
+      .filter(date_format(col("dt"), "yyyy-MM") === month)
+    assert(o.join(l, Seq("dt")).count() == rows(month),
+      s"per-date-product trick must equal the materialized join for $month")
   }
 
   test("x182: bin kinds cover every doc; mixed bins really mix splits") {
