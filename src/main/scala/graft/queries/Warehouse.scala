@@ -994,6 +994,44 @@ object Warehouse {
         .orderBy("month")
     }),
 
+    // X213: approximate-query-processing sample audit (the BlinkDB /
+    // TABLESAMPLE face) — dashboards preview 100 TB through a stored
+    // uniform sample; the operational question is what error a given
+    // rate actually buys PER GROUP (small groups blow up first — the
+    // error is per-group, not global, which is why naive "1% is fine"
+    // sizing fails on sliced dashboards). The sample is the md5-bucket
+    // deterministic 4/256 cut (the x22/x39 draw — reproducible on any
+    // engine, no RNG state), estimates scale by 64, and the audit
+    // reports exact vs estimate with signed error in ppm of the exact,
+    // all in integer cents. At 100 TB the sample is a MATERIALIZED
+    // table (~1.6 TB) refreshed incrementally — the estimator and its
+    // audit read only it plus the exact side this row gates against.
+    "x188_aqp_sample" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+          graft.util.Sampling.hashBucket(col("o_orderkey")).as("bucket"))
+      o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_exact"),
+          sum("cents").as("cents_exact"),
+          sum(when(col("bucket") < 4, 1L).otherwise(0L)).as("n_sample"),
+          sum(when(col("bucket") < 4, col("cents")).otherwise(0L)).as("cents_sample"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (col("n_sample") * 64).as("n_est"),
+          // signed ppm via sign·(abs·10⁶ div exact): Spark's `div`
+          // truncates toward zero while DuckDB's `//` floors, so the
+          // division must only ever see non-negative operands
+          expr("""CAST(signum(n_sample * 64 - n_exact) AS BIGINT)
+                  * (abs(n_sample * 64 - n_exact) * 1000000 div n_exact)""")
+            .as("n_err_ppm"),
+          expr("CAST(cents_exact AS DOUBLE) / 100.0").as("total_exact"),
+          expr("CAST(cents_sample * 64 AS DOUBLE) / 100.0").as("total_est"),
+          expr("""CAST(signum(cents_sample * 64 - cents_exact) AS BIGINT)
+                  * (abs(cents_sample * 64 - cents_exact) * 1000000 div cents_exact)""")
+            .as("total_err_ppm"))
+        .orderBy("o_orderpriority")
+    }),
+
     // X201: equi-depth histogram build (the CBO selectivity input) —
     // X104's equi-width histogram misestimates skewed columns by
     // construction; real optimizers keep EQUI-DEPTH bounds (~n/B rows
@@ -2111,6 +2149,35 @@ object Warehouse {
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the same deterministic 4/256 md5-bucket cut (x42's assign
+    // expression) scaled by 64; signed ppm via sign·(abs // exact) so
+    // both engines divide non-negatives only
+    "x188_aqp_sample" ->
+      """WITH o AS (SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) AS bucket
+                FROM orders),
+              g AS (SELECT o_orderpriority,
+                           CAST(count(*) AS BIGINT) AS n_exact,
+                           SUM(cents) AS cents_exact,
+                           SUM(CASE WHEN bucket < 4 THEN 1 ELSE 0 END) AS n_sample,
+                           SUM(CASE WHEN bucket < 4 THEN cents ELSE 0 END) AS cents_sample
+                    FROM o GROUP BY 1)
+         SELECT o_orderpriority, n_exact,
+                CAST(n_sample * 64 AS BIGINT) AS n_est,
+                CAST(CASE WHEN n_sample * 64 >= n_exact
+                          THEN (n_sample * 64 - n_exact) * 1000000 // n_exact
+                          ELSE -((n_exact - n_sample * 64) * 1000000 // n_exact)
+                     END AS BIGINT) AS n_err_ppm,
+                CAST(cents_exact AS DOUBLE) / 100.0 AS total_exact,
+                CAST(cents_sample * 64 AS DOUBLE) / 100.0 AS total_est,
+                CAST(CASE WHEN cents_sample * 64 >= cents_exact
+                          THEN (cents_sample * 64 - cents_exact) * 1000000 // cents_exact
+                          ELSE -((cents_exact - cents_sample * 64) * 1000000 // cents_exact)
+                     END AS BIGINT) AS total_err_ppm
+         FROM g ORDER BY o_orderpriority""",
 
     // the System-R estimate and the per-date-product exact size,
     // restated declaratively

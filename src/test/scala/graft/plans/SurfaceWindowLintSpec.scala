@@ -47,6 +47,55 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     // the TopFrac exemption class
     "x176_equidepth_hist")
 
+  /** Columns whose cardinality is bounded by the DOMAIN, not the data:
+    * a Window partitioned ONLY by these puts a corpus-scale fraction in
+    * one task — the x168 hot-block straggler generalized (its fix:
+    * ScalableRank.groupedRowNumber sub-splits the group). */
+  private val lowCardinality = Set(
+    "lang", "source", "event_type", "o_orderstatus", "l_returnflag",
+    "l_linestatus", "c_mktsegment", "o_orderpriority", "l_shipmode",
+    "n_name", "r_name", "verdict", "split", "blk")
+
+  /** Audited exemptions: every window here is group-keyed but its INPUT
+    * is bounded by construction, so the per-group partition never holds
+    * a corpus fraction. */
+  private val hotKeyExempt: Set[String] = Set(
+    // GroupedQuantiles/GroupedMedian histogram refinement: the group-
+    // keyed windows run over the (group × coarse-bucket) COUNT table
+    // (≤ range/coarseDiv rows per group), never corpus rows
+    "a17_percentiles", "x115_mad_spread",
+    // daily-grain anomaly family: the fact collapses map-combined to
+    // the (type, day) grid in its only shuffle; the rolling-3σ / CUSUM
+    // windows run over that bounded grid (§6.1 row)
+    "x100_rolling_anomaly", "x105_cusum_shift",
+    // two-phase salted quota: the source-only window ranks the SALTED
+    // SURVIVORS (≤ salts·quota = 240 rows per source by construction —
+    // Sampling.domainQuota), not the corpus
+    "x37_domain_quota")
+
+  test("no surface query windows on ONLY low-cardinality keys (hot-key straggler lint)") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => exempt(q._1) || hotKeyExempt(q._1))
+      .flatMap { case (n, fn) =>
+        val bad =
+          try fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.nonEmpty && {
+                val names = w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+                names.nonEmpty && names.forall(lowCardinality)
+              } => w.partitionSpec.flatMap(_.references.toSeq).map(_.name).distinct
+          } catch {
+            case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}")
+          }
+        if (bad.nonEmpty) Some(s"$n[${bad.map(_.mkString("+")).mkString(";")}]") else None
+      }
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"Window partitioned only by domain-bounded keys (one task holds a corpus " +
+        s"fraction at 100 TB; sub-split via ScalableRank.groupedRowNumber or " +
+        s"exempt with justification): ${offenders.mkString(", ")}")
+  }
+
   test("no surface query plans an un-partitioned Window (TopFrac histogram exemptions aside)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => exempt(q._1))
