@@ -70,6 +70,56 @@ object Cdc {
         Tables.events(s, d).drop("props"), "1 day")
         .orderBy("win_start", "event_type")),
 
+    // X215 (T4 promoted end-to-end): the SAME tumblingCounts plan
+    // driven through the REAL streaming machinery — file-stream source
+    // (one file per micro-batch), event-time watermark, APPEND-mode
+    // window finalization into a parquet FileStreamSink, read back and
+    // hashed against t2's oracle. What this proves that t2's batch
+    // semantics cannot: windows cross micro-batch state, emit ONLY
+    // when the watermark passes their end (a sentinel event 4 days
+    // past max(ts) advances the watermark so every real window
+    // finalizes; its own window never can and is filtered
+    // defensively), and the sink's exactly-once file log serves the
+    // read-back. At 100 TB this is the nightly-backfill-equals-stream
+    // contract: one plan, two execution modes, one hash.
+    "x190_stream_tumbling" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stum_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile): Unit))
+      val in = scratch.toString + "/in"
+      val out = scratch.toString + "/out"
+      // streaming watermarks require TIMESTAMP (LTZ) — cast under the
+      // session's UTC zone (lossless both ways; the output converts
+      // back to NTZ so the written result matches the batch t2 oracle)
+      val ev = Tables.events(s, d).drop("props")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      // two data batches (cross-batch window state) + the watermark
+      // sentinel, written last so the file source (modtime order)
+      // delivers it last
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(in + "/b0")
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(in + "/b1")
+      ev.orderBy(desc("ts")).limit(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("__sentinel").as("event_type"),
+          (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
+          lit(0.0).as("value"))
+        .select(ev.columns.map(col): _*)
+        .coalesce(1).write.parquet(in + "/b2")
+      val q = graft.streaming.EventAggregates.tumblingCounts(
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 day")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.toString + "/ckpt")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .filter(col("event_type") =!= "__sentinel")
+        .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // T-extension: SLIDING windows (1-day window, 6-hour slide) — each
     // event lands in exactly 4 epoch-aligned windows; batch semantics
     // of the same plan the streaming path runs. The oracle expands the
@@ -117,6 +167,12 @@ object Cdc {
 
   def oracles: Map[String, String] = Map(
     "t2_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_type,
+                count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    // the STREAM-executed plan must converge to the identical batch
+    // answer (t2's oracle verbatim): one plan, two execution modes
+    "x190_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_type,
                 count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",

@@ -1032,6 +1032,47 @@ object Warehouse {
         .orderBy("o_orderpriority")
     }),
 
+    // X214: greedy materialized-view selection over the grouping
+    // lattice (Harinarayan/Rajaraman/Ullman, "Implementing Data Cubes
+    // Efficiently") — the DECISION procedure behind the x133 aggregate
+    // navigator: which k rollups to materialize so the navigator has
+    // something to route onto. The 2³ lattice over (returnflag,
+    // linestatus, ship-year) gets its per-grouping cardinalities from
+    // ONE cube pass (each grouping's combo count read off grouping()
+    // masks — the fact is scanned once); the greedy then picks 3 views
+    // maximizing total benefit Σ_w max(0, cost_S(w) − |v|) over the
+    // 8-NODE lattice — bounded optimizer metadata, the x80 1-row-argmax
+    // discipline (a real optimizer runs this driver-side off the stats
+    // catalog; the distributed part IS the cardinality profile).
+    // Deterministic tie-break: benefit desc, node asc. The oracle
+    // unrolls the same 3 greedy rounds in SQL, so selection AND benefit
+    // arithmetic hash-check end-to-end. At 100 TB: one cube pass at
+    // profile cadence; for wider laterals the cube pass swaps for
+    // per-grouping HLL sketches (a15/x143) with selection unchanged.
+    "x189_view_selection" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls"), year(col("l_shipdate")).as("yr"))
+      val lattice = li.cube(col("rf"), col("ls"), col("yr"))
+        .agg((lit(7) - grouping(col("rf")) * 1 - grouping(col("ls")) * 2
+          - grouping(col("yr")) * 4).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("card"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nF = li.count()
+      var selected = List.empty[Int]
+      def costOf(w: Int): Long =
+        (nF :: selected.filter(v => (w & v) == w).map(lattice)).min
+      val picks = (1 to 3).map { round =>
+        val (best, benefit) = (0 to 7).filterNot(selected.contains)
+          .map(v => v -> (0 to 7).filter(w => (w & v) == w)
+            .map(w => math.max(0L, costOf(w) - lattice(v))).sum)
+          .maxBy { case (v, b) => (b, -v) }
+        selected = best :: selected
+        (round, best, lattice(best), benefit)
+      }
+      import s.implicits._
+      picks.toDF("round", "node", "card", "benefit").orderBy("round")
+    }),
+
     // X201: equi-depth histogram build (the CBO selectivity input) —
     // X104's equi-width histogram misestimates skewed columns by
     // construction; real optimizers keep EQUI-DEPTH bounds (~n/B rows
@@ -2149,6 +2190,56 @@ object Warehouse {
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the same three greedy rounds UNROLLED: per-grouping cardinalities
+    // off one CUBE pass, benefit = Σ_w⊆v max(0, cost_S(w) − |v|),
+    // tie-break benefit desc then node asc — selection and arithmetic
+    // both under the hash
+    "x189_view_selection" ->
+      """WITH l AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                           YEAR(CAST(l_shipdate AS DATE)) AS yr FROM lineitem),
+              f AS (SELECT count(*) AS nf FROM l),
+              combos AS (SELECT 7 - (GROUPING(rf)*1 + GROUPING(ls)*2
+                                     + GROUPING(yr)*4) AS node
+                         FROM l GROUP BY CUBE (rf, ls, yr)),
+              lat AS (SELECT CAST(node AS INT) AS node,
+                             CAST(count(*) AS BIGINT) AS card
+                      FROM combos GROUP BY node),
+              pairs AS (SELECT a.node AS v, a.card AS vcard, b.node AS w
+                        FROM lat a JOIN lat b ON (b.node & a.node) = b.node),
+              b1 AS (SELECT v, vcard,
+                            SUM(CASE WHEN nf > vcard THEN nf - vcard ELSE 0 END) AS benefit
+                     FROM pairs, f GROUP BY v, vcard, nf),
+              p1 AS (SELECT v, vcard, benefit FROM b1
+                     ORDER BY benefit DESC, v ASC LIMIT 1),
+              c1 AS (SELECT lat.node AS w,
+                            least(nf, CASE WHEN (lat.node & p1.v) = lat.node
+                                           THEN p1.vcard ELSE nf END) AS c
+                     FROM lat, f, p1),
+              b2 AS (SELECT p.v, p.vcard,
+                            SUM(CASE WHEN c1.c > p.vcard THEN c1.c - p.vcard ELSE 0 END) AS benefit
+                     FROM pairs p JOIN c1 ON c1.w = p.w
+                     WHERE p.v <> (SELECT v FROM p1)
+                     GROUP BY p.v, p.vcard),
+              p2 AS (SELECT v, vcard, benefit FROM b2
+                     ORDER BY benefit DESC, v ASC LIMIT 1),
+              c2 AS (SELECT c1.w AS w,
+                            least(c1.c, CASE WHEN (c1.w & p2.v) = c1.w
+                                             THEN p2.vcard ELSE c1.c END) AS c
+                     FROM c1, p2),
+              b3 AS (SELECT p.v, p.vcard,
+                            SUM(CASE WHEN c2.c > p.vcard THEN c2.c - p.vcard ELSE 0 END) AS benefit
+                     FROM pairs p JOIN c2 ON c2.w = p.w
+                     WHERE p.v NOT IN (SELECT v FROM p1 UNION ALL SELECT v FROM p2)
+                     GROUP BY p.v, p.vcard),
+              p3 AS (SELECT v, vcard, benefit FROM b3
+                     ORDER BY benefit DESC, v ASC LIMIT 1)
+         SELECT CAST(round AS INT) AS round, node, card,
+                CAST(benefit AS BIGINT) AS benefit
+         FROM (SELECT 1 AS round, v AS node, vcard AS card, benefit FROM p1
+               UNION ALL SELECT 2, v, vcard, benefit FROM p2
+               UNION ALL SELECT 3, v, vcard, benefit FROM p3)
+         ORDER BY round""",
 
     // the same deterministic 4/256 md5-bucket cut (x42's assign
     // expression) scaled by 64; signed ppm via sign·(abs // exact) so

@@ -90,6 +90,26 @@ class R12TrancheSpec extends SparkSpecBase {
       s"per-date-product trick must equal the materialized join for $month")
   }
 
+  test("x189: greedy view selection picks the full grouping first; benefits nonincrease") {
+    val rows = run("x189_view_selection").collect() // round-ordered
+    assert(rows.length == 3)
+    // with |fact| >> every lattice cardinality, the finest grouping
+    // (node 7) benefits all 8 lattice nodes and must win round 1
+    assert(rows(0).getInt(1) == 7, "round 1 must select the finest grouping")
+    val benefits = rows.map(_.getLong(3))
+    benefits.zip(benefits.tail).foreach { case (a, b) =>
+      assert(b <= a, "greedy benefit is nonincreasing (submodular objective)") }
+    assert(rows.map(_.getInt(1)).distinct.length == 3, "no view selected twice")
+  }
+
+  test("x190: the stream-executed tumbling plan equals the batch t2 answer") {
+    val streamed = run("x190_stream_tumbling").collect().map(_.toString)
+    val batch = Cdc.queries("t2_tumbling_window")(spark, sfDir).collect()
+      .map(_.toString)
+    assert(streamed.toSeq == batch.toSeq,
+      "one plan, two execution modes, one answer")
+  }
+
   test("x182: bin kinds cover every doc; mixed bins really mix splits") {
     val rows = run("x182_pack_leakage").collect()
     assert(rows.map(_.getLong(2)).sum ==
