@@ -136,6 +136,49 @@ object Cdc {
         Tables.events(s, d).drop("props"), "1 hour")
         .orderBy(asc_nulls_first("user_id"), col("session_start"))),
 
+    // X216 (T4-sessions promoted end-to-end, the x190 pattern): the
+    // SAME sessionized plan t3 batch-checks, driven through the real
+    // streaming machinery — sessions MERGE across micro-batches in the
+    // session_window state store (the property a batch check cannot
+    // exercise: half a user's session arrives in batch 0, the rest in
+    // batch 1, and the state must fuse them before the watermark
+    // finalizes), append-mode into a FileStreamSink, read back and
+    // hashed against t3's oracle verbatim. The sentinel (user −1,
+    // 4 days past max ts) advances the watermark so every real
+    // session closes; its own session never can and is filtered.
+    "x191_stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = java.nio.file.Files.createTempDirectory("graft_ssess_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile): Unit))
+      val in = scratch.toString + "/in"
+      val out = scratch.toString + "/out"
+      val ev = Tables.events(s, d).drop("props")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(in + "/b0")
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(in + "/b1")
+      ev.orderBy(desc("ts")).limit(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("__sentinel").as("event_type"),
+          (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
+          lit(0.0).as("value"))
+        .select(ev.columns.map(col): _*)
+        .coalesce(1).write.parquet(in + "/b2")
+      val q = graft.streaming.EventAggregates.sessionized(
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.toString + "/ckpt")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .filter(col("user_id").isNull || col("user_id") =!= -1L)
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+        .orderBy(asc_nulls_first("user_id"), col("session_start"))
+    }),
+
     // T6 extension (batch semantics of [[graft.streaming.StreamJoin]]):
     // event-time interval join — every view→click pair per user within
     // one hour. The SAME function runs as a watermarked stream-stream
@@ -185,6 +228,22 @@ object Cdc {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "t3_session_window" ->
+      """WITH m AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           s AS (SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+         SELECT min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
+                user_id, count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id ASC NULLS FIRST, session_start""",
+    // the STREAM-executed session plan must converge to the identical
+    // batch answer (t3's oracle verbatim) — cross-batch session merges
+    // included
+    "x191_stream_sessions" ->
       """WITH m AS (SELECT user_id, ts, value,
                 CASE WHEN lag(ts) OVER w IS NULL
                           OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s

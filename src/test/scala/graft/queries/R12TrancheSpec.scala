@@ -110,6 +110,14 @@ class R12TrancheSpec extends SparkSpecBase {
       "one plan, two execution modes, one answer")
   }
 
+  test("x191: the stream-executed session plan equals the batch t3 answer") {
+    val streamed = run("x191_stream_sessions").collect().map(_.toString)
+    val batch = Cdc.queries("t3_session_window")(spark, sfDir).collect()
+      .map(_.toString)
+    assert(streamed.toSeq == batch.toSeq,
+      "cross-batch session merges must converge to the batch sessionization")
+  }
+
   test("x182: bin kinds cover every doc; mixed bins really mix splits") {
     val rows = run("x182_pack_leakage").collect()
     assert(rows.map(_.getLong(2)).sum ==
