@@ -34,8 +34,17 @@ import org.apache.spark.sql.DataFrame
   */
 object ResultCache {
 
+  /** Per-key lazy holder: `computeIfAbsent` only ALLOCATES this (fast,
+    * inside the map's bin lock); the multi-second Spark materialization
+    * runs on first access via the `lazy val` (per-entry lock), so an
+    * unrelated query hashing into the same bin never serializes behind
+    * another query's build — CHM mapping functions must not block. */
+  private final class Entry(build: () => DataFrame) {
+    lazy val df: DataFrame = build()
+  }
+
   private val store =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private val insertionOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
@@ -60,37 +69,58 @@ object ResultCache {
 
   /** The validity half of the key: every input file's path, length and
     * modification time, sorted. Any data change under the same paths
-    * (append, rewrite, delete) perturbs it. */
+    * (append, rewrite, delete) perturbs it — a file that vanished
+    * between planning and the token read (compaction/vacuum) tokens as
+    * `deleted`, which still changes the key and recomputes as a MISS
+    * instead of throwing. */
   def sourceToken(df: DataFrame): String = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     df.inputFiles.sorted.map { uri =>
       val p = new org.apache.hadoop.fs.Path(uri)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$uri:${st.getLen}:${st.getModificationTime}"
+      try {
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$uri:${st.getLen}:${st.getModificationTime}"
+      } catch {
+        case _: java.io.FileNotFoundException => s"$uri:deleted"
+      }
     }.mkString("|")
   }
 
   /** Serve `df` through the cache. Returns (result, hit): a hit serves
     * the stored materialized result without touching the source; a
     * miss materializes (eager localCheckpoint), stores, and may evict
-    * the oldest entry past [[maxEntries]]. */
+    * the oldest entry past [[maxEntries]] — eviction UNPERSISTS the
+    * victim's checkpointed blocks (dropping the map reference alone
+    * would leave them pinned until a driver GC cycle, defeating the
+    * bound's purpose). */
   def through(df: DataFrame): (DataFrame, Boolean) = {
     val k = fingerprint(df)
     var missed = false
-    val res = store.computeIfAbsent(k, _ => {
+    val entry = store.computeIfAbsent(k, _ => {
       missed = true
-      df.localCheckpoint(eager = true)
+      new Entry(() => df.localCheckpoint(eager = true))
     })
+    val res = entry.df
     if (missed) {
       insertionOrder.add(k)
       while (store.size > maxEntries) {
         val victim = insertionOrder.poll()
-        if (victim != null) store.remove(victim) else return (res, false)
+        if (victim != null) Option(store.remove(victim)).foreach(unpersist)
+        else return (res, false)
       }
     }
     (res, !missed)
   }
 
+  private def unpersist(e: Entry): Unit =
+    try e.df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () } // eviction must never fail a serve
+
   def size: Int = store.size
-  def clear(): Unit = { store.clear(); insertionOrder.clear() }
+  def clear(): Unit = {
+    store.values().forEach(unpersist(_))
+    store.clear(); insertionOrder.clear()
+  }
 }

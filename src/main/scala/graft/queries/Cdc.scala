@@ -13,6 +13,35 @@ import graft.streaming.CdcStream
   */
 object Cdc {
 
+  /** Pin every file under `dir` to modification time `t` — the
+    * FileStreamSource orders files by mtime, and the x190/x191 gates
+    * need the sentinel batch delivered strictly LAST (a filesystem
+    * with coarse mtime granularity could otherwise tie the sequential
+    * writes and deliver the watermark sentinel before real data,
+    * silently dropping finalized-window rows). Explicit stamps make
+    * batch order a stated property instead of a timing accident. */
+  private def stampMtime(s: org.apache.spark.sql.SparkSession,
+                         dir: String, t: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foreach(st => if (st.isFile) fs.setTimes(st.getPath, t, -1))
+  }
+
+  /** Stage the three x190/x191 micro-batch files with strictly
+    * ascending mtimes (b0 < b1 < sentinel), anchored at "now" so the
+    * file source's maxFileAge window is irrelevant. */
+  private def stageStreamBatches(s: org.apache.spark.sql.SparkSession,
+                                 in: String, b0: DataFrame, b1: DataFrame,
+                                 sentinel: DataFrame): Unit = {
+    b0.coalesce(1).write.parquet(in + "/b0")
+    b1.coalesce(1).write.parquet(in + "/b1")
+    sentinel.coalesce(1).write.parquet(in + "/b2")
+    val base = System.currentTimeMillis()
+    stampMtime(s, in + "/b0", base)
+    stampMtime(s, in + "/b1", base + 60000L)
+    stampMtime(s, in + "/b2", base + 120000L)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // F16 (`mongo_postgres_cdc.py:295`): JSON payload parse.
@@ -95,17 +124,16 @@ object Cdc {
       val ev = Tables.events(s, d).drop("props")
         .withColumn("ts", col("ts").cast("timestamp"))
       // two data batches (cross-batch window state) + the watermark
-      // sentinel, written last so the file source (modtime order)
-      // delivers it last
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(in + "/b0")
-      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(in + "/b1")
-      ev.orderBy(desc("ts")).limit(1)
-        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-          lit("__sentinel").as("event_type"),
-          (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
-          lit(0.0).as("value"))
-        .select(ev.columns.map(col): _*)
-        .coalesce(1).write.parquet(in + "/b2")
+      // sentinel, delivered strictly last via explicit mtime stamps
+      stageStreamBatches(s, in,
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0),
+        ev.orderBy(desc("ts")).limit(1)
+          .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            lit("__sentinel").as("event_type"),
+            (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
+            lit(0.0).as("value"))
+          .select(ev.columns.map(col): _*))
       val q = graft.streaming.EventAggregates.tumblingCounts(
           s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 day")
@@ -155,15 +183,15 @@ object Cdc {
       val out = scratch.toString + "/out"
       val ev = Tables.events(s, d).drop("props")
         .withColumn("ts", col("ts").cast("timestamp"))
-      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(in + "/b0")
-      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(in + "/b1")
-      ev.orderBy(desc("ts")).limit(1)
-        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-          lit("__sentinel").as("event_type"),
-          (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
-          lit(0.0).as("value"))
-        .select(ev.columns.map(col): _*)
-        .coalesce(1).write.parquet(in + "/b2")
+      stageStreamBatches(s, in,
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0),
+        ev.orderBy(desc("ts")).limit(1)
+          .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            lit("__sentinel").as("event_type"),
+            (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
+            lit(0.0).as("value"))
+          .select(ev.columns.map(col): _*))
       val q = graft.streaming.EventAggregates.sessionized(
           s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 hour")

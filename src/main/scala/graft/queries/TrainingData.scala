@@ -2989,9 +2989,11 @@ object TrainingData {
       val mxd = docs.agg(max("doc_id").as("__mxd"))
       // rank a SLIM projection (the grouped rank evaluates its input in
       // the stats pass AND the ranked pass — simhash's per-doc md5 must
-      // not sit in that lineage), then join the signature ONCE and
-      // cache: the a/b self-join below reads the ranked+signed frame
-      // twice within the one action
+      // not sit in that lineage), then join the signature after the
+      // rank. Deliberately NOT cached: the a/b self-join re-reads the
+      // lineage, but AQE's exchange reuse already dedups the shuffled
+      // stages, and an explicit .cache() measured SLOWER (3.2 vs 2.0 s
+      // at sf0.1 — materialization cost without a second scan saved)
       val slim = docs.select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"))
         .withColumn("blk", expr("n_chars div 200"))

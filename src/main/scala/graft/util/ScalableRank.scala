@@ -69,15 +69,26 @@ object ScalableRank {
     * values are IDENTICAL to the plain window (bucketing is monotone in
     * the order key; spec: WindowScaleSafetySpec). Pass a UNIQUE order
     * key (compose one if needed) — ties would rank nondeterministically
-    * in both forms. */
+    * in both forms. NULL keys match the window semantics: null GROUP
+    * values form their own group (all joins here are null-safe `<=>` —
+    * a plain equi-join would silently DROP null-group rows, the exact
+    * corruption a rank helper must never introduce), and null ORDER
+    * keys rank first within their group (bucket −1 mirrors the
+    * window's default NULLS FIRST). */
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String], orderCol: String,
                        outCol: String = "row_num", nBuckets: Int = 256): DataFrame = {
     val g = groupCols.map(col)
+    def nullSafeOn(left: DataFrame, rightCols: Seq[String]) =
+      rightCols.map(c => left(c) <=> col("__r_" + c)).reduce(_ && _)
     val stats = df.groupBy(g: _*)
       .agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
-    val bucketed = df.join(stats, groupCols)
+      .select(groupCols.map(c => col(c).as("__r_" + c))
+        :+ col("__mn") :+ col("__mx"): _*)
+    val bucketed = df.join(stats, nullSafeOn(df, groupCols))
+      .drop(groupCols.map("__r_" + _): _*)
       .withColumn("__bucket",
-        when(col("__mx") === col("__mn"), lit(0L))
+        when(col(orderCol).isNull, lit(-1L))
+          .when(col("__mx") <=> col("__mn"), lit(0L))
           .otherwise(expr(
             s"""((CAST($orderCol AS BIGINT) - CAST(__mn AS BIGINT)) * $nBuckets)
                 div (CAST(__mx AS BIGINT) - CAST(__mn AS BIGINT) + 1)""")))
@@ -85,14 +96,18 @@ object ScalableRank {
       .agg(count(lit(1)).as("__bn"))
     val offsets = counts.as("a")
       .join(counts.as("b"),
-        groupCols.map(c => col("a." + c) === col("b." + c)).reduce(_ && _)
+        groupCols.map(c => col("a." + c) <=> col("b." + c)).reduce(_ && _)
           && col("b.__bucket") < col("a.__bucket"), "left")
       .groupBy((groupCols.map(c => col("a." + c)) :+ col("a.__bucket")): _*)
       .agg(coalesce(sum(col("b.__bn")), lit(0L)).as("__off"))
+      .select((groupCols.map(c => col(c).as("__r_" + c))
+        :+ col("__bucket").as("__r___bucket") :+ col("__off")): _*)
     val wLocal = Window.partitionBy((groupCols :+ "__bucket").map(col): _*)
       .orderBy(orderCol)
     bucketed
-      .join(offsets, groupCols :+ "__bucket")
+      .join(offsets, nullSafeOn(bucketed, groupCols)
+        && bucketed("__bucket") <=> col("__r___bucket"))
+      .drop((groupCols :+ "__bucket").map("__r_" + _): _*)
       .withColumn(outCol, (row_number().over(wLocal) + col("__off")).cast("long"))
       .drop("__bucket", "__mn", "__mx", "__off")
   }

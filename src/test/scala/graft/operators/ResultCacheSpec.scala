@@ -54,6 +54,26 @@ class ResultCacheSpec extends SparkSpecBase {
     assert(served1.agg(sum("n")).collect()(0).getLong(0) === n0 + 50)
   }
 
+  test("a vanished source file recomputes as a MISS instead of throwing") {
+    ResultCache.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_rc_del_").toString
+    Tables.orders(spark, sfDir).limit(100).repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = q // capture a frame whose file listing predates the delete
+    assert(!ResultCache.through(plan)._2)
+    // compaction/vacuum between planning and the next serve: one part
+    // file disappears under the same path
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val (served, hit) = ResultCache.through(plan)
+    assert(!hit, "a deleted input file must token as changed and MISS")
+    served.collect() // and the recompute must be servable, not a throw
+    ResultCache.clear()
+  }
+
   test("the store is bounded: old entries evict past maxEntries") {
     ResultCache.clear()
     val base = Tables.orders(spark, sfDir)

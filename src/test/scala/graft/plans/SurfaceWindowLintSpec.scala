@@ -59,6 +59,24 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
   /** Audited exemptions: every window here is group-keyed but its INPUT
     * is bounded by construction, so the per-group partition never holds
     * a corpus fraction. */
+  /** ONE traversal of the whole surface: building every gate query is
+    * expensive (the streaming end-to-end rows each run a real
+    * multi-micro-batch lifecycle just to construct their read-back
+    * frame), so both lints below read this shared per-query Window
+    * collection instead of invoking the registry twice. */
+  private lazy val surfaceWindows: Seq[(String, Seq[org.apache.spark.sql.catalyst.plans.logical.Window])] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => exempt(q._1))
+      .map { case (n, fn) =>
+        val wins =
+          try fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+          } catch {
+            case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}")
+          }
+        n -> wins
+      }
+
   private val hotKeyExempt: Set[String] = Set(
     // GroupedQuantiles/GroupedMedian histogram refinement: the group-
     // keyed windows run over the (group × coarse-bucket) COUNT table
@@ -74,19 +92,15 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     "x37_domain_quota")
 
   test("no surface query windows on ONLY low-cardinality keys (hot-key straggler lint)") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => exempt(q._1) || hotKeyExempt(q._1))
-      .flatMap { case (n, fn) =>
-        val bad =
-          try fn(spark, sfDir).queryExecution.optimizedPlan.collect {
-            case w: org.apache.spark.sql.catalyst.plans.logical.Window
-              if w.partitionSpec.nonEmpty && {
-                val names = w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
-                names.nonEmpty && names.forall(lowCardinality)
-              } => w.partitionSpec.flatMap(_.references.toSeq).map(_.name).distinct
-          } catch {
-            case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}")
-          }
+    val offenders = surfaceWindows
+      .filterNot(q => hotKeyExempt(q._1))
+      .flatMap { case (n, wins) =>
+        val bad = wins.collect {
+          case w if w.partitionSpec.nonEmpty && {
+              val names = w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+              names.nonEmpty && names.forall(lowCardinality)
+            } => w.partitionSpec.flatMap(_.references.toSeq).map(_.name).distinct
+        }
         if (bad.nonEmpty) Some(s"$n[${bad.map(_.mkString("+")).mkString(";")}]") else None
       }
     spark.catalog.clearCache()
@@ -97,18 +111,8 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
   }
 
   test("no surface query plans an un-partitioned Window (TopFrac histogram exemptions aside)") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => exempt(q._1))
-      .flatMap { case (n, fn) =>
-        val wins =
-          try fn(spark, sfDir).queryExecution.optimizedPlan.collect {
-            case w: org.apache.spark.sql.catalyst.plans.logical.Window
-              if w.partitionSpec.isEmpty => w
-          } catch {
-            case e: Throwable => fail(s"$n failed to plan: ${e.getMessage}")
-          }
-        if (wins.nonEmpty) Some(n) else None
-      }
+    val offenders = surfaceWindows
+      .collect { case (n, wins) if wins.exists(_.partitionSpec.isEmpty) => n }
     spark.catalog.clearCache()
     assert(offenders.isEmpty,
       s"un-partitioned corpus Window planned by: ${offenders.mkString(", ")}")

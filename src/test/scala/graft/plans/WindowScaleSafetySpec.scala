@@ -107,6 +107,36 @@ class WindowScaleSafetySpec extends SparkSpecBase {
     assert(unpartitionedWindows(ranked).isEmpty)
   }
 
+  test("groupedRowNumber keeps NULL group keys and ranks NULL order keys first (window parity)") {
+    // inject a null GROUP for every 7th doc and a null ORDER key for
+    // every 11th — a plain equi-join pipeline would silently DROP the
+    // null-group rows; the window keeps them and ranks null keys first
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(col("n_chars") * 1000000L + col("doc_id")).as("ok"))
+    val total = docs.count()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("ok")
+    val want = docs.select(col("doc_id"),
+        row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.util.ScalableRank.groupedRowNumber(docs, Seq("lang"), "ok", "rn")
+      .select("doc_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == total, "no row may vanish on null keys")
+    // null order keys tie arbitrarily in BOTH forms — compare the
+    // deterministic part exactly and the null-key rows by rank RANGE
+    val nullDocs = docs.filter(col("ok").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filterNot(p => nullDocs(p._1)) === want.filterNot(p => nullDocs(p._1)),
+      "non-null rows must rank identically to the plain window")
+    val nullRanksGot = got.filter(p => nullDocs(p._1)).map(_._2)
+    val nullRanksWant = want.filter(p => nullDocs(p._1)).map(_._2)
+    assert(nullRanksGot === nullRanksWant,
+      "null order keys must occupy the same (leading) rank slots per group")
+  }
+
   test("x168 linkage rank windows only on (lang, blk, bucket) — hot blocks sub-split") {
     val df = TrainingData.queries("x168_linkage_score")(spark, sfDir)
     assert(unpartitionedWindows(df).isEmpty)
