@@ -27,6 +27,28 @@ object Cdc {
     fs.listStatus(p).foreach(st => if (st.isFile) fs.setTimes(st.getPath, t, -1))
   }
 
+  /** Split instant for the x192 staging: the latest click that STRICTLY
+    * follows its attributed impression — splitting the files there puts
+    * that click's impression in batch 0 and the click itself in batch 1,
+    * so at least one attributed pair provably crosses the micro-batch
+    * boundary (the join-state property the gate exists to exercise).
+    * Falls back to the corpus midpoint when no strict pair exists.
+    * A 1-row metadata read (max over the batch pair join), not data. */
+  private[queries] def ssjMid(imp: DataFrame, clk: DataFrame): java.sql.Timestamp = {
+    val strict = imp.join(clk, expr(
+        """imp_user = click_user AND click_ts > imp_ts AND
+           click_ts <= imp_ts + INTERVAL 1 HOUR"""))
+      .agg(max("click_ts")).collect()(0)
+    if (!strict.isNullAt(0)) strict.getTimestamp(0)
+    else {
+      val Array(lo, hi) = imp.select(col("imp_ts").as("ts"))
+        .unionByName(clk.select(col("click_ts").as("ts")))
+        .agg(min("ts"), max("ts")).collect()(0)
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      new java.sql.Timestamp(lo + (hi - lo) / 2)
+    }
+  }
+
   /** Stage the three x190/x191 micro-batch files with strictly
     * ascending mtimes (b0 < b1 < sentinel), anchored at "now" so the
     * file source's maxFileAge window is irrelevant. */
@@ -225,6 +247,63 @@ object Cdc {
         .orderBy("imp_id", "click_id")
     }),
 
+    // X217 (T6 promoted end-to-end, completing the x181/x190/x191
+    // lifecycle set): the SAME attributedClicks plan t4 batch-checks,
+    // driven as a REAL watermarked stream-stream join — two independent
+    // file-stream sources (impressions and clicks), each delivered in
+    // two event-time-ordered micro-batch files split at an instant
+    // chosen so ≥1 attributed pair STRADDLES the boundary ([[ssjMid]]),
+    // so that pair's impression MUST survive in the join state store
+    // across micro-batches to appear in the output. Inner stream-stream joins
+    // emit eagerly in append mode (no sentinel needed); the watermarks
+    // plus the 1-hour interval condition bound per-side state — the
+    // eviction math: after batch 0 the global watermark is
+    // ~mid − 2 h, so only impressions with imp_ts + 1 h < mid − 2 h
+    // are evicted, and every click they could match arrived in batch 0
+    // (clicks ≤ imp_ts + 1 h < mid). Hashed against t4's oracle
+    // verbatim: one plan, two execution modes, one hash. At 100 TB this
+    // is the live-attribution contract — state ∝ one interval of
+    // traffic per side, never stream history.
+    "x192_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = java.nio.file.Files.createTempDirectory("graft_ssj_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile): Unit))
+      val out = scratch.toString + "/out"
+      val ev = Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val imp = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+          col("ts").as("imp_ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+      // split instant chosen so ≥1 attributed pair straddles the batch
+      // boundary — see [[ssjMid]] (1-row metadata read, not data)
+      val mid = ssjMid(imp, clk)
+      def stage(dir: String, df: DataFrame, tsCol: String): Unit = {
+        df.filter(col(tsCol) < lit(mid)).coalesce(1).write.parquet(dir + "/b0")
+        df.filter(col(tsCol) >= lit(mid)).coalesce(1).write.parquet(dir + "/b1")
+        val base = System.currentTimeMillis()
+        stampMtime(s, dir + "/b0", base)
+        stampMtime(s, dir + "/b1", base + 60000L)
+      }
+      stage(scratch.toString + "/imp", imp, "imp_ts")
+      stage(scratch.toString + "/clk", clk, "click_ts")
+      val impS = s.readStream.schema(imp.schema)
+        .option("maxFilesPerTrigger", 1).parquet(scratch.toString + "/imp/*")
+      val clkS = s.readStream.schema(clk.schema)
+        .option("maxFilesPerTrigger", 1).parquet(scratch.toString + "/clk/*")
+      val q = graft.streaming.StreamJoin.attributedClicks(impS, clkS, "1 hour")
+        .select("imp_id", "click_id", "imp_user")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.toString + "/ckpt")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy("imp_id", "click_id")
+    }),
+
     // §3.2 end-to-end: the full CDC batch shape (parse → flatten →
     // normalize → pk → metadata), minus the nondeterministic timestamp.
     "t_cdc_transform" -> ((s, d) => {
@@ -285,6 +364,19 @@ object Cdc {
          FROM s GROUP BY user_id, sid
          ORDER BY user_id ASC NULLS FIRST, session_start""",
     "t4_interval_join" ->
+      """WITH imp AS (SELECT event_id AS imp_id, user_id AS imp_user, ts AS imp_ts
+                      FROM events WHERE event_type = 'view'),
+            clk AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+                    FROM events WHERE event_type = 'click')
+         SELECT imp_id, click_id, imp_user
+         FROM imp JOIN clk ON imp_user = click_user
+                          AND click_ts >= imp_ts
+                          AND click_ts <= imp_ts + INTERVAL 1 HOUR
+         ORDER BY imp_id, click_id""",
+    // the STREAM-executed stream-stream join must converge to the
+    // identical batch interval join (t4's oracle verbatim) — cross-batch
+    // join-state matches included
+    "x192_stream_join" ->
       """WITH imp AS (SELECT event_id AS imp_id, user_id AS imp_user, ts AS imp_ts
                       FROM events WHERE event_type = 'view'),
             clk AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts

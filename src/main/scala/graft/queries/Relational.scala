@@ -2616,6 +2616,70 @@ object Relational {
     "q_bucketed_join" -> ((s, d) => {
       graft.sources.BucketedLayout.materialize(s, d)
       graft.sources.BucketedLayout.bucketedJoinAgg(s)
+    }),
+
+    // X219: gaps-and-islands streak detection (the MATCH_RECOGNIZE /
+    // CEP shape in its relational form) — maximal runs of strictly
+    // increasing consecutive order totals per customer, reported when
+    // the streak reaches 3+. The standard two-window derivation: a lag
+    // marks each sequence break, the running sum of breaks names the
+    // island, and one aggregate per (customer, island) collapses runs
+    // — no iteration, no self-join, both windows partitioned by the
+    // high-cardinality customer key with per-customer frames bounded
+    // by orders-per-customer (TPC-H ~10-40; a 100 TB event history
+    // sessionizes the same way). Runs are keyed for deterministic
+    // output by their min orderkey (globally unique → unique per run).
+    // Totals in integer cents; dates surfaced as DATE for portability.
+    "x194_streak_islands" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("dt", "o_orderkey")
+      val runs = Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("dt"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .withColumn("prev", lag("cents", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("cents") <= col("prev"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy("o_custkey", "run_id")
+        .agg(min("o_orderkey").as("run_key"),
+          min("dt").as("run_start"), max("dt").as("run_end"),
+          count(lit(1)).as("run_len"), sum("cents").as("run_cents"))
+        .filter(col("run_len") >= 3)
+        .select("o_custkey", "run_key", "run_start", "run_end",
+          "run_len", "run_cents")
+        .orderBy("o_custkey", "run_key")
+    }),
+
+    // X220: rolling 7-day distinct customers — the "rolling DAU/WAU"
+    // dashboard row that a RANGE window cannot express (COUNT(DISTINCT)
+    // is not window-able) and the naive form solves with a per-day
+    // range self-join (days × 7-day slices of the fact — the oracle
+    // states exactly that). The scale-safe form inverts it: each
+    // (day, customer) PRESENCE contributes to the 7 target days it
+    // covers — one distinct-pair pass, a 7× explode of the
+    // presence-grain (not event-grain) table, one (day, customer)
+    // distinct count. Work is 7·|presence| regardless of how many
+    // events back each presence (at 100 TB the raw fact collapses to
+    // presence grain in the first map-combined distinct). Same-day
+    // distincts (u1) ride the same presence table for contrast.
+    "x195_rolling_distinct" -> ((s, d) => {
+      val p = Tables.orders(s, d)
+        .select(col("o_orderdate").cast("date").as("dt"), col("o_custkey"))
+        .distinct()
+      val days = p.select("dt").distinct()
+      val u7 = p.withColumn("k", explode(sequence(lit(0), lit(6))))
+        .select(expr("date_add(dt, k)").as("dt"), col("o_custkey"))
+        .join(days, Seq("dt"), "left_semi")
+        .groupBy("dt")
+        .agg(countDistinct("o_custkey").as("u7_custs"))
+      val u1 = p.groupBy("dt").agg(count(lit(1)).as("u1_custs"))
+      u1.join(u7, Seq("dt"))
+        .select("dt", "u1_custs", "u7_custs")
+        .orderBy("dt")
     }))
 
   def k9Cutoff = lit("2001-04-01").cast("timestamp")
@@ -2724,6 +2788,38 @@ object Relational {
     .orderBy("s_nationkey")
 
   def oracles: Map[String, String] = Map(
+    // the same lag → break-sum → island aggregate, restated
+    "x194_streak_islands" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                           CAST(o_orderdate AS DATE) AS dt,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM orders),
+              m AS (SELECT *, CASE WHEN lag(cents) OVER w IS NULL
+                                     OR cents <= lag(cents) OVER w
+                                   THEN 1 ELSE 0 END AS brk
+                    FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY dt, o_orderkey)),
+              r AS (SELECT *, SUM(brk) OVER (PARTITION BY o_custkey ORDER BY dt, o_orderkey
+                                             ROWS UNBOUNDED PRECEDING) AS run_id
+                    FROM m)
+         SELECT o_custkey, CAST(MIN(o_orderkey) AS BIGINT) AS run_key,
+                MIN(dt) AS run_start, MAX(dt) AS run_end,
+                CAST(COUNT(*) AS BIGINT) AS run_len,
+                CAST(SUM(cents) AS BIGINT) AS run_cents
+         FROM r GROUP BY o_custkey, run_id
+         HAVING COUNT(*) >= 3
+         ORDER BY o_custkey, run_key""",
+
+    // the naive per-day range self-join the presence-explode replaces
+    "x195_rolling_distinct" ->
+      """WITH p AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt, o_custkey
+                    FROM orders),
+              days AS (SELECT DISTINCT dt FROM p)
+         SELECT d.dt,
+                CAST((SELECT COUNT(*) FROM p p1 WHERE p1.dt = d.dt) AS BIGINT) AS u1_custs,
+                CAST(COUNT(DISTINCT p.o_custkey) AS BIGINT) AS u7_custs
+         FROM days d JOIN p ON p.dt BETWEEN d.dt - 6 AND d.dt
+         GROUP BY d.dt ORDER BY d.dt""",
+
     // same exact-sums-then-double combine as the Spark side (corr()
     // built-ins are float accumulators on both engines — not used)
     "a19_corr_exact" ->

@@ -1864,9 +1864,211 @@ object Warehouse {
         .unionByName(row("sat_customer_load2_deltas", load2))
         .unionByName(row("reconstruction_matches", matches))
         .orderBy("component")
+    }),
+
+    // X218: FIFO inventory costing — the classic "needs a cursor"
+    // accounting op (match each issue against the oldest unconsumed
+    // receipts, in order), reframed as a CUMULATIVE-QUANTITY INTERVAL
+    // JOIN so it's trivially parallel: per part, receipts and issues
+    // each get [cum_qty − qty, cum_qty) positions on the part's
+    // quantity axis (one ROWS-UNBOUNDED window per side, partitioned
+    // by l_partkey — millions of uniform partitions, no hot key), and
+    // FIFO matching IS interval overlap: matched qty = |r ∩ i|, cost =
+    // Σ overlap · receipt unit cost. No iteration, no driver state —
+    // the equi-join on partkey carries the overlap filter, and
+    // per-part sequences are items-per-part-bounded so the pair join
+    // is linear in lineitems. Receipts = odd line numbers, issues =
+    // even (a deterministic split of the same table into two flows);
+    // unit cost in integer cents (extendedprice·100 div qty — both
+    // engines truncate positives identically). Issues beyond total
+    // receipts stay unfilled (shortage), visible as issued > matched.
+    // At 100 TB: two window passes + one equi-join, all partkey-local.
+    "x193_fifo_costing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey").as("pk"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("""cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+                div cast(l_quantity as bigint)""").as("cost_cents"))
+      val w = Window.partitionBy("pk")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def flow(df: DataFrame) = df
+        .withColumn("qe", sum("qty").over(w))
+        .withColumn("qs", col("qe") - col("qty"))
+        .select("pk", "qty", "cost_cents", "qs", "qe")
+      val rcpt = flow(li.filter(col("l_linenumber") % 2 === 1))
+      val iss = flow(li.filter(col("l_linenumber") % 2 === 0))
+      val matched = rcpt.alias("r").join(iss.alias("i"),
+          col("r.pk") === col("i.pk") &&
+          col("r.qs") < col("i.qe") && col("i.qs") < col("r.qe"))
+        .select(col("r.pk").as("pk"),
+          (least(col("r.qe"), col("i.qe")) -
+           greatest(col("r.qs"), col("i.qs"))).as("mq"),
+          col("r.cost_cents"))
+        .groupBy("pk")
+        .agg(sum("mq").as("matched_qty"),
+          sum(col("mq") * col("cost_cents")).as("fifo_cost_cents"))
+      val recv = rcpt.groupBy("pk").agg(sum("qty").as("received_qty"))
+      val issd = iss.groupBy("pk").agg(sum("qty").as("issued_qty"))
+      recv.join(issd, Seq("pk"), "full_outer")
+        .join(matched, Seq("pk"), "left_outer")
+        .select(col("pk").as("l_partkey"),
+          coalesce(col("received_qty"), lit(0L)).as("received_qty"),
+          coalesce(col("issued_qty"), lit(0L)).as("issued_qty"),
+          coalesce(col("matched_qty"), lit(0L)).as("matched_qty"),
+          coalesce(col("fifo_cost_cents"), lit(0L)).as("fifo_cost_cents"))
+        .orderBy("l_partkey")
+    }),
+
+    // X221: largest-remainder (Hamilton) integer apportionment — the
+    // budget/quota allocation op every planning mart needs: split a
+    // FIXED integer budget (10,000 units) across nations proportional
+    // to order revenue, with Σ alloc ≡ budget EXACTLY (the property
+    // naive per-row rounding violates). Pure integer arithmetic:
+    // floor share = cents·B div total, then the B − Σ floors leftover
+    // units go to the largest remainders (cents·B mod total), ties to
+    // the smaller nation key — every step deterministic on both
+    // engines. The grand total and leftover ride 1-row broadcast
+    // frames (metadata, not data); the remainder rank is a 25-row
+    // bounded window (nations-sized — the lint-exempt grid shape).
+    // Long-overflow bound: cents·10⁴ stays under 2⁶³ to ~SF 10⁵.
+    // At 100 TB the fact is touched once (one map-combined aggregate
+    // to nation grain); everything after is nations-sized.
+    "x196_lr_allocation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val byNation = Tables.orders(s, d).join(
+          broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      val tot = byNation.agg(sum("cents").as("total_cents"))
+      val shares = byNation.crossJoin(broadcast(tot))
+        .withColumn("floor_share",
+          expr(s"cents * $budget div total_cents"))
+        .withColumn("rem", expr(s"(cents * $budget) % total_cents"))
+      val leftover = shares
+        .agg((lit(budget) - sum("floor_share")).as("left"))
+      shares.crossJoin(broadcast(leftover))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rem").desc, col("n_nationkey").asc)))
+        .withColumn("extra",
+          when(col("rnk") <= col("left"), 1L).otherwise(0L))
+        .select(col("n_name"), col("cents"), col("floor_share"),
+          col("extra"), (col("floor_share") + col("extra")).as("alloc"))
+        .orderBy("n_name")
+    }),
+
+    // X222: 4-4-5 fiscal calendar rollup — retail/manufacturing close
+    // their books on 52-week fiscal years of four quarters split into
+    // 4-, 4- and 5-week periods, so "period over period" compares
+    // equal week counts (the property calendar months lack). The
+    // mapping is pure integer day arithmetic off a fixed fiscal epoch
+    // (1992-01-01, fiscal week 1 day 1): day_idx div 364 → fiscal
+    // year, (day_idx mod 364) div 7 → week 0..51, week div 13 →
+    // quarter, week-in-quarter {0-3 → P1, 4-7 → P2, 8-12 → P3} — no
+    // leap rules, no calendar lookup table, identical on both engines
+    // (the real-world 53rd-week correction is a policy overlay on the
+    // same index). One map-combined aggregate to (fy, fq, fp) grain;
+    // output is periods-sized (~84 rows for 7 years) at any SF.
+    "x197_fiscal_445" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("day_idx",
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))
+        .withColumn("fy", expr("1992 + day_idx div 364"))
+        .withColumn("wk", expr("(day_idx % 364) div 7"))
+        .withColumn("fq", expr("wk div 13 + 1"))
+        .withColumn("fp", expr(
+          "(wk div 13) * 3 + CASE WHEN wk % 13 < 4 THEN 1 WHEN wk % 13 < 8 THEN 2 ELSE 3 END"))
+      o.groupBy("fy", "fq", "fp")
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("fy", "fq", "fp")
     }))
 
   def oracles: Map[String, String] = Map(
+
+    // FIFO matching restated as the same cumulative-interval overlap
+    "x193_fifo_costing" ->
+      """WITH li AS (SELECT l_partkey AS pk, l_shipdate, l_orderkey, l_linenumber,
+                            CAST(l_quantity AS BIGINT) AS qty,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                              // CAST(l_quantity AS BIGINT) AS cost_cents
+                     FROM lineitem),
+              r AS (SELECT pk, qty, cost_cents,
+                           SUM(qty) OVER w - qty AS qs, SUM(qty) OVER w AS qe
+                    FROM li WHERE l_linenumber % 2 = 1
+                    WINDOW w AS (PARTITION BY pk
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING)),
+              i AS (SELECT pk, qty, cost_cents,
+                           SUM(qty) OVER w - qty AS qs, SUM(qty) OVER w AS qe
+                    FROM li WHERE l_linenumber % 2 = 0
+                    WINDOW w AS (PARTITION BY pk
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING)),
+              m AS (SELECT r.pk,
+                           SUM(LEAST(r.qe, i.qe) - GREATEST(r.qs, i.qs)) AS matched_qty,
+                           SUM((LEAST(r.qe, i.qe) - GREATEST(r.qs, i.qs)) * r.cost_cents)
+                             AS fifo_cost_cents
+                    FROM r JOIN i ON r.pk = i.pk AND r.qs < i.qe AND i.qs < r.qe
+                    GROUP BY 1),
+              rc AS (SELECT pk, SUM(qty) AS received_qty FROM r GROUP BY 1),
+              sd AS (SELECT pk, SUM(qty) AS issued_qty FROM i GROUP BY 1)
+         SELECT COALESCE(rc.pk, sd.pk) AS l_partkey,
+                CAST(COALESCE(received_qty, 0) AS BIGINT) AS received_qty,
+                CAST(COALESCE(issued_qty, 0) AS BIGINT) AS issued_qty,
+                CAST(COALESCE(matched_qty, 0) AS BIGINT) AS matched_qty,
+                CAST(COALESCE(fifo_cost_cents, 0) AS BIGINT) AS fifo_cost_cents
+         FROM rc FULL OUTER JOIN sd ON rc.pk = sd.pk
+                 LEFT JOIN m ON COALESCE(rc.pk, sd.pk) = m.pk
+         ORDER BY l_partkey""",
+
+    // Hamilton apportionment unrolled: floors, then largest remainders
+    "x196_lr_allocation" ->
+      """WITH n AS (SELECT n_nationkey, n_name,
+                           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                                JOIN nation ON c_nationkey = n_nationkey
+                    GROUP BY 1, 2),
+              s AS (SELECT n_nationkey, n_name, cents,
+                           cents * 10000 // (SELECT SUM(cents) FROM n) AS floor_share,
+                           (cents * 10000) % (SELECT SUM(cents) FROM n) AS rem
+                    FROM n),
+              k AS (SELECT *, row_number() OVER (ORDER BY rem DESC, n_nationkey ASC) AS rnk
+                    FROM s)
+         SELECT n_name, CAST(cents AS BIGINT) AS cents,
+                CAST(floor_share AS BIGINT) AS floor_share,
+                CAST(CASE WHEN rnk <= 10000 - (SELECT SUM(floor_share) FROM s)
+                          THEN 1 ELSE 0 END AS BIGINT) AS extra,
+                CAST(floor_share + CASE WHEN rnk <= 10000 - (SELECT SUM(floor_share) FROM s)
+                                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         FROM k ORDER BY n_name""",
+
+    // the same integer 4-4-5 index arithmetic off the fiscal epoch
+    "x197_fiscal_445" ->
+      """WITH o AS (SELECT date_diff('day', DATE '1992-01-01',
+                                     CAST(o_orderdate AS DATE)) AS day_idx,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM orders),
+              f AS (SELECT 1992 + day_idx // 364 AS fy,
+                           (day_idx % 364) // 7 AS wk, cents
+                    FROM o)
+         SELECT CAST(fy AS INT) AS fy,
+                CAST(wk // 13 + 1 AS INT) AS fq,
+                CAST((wk // 13) * 3 + CASE WHEN wk % 13 < 4 THEN 1
+                                           WHEN wk % 13 < 8 THEN 2
+                                           ELSE 3 END AS INT) AS fp,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM f GROUP BY 1, 2, 3 ORDER BY fy, fq, fp""",
 
     "x133_mv_rewrite" ->
       """SELECT l_returnflag,

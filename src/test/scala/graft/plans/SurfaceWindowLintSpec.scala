@@ -45,7 +45,12 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     // constant-folded out of partitionSpec — and the window input is
     // the metadata-sized coarse histogram (≤ range/coarseDiv rows),
     // the TopFrac exemption class
-    "x176_equidepth_hist")
+    "x176_equidepth_hist",
+    // largest-remainder apportionment: the remainder-rank window runs
+    // over the NATIONS-grain share table (25 rows — the fact collapsed
+    // map-combined to nation grain in its only shuffle), metadata-sized
+    // at any corpus scale
+    "x196_lr_allocation")
 
   /** Columns whose cardinality is bounded by the DOMAIN, not the data:
     * a Window partitioned ONLY by these puts a corpus-scale fraction in
