@@ -304,6 +304,58 @@ object Cdc {
       s.read.parquet(out).orderBy("imp_id", "click_id")
     }),
 
+    // X223 (X25 promoted end-to-end): `StreamDedup.dedupOnIngest` —
+    // the stream-static anti-join against the historical corpus PLUS
+    // `dropDuplicatesWithinWatermark` on the content fingerprint —
+    // driven through the real machinery. Two micro-batch files:
+    // batch 0 = the stream documents (synthetic event times), batch 1 =
+    // CLONES of every 7th stream doc (same text, negated ids, later
+    // event time) — each clone's fingerprint entered the dedup state in
+    // batch 0, so its rejection in batch 1 is only possible if that
+    // state SURVIVED the micro-batch boundary (a re-emit would land a
+    // duplicate fp row and break the hash). Output is the fp column
+    // alone: which physical duplicate of a same-batch pair is kept is
+    // arrival-order nondeterminism the fingerprint projection erases.
+    // The oracle is the batch truth: distinct stream fps EXCEPT
+    // historical fps. The 30-day watermark delay exceeds the staged
+    // event-time span, so no state expires mid-test (production sizes
+    // this TTL from x174's re-occurrence horizon audit). At 100 TB/day
+    // the anti-join side is a pruned one-column scan and dedup state
+    // is watermark-bounded — never corpus-bounded.
+    "x198_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = java.nio.file.Files.createTempDirectory("graft_sdd_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile): Unit))
+      val in = scratch.toString + "/in"
+      val out = scratch.toString + "/out"
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod(col("doc_id"), lit(3L)) === 0).select("text")
+      val strm = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+        .select(col("doc_id"), col("text"),
+          expr("timestamp_micros(946684800000000 + doc_id * 1000000)").as("ts"))
+      val clones = strm.filter(pmod(col("doc_id"), lit(7L)) === 1)
+        .select((-col("doc_id")).as("doc_id"), col("text"),
+          expr("timestamp_micros(946684800000000 + (1000000 + doc_id) * 1000000)")
+            .as("ts"))
+      strm.coalesce(1).write.parquet(in + "/b0")
+      clones.coalesce(1).write.parquet(in + "/b1")
+      val base = System.currentTimeMillis()
+      stampMtime(s, in + "/b0", base)
+      stampMtime(s, in + "/b1", base + 60000L)
+      val sread = s.readStream.schema(strm.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in + "/*")
+      val q = graft.streaming.StreamDedup
+        .dedupOnIngest(sread, hist, "text", "ts", "30 days")
+        .select("fp")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.toString + "/ckpt")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy("fp")
+    }),
+
     // §3.2 end-to-end: the full CDC batch shape (parse → flatten →
     // normalize → pk → metadata), minus the nondeterministic timestamp.
     "t_cdc_transform" -> ((s, d) => {
@@ -386,6 +438,16 @@ object Cdc {
                           AND click_ts >= imp_ts
                           AND click_ts <= imp_ts + INTERVAL 1 HOUR
          ORDER BY imp_id, click_id""",
+    // batch truth for the streamed ingest-dedup: distinct stream
+    // fingerprints minus the historical corpus's — the same md5 over
+    // the same canonical form as graft.text.TextFunctions.fingerprint
+    "x198_stream_dedup" ->
+      """WITH hist AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                       FROM documents WHERE doc_id % 3 = 0),
+              strm AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                       FROM documents WHERE doc_id % 3 <> 0)
+         SELECT fp FROM (SELECT fp FROM strm EXCEPT SELECT fp FROM hist)
+         ORDER BY fp""",
     "f16_json_parse" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",

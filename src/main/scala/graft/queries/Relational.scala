@@ -1231,6 +1231,35 @@ object Relational {
         .limit(20)
     }),
 
+    // X225: label-propagation communities over the co-purchase graph
+    // (Raghavan et al.) — x106 builds the edges (part pairs bought
+    // together, support ≥ 2 so noise singleton-pairs drop), x43/x165's
+    // CC answers reachability; THIS answers density: three synchronous
+    // LPA sweeps with the deterministic (count desc, min label)
+    // tie-break, every node updating from the previous round's labels,
+    // so the assignment is a pure function of the edge set — the
+    // DuckDB oracle unrolls the identical three rounds. Per round: one
+    // edge⋈label join, one map-combined (node, label) count, one
+    // node-partitioned top-1 window — O(rounds·|E|), no global
+    // structure, labels localCheckpoint'd per round (the CC lineage
+    // discipline). The support threshold is the density knob that
+    // keeps |E| ≲ |fact| at 100 TB (Σ per-order C(f,2) is
+    // fanout-bounded, the x106 guarantee); the sweep count is fixed
+    // and small, the production norm for LPA.
+    "x200_lpa_communities" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = op.join(
+          op.select(col("l_orderkey").as("o2"), col("l_partkey").as("p2")),
+          col("l_orderkey") === col("o2") && col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("src", "dst")
+      graft.operators.LabelPropagation.run(edges, 3)
+        .orderBy("node")
+    }),
+
     // X123: audience-overlap matrix — |users who did type A AND type B|
     // for every type pair, the set-intersection read behind audience
     // sizing. Instead of 25 distinct-count self-joins, each user
@@ -2618,6 +2647,59 @@ object Relational {
       graft.sources.BucketedLayout.bucketedJoinAgg(s)
     }),
 
+    // X228: late-data loss curve — the third state-sizing audit beside
+    // x186 (session gap) and x174 (dedup TTL): for candidate watermark
+    // delays, how many events would a streaming job DROP as late?
+    // Arrival times are a deterministic function of the data (event
+    // time + event_id-keyed jitter ≤ 2 h — the reproducible stand-in
+    // for the ingest log a production audit would read); the watermark
+    // is simulated at ROW granularity — max event time over everything
+    // earlier in arrival order, minus the delay — which upper-bounds
+    // the real batch-granular drop count (Spark only advances the
+    // watermark between micro-batches, so the true loss is ≤ this
+    // curve; the audit reads as the adversarial bound). The global
+    // running max rides the x27 two-phase discipline: hour-grid bucket
+    // maxima → prefix max over the BOUNDED grid (the lone
+    // un-partitioned window, x113's metadata-grid exemption class) →
+    // carry-in + within-bucket running max, each bucket traffic-rate
+    // bounded. One explode(4 delays) + map-combined counts close it.
+    // This is the number that picks `withWatermark`'s delay: the
+    // smallest candidate whose loss ppm is acceptable.
+    "x203_lateness_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+          col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .withColumn("arr_us",
+          col("ts_us") + (col("event_id") % 7200) * 1000000L)
+        .withColumn("bkt", expr("arr_us div 3600000000"))
+      val grid = ev.groupBy("bkt").agg(max("ts_us").as("bmax"))
+      val wg = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = grid.withColumn("carry", max("bmax").over(wg))
+        .select("bkt", "carry")
+      val wi = Window.partitionBy("bkt").orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // sentinel −1 (< any real epoch) instead of nullable carries:
+      // greatest() null semantics differ across engines, and a
+      // Long.MinValue sentinel would overflow under `− delay`
+      val marked = ev.join(carry, Seq("bkt"))
+        .withColumn("wm_base", greatest(
+          coalesce(max("ts_us").over(wi), lit(-1L)),
+          coalesce(col("carry"), lit(-1L))))
+      marked.select(col("ts_us"), col("wm_base"),
+          explode(array(lit(0L), lit(1800L), lit(3600L), lit(7200L)))
+            .as("delay_s"))
+        .groupBy("delay_s")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("wm_base") >= 0 &&
+              col("ts_us") < col("wm_base") - col("delay_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_late"))
+        .withColumn("late_ppm", expr("n_late * 1000000 div n_events"))
+        .select("delay_s", "n_events", "n_late", "late_ppm")
+        .orderBy("delay_s")
+    }),
+
     // X219: gaps-and-islands streak detection (the MATCH_RECOGNIZE /
     // CEP shape in its relational form) — maximal runs of strictly
     // increasing consecutive order totals per customer, reported when
@@ -2788,6 +2870,67 @@ object Relational {
     .orderBy("s_nationkey")
 
   def oracles: Map[String, String] = Map(
+    // the identical three synchronous LPA sweeps, unrolled — each
+    // round a join to the previous round's labels, a (node, label)
+    // count, and the (count desc, min label) top-1
+    "x200_lpa_communities" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                     FROM op a JOIN op b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+              e AS (SELECT pa AS src, pb AS dst FROM pr
+                    UNION ALL SELECT pb, pa FROM pr),
+              l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+              c1 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                     FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+              l1 AS (SELECT node, lbl FROM (
+                       SELECT node, lbl, row_number() OVER
+                         (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+                       FROM c1) WHERE rn = 1),
+              c2 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                     FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+              l2 AS (SELECT node, lbl FROM (
+                       SELECT node, lbl, row_number() OVER
+                         (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+                       FROM c2) WHERE rn = 1),
+              c3 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                     FROM e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2),
+              l3 AS (SELECT node, lbl FROM (
+                       SELECT node, lbl, row_number() OVER
+                         (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+                       FROM c3) WHERE rn = 1)
+         SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
+         FROM l3 ORDER BY node""",
+
+    // the same row-granular watermark simulation, stated with one
+    // running-max window over arrival order
+    "x203_lateness_curve" ->
+      """WITH e AS (SELECT event_id,
+                           epoch_us(date_trunc('microseconds', ts)) AS ts_us
+                    FROM events),
+              a AS (SELECT event_id, ts_us,
+                           ts_us + (event_id % 7200) * 1000000 AS arr_us
+                    FROM e),
+              m AS (SELECT ts_us,
+                           COALESCE(MAX(ts_us) OVER (ORDER BY arr_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                             AS wm_base
+                    FROM a),
+              x AS (SELECT ts_us, wm_base,
+                           CAST(unnest([0, 1800, 3600, 7200]) AS BIGINT) AS delay_s
+                    FROM m)
+         SELECT CAST(delay_s AS BIGINT) AS delay_s,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CASE WHEN wm_base >= 0
+                               AND ts_us < wm_base - delay_s * 1000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                CAST(SUM(CASE WHEN wm_base >= 0
+                               AND ts_us < wm_base - delay_s * 1000000
+                              THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                  AS late_ppm
+         FROM x GROUP BY delay_s ORDER BY delay_s""",
+
     // the same lag → break-sum → island aggregate, restated
     "x194_streak_islands" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

@@ -3025,6 +3025,71 @@ object TrainingData {
         .orderBy("verdict")
     }),
 
+    // X227: blocking recall audit — x168 trusts sorted-neighborhood
+    // blocking (w = 3 successors per record) to surface the true
+    // matches; THIS row measures what that trust costs, the ER
+    // companion to x60's ANN recall audit. Ground truth comes from a
+    // deterministic 1-in-4 doc sample (the x167 statistical-read
+    // pattern): ALL same-lang pairs within the sample are scored with
+    // x168's exact comparators (source, |Δlen| ≤ 20, simhash ≤ 8) and
+    // pairs at the match threshold (≥ 4000 milli-log-odds) are truth.
+    // Candidates are the PRODUCTION blocking's pairs on the FULL
+    // corpus — so a sampled true pair separated by > w full-corpus
+    // neighbors counts as missed, exactly as it would be in
+    // production. Output per lang: truth size, hits, recall in ppm,
+    // and the full candidate count for cost context. Scale: the truth
+    // pass is O((n/K)²) per lang BY DESIGN — the sample rate K is the
+    // audit's budget knob (grow K as √corpus to hold the pair count);
+    // the candidate side stays the linear x168 plane.
+    "x202_blocking_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mxd = docs.agg(max("doc_id").as("__mxd"))
+      val slim = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .withColumn("blk", expr("n_chars div 200"))
+      val ranked = graft.util.ScalableRank.groupedRowNumber(
+          slim.crossJoin(broadcast(mxd))
+            .withColumn("__ok", col("n_chars") * (col("__mxd") + 1) + col("doc_id")),
+          Seq("lang", "blk"), "__ok", "rn")
+        .drop("__ok", "__mxd")
+        .join(Dedup.simhashMd5(docs), Seq("doc_id"))
+      val a = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_a"))
+      val b = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_b"))
+      // production candidates over the FULL corpus, canonical (lo, hi)
+      val cand = a.select(col("*"), explode(array(lit(1), lit(2), lit(3))).as("off"))
+        .join(b, col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b")
+          && col("rn_a") + col("off") === col("rn_b"))
+        .select(col("lang_a").as("lang"),
+          least(col("doc_id_a"), col("doc_id_b")).as("lo"),
+          greatest(col("doc_id_a"), col("doc_id_b")).as("hi"))
+        .distinct()
+      // sampled all-pairs truth at x168's match threshold
+      def score(sfx1: String, sfx2: String) =
+        (when(col("source" + sfx1) === col("source" + sfx2), 2197L).otherwise(-693L)
+          + when(abs(col("n_chars" + sfx1) - col("n_chars" + sfx2)) <= 20, 1386L)
+              .otherwise(-511L)
+          + when(bit_count(col("simhash" + sfx1)
+              .bitwiseXOR(col("simhash" + sfx2))) <= 8, 2996L).otherwise(-916L))
+      val sa = a.filter(pmod(col("doc_id_a"), lit(4L)) === 0)
+      val sb = b.filter(pmod(col("doc_id_b"), lit(4L)) === 0)
+      val truth = sa.join(sb, col("lang_a") === col("lang_b")
+          && col("doc_id_a") < col("doc_id_b"))
+        .filter(score("_a", "_b") >= 4000)
+        .select(col("lang_a").as("lang"),
+          col("doc_id_a").as("lo"), col("doc_id_b").as("hi"))
+      val hits = truth.join(cand, Seq("lang", "lo", "hi"), "left_semi")
+      val perLang = truth.groupBy("lang").agg(count(lit(1)).as("n_true"))
+        .join(hits.groupBy("lang").agg(count(lit(1)).as("n_hit")),
+          Seq("lang"), "left_outer")
+        .join(cand.groupBy("lang").agg(count(lit(1)).as("n_cand_full")),
+          Seq("lang"), "left_outer")
+      perLang.select(col("lang"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0) * 1000000 div n_true").as("recall_ppm"),
+          coalesce(col("n_cand_full"), lit(0L)).as("n_cand_full"))
+        .orderBy("lang")
+    }),
+
     // X194: first-occurrence n-gram novelty — the x73/x66 family's
     // ordering-aware member: how much of each document's 5-gram mass
     // is NEW relative to everything earlier in the corpus (doc_id
@@ -3402,6 +3467,43 @@ object TrainingData {
                  CAST(min(score) AS BIGINT) AS score_min,
                  CAST(max(score) AS BIGINT) AS score_max
           FROM v GROUP BY verdict ORDER BY verdict""",
+
+    // same features, candidate plane and comparator weights as x168;
+    // truth = all same-lang pairs within the 1-in-4 doc sample at the
+    // match threshold
+    "x202_blocking_recall" ->
+      s"""WITH $simhashSelect,
+          feat AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, s.simhash,
+                          d.n_chars // 200 AS blk,
+                          row_number() OVER (PARTITION BY d.lang, d.n_chars // 200
+                                             ORDER BY d.n_chars, d.doc_id) AS rn
+                   FROM documents d JOIN sims s USING (doc_id)),
+          cand AS (SELECT DISTINCT a.lang,
+                          least(a.doc_id, b.doc_id) AS lo,
+                          greatest(a.doc_id, b.doc_id) AS hi
+                   FROM feat a JOIN feat b
+                     ON a.lang = b.lang AND a.blk = b.blk
+                    AND b.rn - a.rn BETWEEN 1 AND 3),
+          truth AS (SELECT a.lang, a.doc_id AS lo, b.doc_id AS hi
+                    FROM feat a JOIN feat b
+                      ON a.lang = b.lang AND a.doc_id < b.doc_id
+                     AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
+                    WHERE CASE WHEN a.source = b.source THEN 2197 ELSE -693 END +
+                          CASE WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1386 ELSE -511 END +
+                          CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 8 THEN 2996 ELSE -916 END
+                            >= 4000),
+          h AS (SELECT t.lang, count(*) AS n_hit
+                FROM truth t JOIN cand c
+                  ON t.lang = c.lang AND t.lo = c.lo AND t.hi = c.hi
+                GROUP BY 1),
+          tl AS (SELECT lang, count(*) AS n_true FROM truth GROUP BY 1),
+          cl AS (SELECT lang, count(*) AS n_cand_full FROM cand GROUP BY 1)
+          SELECT tl.lang, CAST(n_true AS BIGINT) AS n_true,
+                 CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(n_hit, 0) * 1000000 // n_true AS BIGINT) AS recall_ppm,
+                 CAST(COALESCE(n_cand_full, 0) AS BIGINT) AS n_cand_full
+          FROM tl LEFT JOIN h USING (lang) LEFT JOIN cl USING (lang)
+          ORDER BY lang""",
 
     "x170_novelty" ->
       s"""WITH $tokCte,

@@ -1922,6 +1922,89 @@ object Warehouse {
         .orderBy("l_partkey")
     }),
 
+    // X224: partition-spec evolution — the lake-format fact every
+    // long-lived table hits: history was written partitioned by MONTH,
+    // the spec later evolved to DAY, and both layouts must serve one
+    // logical table with partition pruning reaching EACH epoch's own
+    // directory structure (Iceberg evolves specs this way; plain-path
+    // warehouses do it by hand exactly like this). The reader maps one
+    // date-range predicate onto each epoch's partition column — a
+    // month-string range on the old layout, a day-string range on the
+    // new — so both legs prune at the FILE LISTING (partitionFilters,
+    // spec-pinned with an unfiltered negative control), then unions the
+    // surviving data columns. At 100 TB the point is what does NOT
+    // happen: no rewrite of the month-era history to day grain, and no
+    // full-listing scan of either era — the query touches ~4 months of
+    // directories out of 7 years. Revenue in integer cents; the oracle
+    // is the same range stated directly against the unpartitioned
+    // table, so the hash proves the two-epoch read loses nothing at
+    // either boundary.
+    "x199_partition_evolution" -> ((s, d) => {
+      val root = scratch("partevol_orders", d)
+      val cut = lit("2001-01-01").cast("date")
+      val o = Tables.orders(s, d)
+        .withColumn("dt", col("o_orderdate").cast("date"))
+      // one file per partition directory (repartition on the partition
+      // key — the x138 discipline), month grain for the six-year
+      // history, day grain only for the evolved era
+      o.filter(col("dt") < cut)
+        .withColumn("o_month", date_format(col("dt"), "yyyy-MM"))
+        .repartition(col("o_month"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(root + "/m")
+      o.filter(col("dt") >= cut)
+        .withColumn("o_day", date_format(col("dt"), "yyyy-MM-dd"))
+        .repartition(col("o_day"))
+        .write.mode("overwrite").partitionBy("o_day").parquet(root + "/d")
+      // the logical predicate dt ∈ [2000-11-01, 2001-03-01), mapped
+      // onto each epoch's partition column (epoch 0 holds only
+      // pre-cutoff months, so the upper month bound is implied)
+      val leg0 = s.read.parquet(root + "/m")
+        .filter(col("o_month") >= "2000-11").drop("o_month")
+      val leg1 = s.read.parquet(root + "/d")
+        .filter(col("o_day") < "2001-03-01").drop("o_day")
+      leg0.unionByName(leg1)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // X226: schema evolution on read (mergeSchema) — the other half of
+    // X224's layout story: a column (`channel`) is ADDED to the table
+    // partway through its life, and the invariant that matters at
+    // 100 TB is that ZERO old files are rewritten — epoch-0 files
+    // simply lack the column and readers see NULL there. The gate
+    // writes both epochs (old schema / new schema), reads the single
+    // root with mergeSchema (at scale the table format's catalog holds
+    // the union schema and per-file footers are never re-listed), and
+    // aggregates revenue by COALESCE(channel, 'legacy') — the
+    // null-backfill read every additive migration relies on. The
+    // oracle derives the same channel from the date cutover directly,
+    // so the hash proves the merged read classifies every row exactly
+    // as the migration intended (no row lost or double-bucketed at the
+    // schema boundary). Spec pins that epoch 0 alone has NO channel
+    // column while the merged read does.
+    "x201_schema_merge_read" -> ((s, d) => {
+      val root = scratch("schemaevo_orders", d)
+      val cut = lit("2000-01-01").cast("date")
+      val o = Tables.orders(s, d)
+        .withColumn("dt", col("o_orderdate").cast("date"))
+      o.filter(col("dt") < cut)
+        .write.mode("overwrite").parquet(root + "/e0")
+      o.filter(col("dt") >= cut)
+        .withColumn("channel",
+          expr("CASE o_orderkey % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'store' ELSE 'app' END"))
+        .write.mode("overwrite").parquet(root + "/e1")
+      s.read.option("mergeSchema", "true")
+        .parquet(root + "/e0", root + "/e1")
+        .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("channel")
+    }),
+
     // X221: largest-remainder (Hamilton) integer apportionment — the
     // budget/quota allocation op every planning mart needs: split a
     // FIXED integer budget (10,000 units) across nations proportional
@@ -2030,6 +2113,32 @@ object Warehouse {
          FROM rc FULL OUTER JOIN sd ON rc.pk = sd.pk
                  LEFT JOIN m ON COALESCE(rc.pk, sd.pk) = m.pk
          ORDER BY l_partkey""",
+
+    // the merged-schema read must classify every row exactly as the
+    // date-cutover migration intended
+    "x201_schema_merge_read" ->
+      """WITH o AS (SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+                               THEN 'legacy'
+                               ELSE CASE o_orderkey % 3 WHEN 0 THEN 'web'
+                                                        WHEN 1 THEN 'store'
+                                                        ELSE 'app' END
+                          END AS channel,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                   FROM orders)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM o GROUP BY 1 ORDER BY channel""",
+
+    // the two-epoch partitioned read must equal the range stated
+    // directly against the unpartitioned table
+    "x199_partition_evolution" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '2000-11-01'
+           AND CAST(o_orderdate AS DATE) < DATE '2001-03-01'
+         GROUP BY 1 ORDER BY o_orderpriority""",
 
     // Hamilton apportionment unrolled: floors, then largest remainders
     "x196_lr_allocation" ->

@@ -50,7 +50,11 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     // over the NATIONS-grain share table (25 rows — the fact collapsed
     // map-combined to nation grain in its only shuffle), metadata-sized
     // at any corpus scale
-    "x196_lr_allocation")
+    "x196_lr_allocation",
+    // lateness curve: the un-partitioned prefix-max window runs over
+    // the HOUR-GRID bucket maxima (the x113/x121 bounded-grid class);
+    // the per-event running max is partitioned by that hour bucket
+    "x203_lateness_curve")
 
   /** Columns whose cardinality is bounded by the DOMAIN, not the data:
     * a Window partitioned ONLY by these puts a corpus-scale fraction in
