@@ -2647,6 +2647,35 @@ object Relational {
       graft.sources.BucketedLayout.bucketedJoinAgg(s)
     }),
 
+    // X232: bounded top-k via a typed Aggregator — top-5 orders by
+    // total per priority WITHOUT a window: the window form
+    // (row_number over PARTITION BY o_orderpriority) is exactly the
+    // hot-key straggler shape the surface lint bans — five partitions,
+    // each holding a fifth of the corpus, each sorted in one task —
+    // while [[graft.functions.TopKAgg]] keeps a 5-bounded buffer per
+    // group per PARTITION and merges: map-side partial aggregation
+    // caps the shuffle at k rows per group per input partition and no
+    // task sorts more than the buffers it merges. The registry's one
+    // typed-Aggregator (`functions.udaf`) face — the custom-AGGREGATE
+    // rung of the extension ladder beside the six codegen scalar
+    // Expressions. Total buffer order (cents desc, key asc) makes the
+    // result partitioning-independent; the oracle states the window
+    // form the aggregate replaces, so the hash proves equivalence.
+    "x207_topk_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("o_orderkey").as("id"))
+      o.groupBy("o_orderpriority")
+        .agg(graft.functions.TopKAgg.topk(5)(col("cents"), col("id"))
+          .as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rnk"),
+          col("col.id").as("o_orderkey"), col("col.cents").as("cents"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
     // X228: late-data loss curve — the third state-sizing audit beside
     // x186 (session gap) and x174 (dedup TTL): for candidate watermark
     // delays, how many events would a streaming job DROP as late?
@@ -2902,6 +2931,18 @@ object Relational {
                        FROM c3) WHERE rn = 1)
          SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl
          FROM l3 ORDER BY node""",
+
+    // the window form the bounded aggregate replaces — hash equality
+    // proves the Aggregator's merge is the same total order
+    "x207_topk_agg" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                    FROM orders),
+              r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                                 ORDER BY cents DESC, o_orderkey) AS rn
+                    FROM o)
+         SELECT o_orderpriority, CAST(rn AS INT) AS rnk, o_orderkey, cents
+         FROM r WHERE rn <= 5 ORDER BY o_orderpriority, rnk""",
 
     // the same row-granular watermark simulation, stated with one
     // running-max window over arrival order

@@ -3090,6 +3090,76 @@ object TrainingData {
         .orderBy("lang")
     }),
 
+    // X229: vocabulary drift audit — the TEXT companion to x113's
+    // numeric KS drift: has the corpus's token distribution moved
+    // between the first and second ingest half (doc_id order = ingest
+    // order)? Report the top-20 movers among the 200 globally most
+    // frequent tokens, each half's frequency in exact ppm of that
+    // half's total token mass. Composition drift (a crawl source
+    // turning on, a language mix shifting) shows up here before any
+    // per-document quality score moves — the read that decides whether
+    // a tokenizer/mixture retrain is due. Shuffle structure: one
+    // explode to token occurrences, three map-combined aggregates
+    // (half totals, global top-200 via TakeOrderedAndProject, per-half
+    // counts for the broadcast top set); the mover rank orders a
+    // 200-row frame. Integer ppm throughout; ties broken by token so
+    // both limits are total orders.
+    "x204_vocab_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mxd = docs.agg(max("doc_id").as("__mxd"))
+      val toks = docs.crossJoin(broadcast(mxd))
+        .select(when(col("doc_id") * 2 <= col("__mxd"), "a").otherwise("b")
+            .as("half"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      val tot = toks.groupBy("half").agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("half") === "a", col("n"))).as("na"),
+          sum(when(col("half") === "b", col("n"))).as("nb"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("tok")).limit(200).select("tok")
+      val cnt = toks.join(broadcast(top), Seq("tok"))
+        .groupBy("half", "tok").agg(count(lit(1)).as("cnt"))
+      top
+        .join(cnt.filter(col("half") === "a")
+          .select(col("tok"), col("cnt").as("ca")), Seq("tok"), "left_outer")
+        .join(cnt.filter(col("half") === "b")
+          .select(col("tok"), col("cnt").as("cb")), Seq("tok"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .withColumn("ppm_early", expr("coalesce(ca, 0) * 1000000 div na"))
+        .withColumn("ppm_late", expr("coalesce(cb, 0) * 1000000 div nb"))
+        .withColumn("delta_ppm", abs(col("ppm_early") - col("ppm_late")))
+        .orderBy(desc("delta_ppm"), col("tok")).limit(20)
+        .select("tok", "ppm_early", "ppm_late", "delta_ppm")
+    }),
+
+    // X230: training-mix sampling rates — the decision procedure that
+    // consumes x66's DSIR-style weights and x30/x31's samplers: given a
+    // token budget (1M) and a stated mix policy (equal representation
+    // per source — the uniform baseline the DoReMi family perturbs),
+    // derive each source's sampling rate in ppm and, where a source is
+    // SMALLER than its target, the upsampling factor (×100) — the two
+    // numbers a mixture dataloader is configured with. All integer
+    // arithmetic off one map-combined (source, token-count) aggregate;
+    // everything after is sources-sized metadata. At 100 TB this is
+    // the table a curation run publishes beside the corpus manifest.
+    "x205_mix_rates" -> ((s, d) => {
+      val avail = Tables.documents(s, d)
+        .select(col("source"),
+          size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
+            .as("ntok"))
+        .groupBy("source").agg(sum("ntok").as("avail_tokens"))
+      val ns = avail.agg(count(lit(1)).as("n_sources"))
+      avail.crossJoin(broadcast(ns))
+        .withColumn("target_tokens", expr("1000000 div n_sources"))
+        .withColumn("rate_ppm",
+          expr("least(1000000L, target_tokens * 1000000 div avail_tokens)"))
+        .withColumn("upsample_x100",
+          expr("CASE WHEN avail_tokens < target_tokens " +
+               "THEN target_tokens * 100 div avail_tokens ELSE 100L END"))
+        .select("source", "avail_tokens", "target_tokens", "rate_ppm",
+          "upsample_x100")
+        .orderBy("source")
+    }),
+
     // X194: first-occurrence n-gram novelty — the x73/x66 family's
     // ordering-aware member: how much of each document's 5-gram mass
     // is NEW relative to everything earlier in the corpus (doc_id
@@ -3467,6 +3537,51 @@ object TrainingData {
                  CAST(min(score) AS BIGINT) AS score_min,
                  CAST(max(score) AS BIGINT) AS score_max
           FROM v GROUP BY verdict ORDER BY verdict""",
+
+    // the same half split, top-200 cut and ppm arithmetic, restated
+    "x204_vocab_drift" ->
+      """WITH t AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                    FROM documents),
+              h AS (SELECT CASE WHEN doc_id * 2 <= (SELECT max(doc_id) FROM documents)
+                                THEN 'a' ELSE 'b' END AS half, tok
+                    FROM t),
+              tot AS (SELECT CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                             CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                      FROM h),
+              top AS (SELECT tok FROM (
+                        SELECT tok, count(*) AS c FROM h GROUP BY 1
+                        ORDER BY c DESC, tok LIMIT 200)),
+              c AS (SELECT half, tok, count(*) AS cnt FROM h
+                    WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2),
+              p AS (SELECT top.tok,
+                           COALESCE((SELECT cnt FROM c WHERE c.half = 'a' AND c.tok = top.tok), 0)
+                             * 1000000 // (SELECT na FROM tot) AS ppm_early,
+                           COALESCE((SELECT cnt FROM c WHERE c.half = 'b' AND c.tok = top.tok), 0)
+                             * 1000000 // (SELECT nb FROM tot) AS ppm_late
+                    FROM top)
+         SELECT tok, CAST(ppm_early AS BIGINT) AS ppm_early,
+                CAST(ppm_late AS BIGINT) AS ppm_late,
+                CAST(abs(ppm_early - ppm_late) AS BIGINT) AS delta_ppm
+         FROM p ORDER BY delta_ppm DESC, tok LIMIT 20""",
+
+    // uniform mix policy: target = budget div n_sources, rate capped
+    // at 1e6 ppm, upsampling factor where the source is short
+    "x205_mix_rates" ->
+      """WITH a AS (SELECT source,
+                           CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+                             AS avail_tokens
+                    FROM documents GROUP BY 1),
+              n AS (SELECT count(*) AS n_sources FROM a)
+         SELECT source, avail_tokens,
+                CAST(1000000 // (SELECT n_sources FROM n) AS BIGINT) AS target_tokens,
+                CAST(least(1000000,
+                     (1000000 // (SELECT n_sources FROM n)) * 1000000 // avail_tokens)
+                  AS BIGINT) AS rate_ppm,
+                CAST(CASE WHEN avail_tokens < 1000000 // (SELECT n_sources FROM n)
+                          THEN (1000000 // (SELECT n_sources FROM n)) * 100 // avail_tokens
+                          ELSE 100 END AS BIGINT) AS upsample_x100
+         FROM a ORDER BY source""",
 
     // same features, candidate plane and comparator weights as x168;
     // truth = all same-lang pairs within the 1-in-4 doc sample at the

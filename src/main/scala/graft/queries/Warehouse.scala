@@ -2005,6 +2005,43 @@ object Warehouse {
         .orderBy("channel")
     }),
 
+    // X231: snapshot-retention audit — the maintenance decision beside
+    // x157's time travel: which delta versions can be EXPIRED
+    // (compacted away) without losing any reachable row? A version's
+    // file is expire-safe exactly when every image in it is SUPERSEDED
+    // by a later image of the same key — the rule Iceberg's
+    // expire_snapshots applies to manifests, restated at row grain
+    // over the same deterministic v0/v1/v2 delta construction x157
+    // time-travels (updates, tombstones, late inserts). One
+    // keys-grain max-version aggregate + one join classifies every
+    // image; output is versions-sized. At 100 TB this audit is what
+    // stops retention jobs from folding a version whose tombstones
+    // are still the ONLY record that a key died — a tombstone is live
+    // until a later image (or compaction) restates the key's fate,
+    // which is why n_live counts it like any other image.
+    "x206_version_retention" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      val imgs = o.select(lit(0).as("version"), k.as("k"))
+        .unionByName(o.filter(pmod(k, lit(7L)) === 3 && pmod(k, lit(13L)) =!= 2)
+          .select(lit(1).as("version"), k.as("k")))
+        .unionByName(o.filter(pmod(k, lit(13L)) === 2)
+          .select(lit(1).as("version"), k.as("k")))
+        .unionByName(o.filter(pmod(k, lit(19L)) === 4 && pmod(k, lit(13L)) =!= 2)
+          .select(lit(2).as("version"), k.as("k")))
+        .unionByName(o.filter(pmod(k, lit(17L)) === 1)
+          .select(lit(2).as("version"), (k + 20000000L).as("k")))
+      val latest = imgs.groupBy("k").agg(max("version").as("mxv"))
+      imgs.join(latest, Seq("k"))
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("version") < col("mxv"), 1L).otherwise(0L))
+            .as("n_superseded"))
+        .withColumn("n_live", col("n_images") - col("n_superseded"))
+        .withColumn("expire_safe", (col("n_live") === 0).cast("int"))
+        .orderBy("version")
+    }),
+
     // X221: largest-remainder (Hamilton) integer apportionment — the
     // budget/quota allocation op every planning mart needs: split a
     // FIXED integer budget (10,000 units) across nations proportional
@@ -2113,6 +2150,26 @@ object Warehouse {
          FROM rc FULL OUTER JOIN sd ON rc.pk = sd.pk
                  LEFT JOIN m ON COALESCE(rc.pk, sd.pk) = m.pk
          ORDER BY l_partkey""",
+
+    // the same v0/v1/v2 image construction as x157, classified by
+    // per-key latest version
+    "x206_version_retention" ->
+      """WITH b AS (SELECT o_orderkey AS k FROM orders),
+              i AS (SELECT 0 AS version, k FROM b
+                    UNION ALL SELECT 1, k FROM b WHERE k % 7 = 3 AND k % 13 <> 2
+                    UNION ALL SELECT 1, k FROM b WHERE k % 13 = 2
+                    UNION ALL SELECT 2, k FROM b WHERE k % 19 = 4 AND k % 13 <> 2
+                    UNION ALL SELECT 2, k + 20000000 FROM b WHERE k % 17 = 1),
+              m AS (SELECT k, max(version) AS mxv FROM i GROUP BY 1)
+         SELECT i.version,
+                CAST(count(*) AS BIGINT) AS n_images,
+                CAST(SUM(CASE WHEN i.version < m.mxv THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_superseded,
+                CAST(count(*) - SUM(CASE WHEN i.version < m.mxv THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_live,
+                CAST(CASE WHEN count(*) = SUM(CASE WHEN i.version < m.mxv THEN 1 ELSE 0 END)
+                          THEN 1 ELSE 0 END AS INT) AS expire_safe
+         FROM i JOIN m USING (k) GROUP BY i.version ORDER BY version""",
 
     // the merged-schema read must classify every row exactly as the
     // date-cutover migration intended
