@@ -217,7 +217,12 @@ object Bench {
     // them gives each a clean early slot so warm_min stays the
     // exception, not a standing state for the same rows every round.
     val front = Seq("x81_prefix_pairs", "x96_contam_spread", "x170_novelty",
-      "x6_simhash_neardups", "x70_dedup_agreement")
+      "x6_simhash_neardups", "x70_dedup_agreement",
+      // the multi-micro-batch streaming lifecycles + the layout-writing
+      // gates — the other rows whose samples suffer most under
+      // end-of-pass budget pressure
+      "x192_stream_join", "x200_lpa_communities", "x199_partition_evolution",
+      "x198_stream_dedup", "x191_stream_sessions", "x190_stream_tumbling")
     val base = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val names = front.filter(base.contains) ++ base.filterNot(front.toSet)

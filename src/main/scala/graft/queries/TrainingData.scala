@@ -3131,6 +3131,41 @@ object TrainingData {
         .select("tok", "ppm_early", "ppm_late", "delta_ppm")
     }),
 
+    // X235: embedding-distribution drift — x204's companion for the
+    // VECTOR modality: per dimension, the fixed-point mean over the
+    // first ingest half vs the second (vec_id order = ingest order),
+    // in exact micro-units. A per-dim mean shift is the cheapest
+    // detector for encoder-version skew (half the corpus embedded
+    // with model v1, half with v2 — the silent failure that poisons
+    // every ANN index built on the mix); it reads hot before recall
+    // audits (x60) go red. One explode + one dim-keyed map-combined
+    // aggregate (64-row output); integer means use the sign·(abs div
+    // n) form — Spark's div truncates while DuckDB's // floors, and
+    // embedding sums go negative (the x188 division lesson applied).
+    "x210_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mx = e.agg(max("vec_id").as("__mx"))
+      val el = e.crossJoin(broadcast(mx))
+        .select(when(col("vec_id") * 2 <= col("__mx"), "a").otherwise("b")
+            .as("half"),
+          posexplode(col("embedding")))
+        .select(col("half"), (col("pos") + 1).as("dim"),
+          expr("cast(round(cast(col as double) * 1000000) as bigint)").as("q"))
+      el.groupBy("dim")
+        .agg(sum(when(col("half") === "a", col("q"))).as("sa"),
+          sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === "b", col("q"))).as("sb"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+        .select(col("dim"),
+          expr("CASE WHEN sa >= 0 THEN sa div na ELSE -((-sa) div na) END")
+            .as("mean_a_micro"),
+          expr("CASE WHEN sb >= 0 THEN sb div nb ELSE -((-sb) div nb) END")
+            .as("mean_b_micro"))
+        .withColumn("drift_micro",
+          abs(col("mean_a_micro") - col("mean_b_micro")))
+        .orderBy("dim")
+    }),
+
     // X230: training-mix sampling rates — the decision procedure that
     // consumes x66's DSIR-style weights and x30/x31's samplers: given a
     // token budget (1M) and a stated mix policy (equal representation
@@ -3564,6 +3599,32 @@ object TrainingData {
                 CAST(ppm_late AS BIGINT) AS ppm_late,
                 CAST(abs(ppm_early - ppm_late) AS BIGINT) AS delta_ppm
          FROM p ORDER BY delta_ppm DESC, tok LIMIT 20""",
+
+    // per-dim fixed-point means with the sign-normalized integer
+    // division (Spark div truncates, DuckDB // floors)
+    "x210_embedding_drift" ->
+      """WITH e AS (SELECT vec_id,
+                           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+                           unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+              h AS (SELECT CASE WHEN vec_id * 2 <= (SELECT max(vec_id) FROM embeddings)
+                                THEN 'a' ELSE 'b' END AS half, dim, q
+                    FROM e),
+              g AS (SELECT dim,
+                           SUM(CASE WHEN half = 'a' THEN q END) AS sa,
+                           SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+                           SUM(CASE WHEN half = 'b' THEN q END) AS sb,
+                           SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+                    FROM h GROUP BY 1),
+              m AS (SELECT dim,
+                           CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END AS mean_a_micro,
+                           CASE WHEN sb >= 0 THEN sb // nb ELSE -((-sb) // nb) END AS mean_b_micro
+                    FROM g)
+         SELECT CAST(dim AS BIGINT) AS dim,
+                CAST(mean_a_micro AS BIGINT) AS mean_a_micro,
+                CAST(mean_b_micro AS BIGINT) AS mean_b_micro,
+                CAST(abs(mean_a_micro - mean_b_micro) AS BIGINT) AS drift_micro
+         FROM m ORDER BY dim""",
 
     // uniform mix policy: target = budget div n_sources, rate capped
     // at 1e6 ppm, upsampling factor where the source is short

@@ -2042,6 +2042,70 @@ object Warehouse {
         .orderBy("version")
     }),
 
+    // X233: referential pseudonymization — the governance op between
+    // x139's k-anonymity and x141's deletion sweep: replace a PII key
+    // with a deterministic salted-hash token IN EVERY TABLE THAT
+    // CARRIES IT, so analytics keep joining while the raw key leaves
+    // the analytical zone. The property that matters (and the one
+    // ad-hoc per-table hashing silently breaks by salting per table)
+    // is REFERENTIAL CONSISTENCY: the same key maps to the same token
+    // on both sides. The gate tokenizes customer.c_custkey and
+    // orders.o_custkey with the same salted md5 (a codegen'd map — no
+    // UDF), re-joins ON THE TOKENS, and rolls revenue up by segment;
+    // the oracle computes the identical rollup over the PLAIN key
+    // join, so hash equality proves the pseudonymized join neither
+    // drops nor duplicates a single row (token collisions or salt
+    // drift would both break it). At 100 TB tokenization is one
+    // map-side projection per table; the token join shuffles exactly
+    // like the key join it replaces. Real deployments swap md5 for
+    // keyed HMAC/FPE — the salt is the stand-in for the key-management
+    // half, which is policy, not plan shape.
+    "x208_pseudonymize" -> ((s, d) => {
+      def token(c: org.apache.spark.sql.Column) =
+        md5(concat(lit("graft_pii_salt_v1:"), c.cast("string")))
+      val cust = Tables.customer(s, d)
+        .select(token(col("c_custkey")).as("cust_token"), col("c_mktsegment"))
+      val ord = Tables.orders(s, d)
+        .select(token(col("o_custkey")).as("cust_token"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      ord.join(cust, Seq("cust_token"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // X234: column-group correlation audit — the independence
+    // assumption x187's System-R estimate leans on, tested per column
+    // pair: ndv(a,b) · 10⁶ div (ndv(a) · ndv(b)) in ppm. A ratio near
+    // 10⁶ means the columns fill their cross product (independent —
+    // the CBO's multiplication is safe); a small ratio means
+    // correlation, exactly where selectivity products go wrong and a
+    // column-GROUP statistic (or x176's histogram) must replace them.
+    // Three stated pairs over orders; each pair is its own aggregate
+    // over a scan PRUNED to its two columns, so the multi-distinct
+    // Expand only triples a two-column projection (bounded — what the
+    // x85 lesson bans is Expand over full rows); outputs are 1-row
+    // each. At 100 TB these run at ANALYZE cadence next to x85's
+    // per-column stats, with HLL sketches replacing exact distincts at
+    // profile scale (the x85 convention).
+    "x209_column_correlation" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate").cast("date")).cast("long"))
+      def pair(name: String, a: String, b: String): DataFrame =
+        o.select(col(a).cast("string").as("a"), col(b).cast("string").as("b"))
+          .agg(countDistinct("a").as("ndv_a"),
+            countDistinct("b").as("ndv_b"),
+            countDistinct(struct(col("a"), col("b"))).as("ndv_ab"))
+          .select(lit(name).as("pair"), col("ndv_a"), col("ndv_b"),
+            col("ndv_ab"),
+            expr("ndv_ab * 1000000 div (ndv_a * ndv_b)").as("fill_ppm"))
+      pair("priority_x_status", "o_orderpriority", "o_orderstatus")
+        .unionByName(pair("priority_x_year", "o_orderpriority", "o_year"))
+        .unionByName(pair("status_x_year", "o_orderstatus", "o_year"))
+        .orderBy("pair")
+    }),
+
     // X221: largest-remainder (Hamilton) integer apportionment — the
     // budget/quota allocation op every planning mart needs: split a
     // FIXED integer budget (10,000 units) across nations proportional
@@ -2150,6 +2214,39 @@ object Warehouse {
          FROM rc FULL OUTER JOIN sd ON rc.pk = sd.pk
                  LEFT JOIN m ON COALESCE(rc.pk, sd.pk) = m.pk
          ORDER BY l_partkey""",
+
+    // the PLAIN-key join the pseudonymized join must reproduce exactly
+    "x208_pseudonymize" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                  AS revenue_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+
+    // exact pairwise ndv ratios, one mini-aggregate per stated pair
+    "x209_column_correlation" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderstatus,
+                           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year
+                    FROM orders),
+              p1 AS (SELECT 'priority_x_status' AS pair,
+                            CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv_a,
+                            CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_b,
+                            CAST(count(DISTINCT (o_orderpriority, o_orderstatus)) AS BIGINT) AS ndv_ab
+                     FROM o),
+              p2 AS (SELECT 'priority_x_year',
+                            CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                            CAST(count(DISTINCT o_year) AS BIGINT),
+                            CAST(count(DISTINCT (o_orderpriority, o_year)) AS BIGINT)
+                     FROM o),
+              p3 AS (SELECT 'status_x_year',
+                            CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                            CAST(count(DISTINCT o_year) AS BIGINT),
+                            CAST(count(DISTINCT (o_orderstatus, o_year)) AS BIGINT)
+                     FROM o),
+              u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+         SELECT pair, ndv_a, ndv_b, ndv_ab,
+                CAST(ndv_ab * 1000000 // (ndv_a * ndv_b) AS BIGINT) AS fill_ppm
+         FROM u ORDER BY pair""",
 
     // the same v0/v1/v2 image construction as x157, classified by
     // per-key latest version

@@ -77,6 +77,55 @@ class R12eTrancheSpec extends SparkSpecBase {
     assert(base.toSeq == re.toSeq, "merge must be partitioning-independent")
   }
 
+  test("x208: tokenization is a per-table bijection; the token join carries the key join's rows") {
+    def token(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("graft_pii_salt_v1:"), c.cast("string")))
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    assert(cust.select(token(col("c_custkey"))).distinct().count() ==
+           cust.select("c_custkey").distinct().count(),
+      "token collision on customer keys would merge identities")
+    assert(ord.select(token(col("o_custkey"))).distinct().count() ==
+           ord.select("o_custkey").distinct().count(),
+      "token collision on order FKs would merge customers")
+    val plainRows = ord.join(cust, col("o_custkey") === col("c_custkey")).count()
+    assert(run("x208_pseudonymize").agg(sum("n_orders")).collect()(0).getLong(0)
+      == plainRows, "the pseudonymized join must carry exactly the key join's rows")
+  }
+
+  test("x209: ndv algebra — max(ndv_a, ndv_b) ≤ ndv_ab ≤ ndv_a·ndv_b; fill ≤ 1e6") {
+    val rows = run("x209_column_correlation").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (a, b, ab, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ab <= a * b && ab >= math.max(a, b),
+        "pairwise ndv must sit between max and product of the marginals")
+      assert(ppm == ab * 1000000L / (a * b) && ppm <= 1000000L)
+    }
+  }
+
+  test("x210: every dimension reports once; dim-1 means recompute from raw sums") {
+    val rows = run("x210_embedding_drift").collect()
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).distinct().collect()(0).getInt(0)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to dims),
+      "one row per dimension, dense and ordered")
+    rows.foreach(r => assert(r.getLong(3) == math.abs(r.getLong(1) - r.getLong(2))))
+    // independent recompute of dimension 1's two means
+    val e = Tables.embeddings(spark, sfDir)
+    val mx = e.agg(max("vec_id")).collect()(0).getLong(0)
+    def mean(early: Boolean): Long = {
+      val rs = e.filter(if (early) col("vec_id") * 2 <= mx else col("vec_id") * 2 > mx)
+        .select(expr("cast(round(cast(embedding[0] as double) * 1000000) as bigint)").as("q"))
+        .agg(sum("q"), count(lit(1))).collect()(0)
+      val (s0, n) = (rs.getLong(0), rs.getLong(1))
+      if (s0 >= 0) s0 / n else -((-s0) / n)
+    }
+    assert(rows.head.getLong(1) == mean(true) && rows.head.getLong(2) == mean(false),
+      "dim-1 fixed-point means must recompute from raw element sums")
+  }
+
   test("x206: v2 is never superseded; expire_safe ⟺ zero live; v0 covers every order") {
     val rows = run("x206_version_retention").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
