@@ -49,19 +49,18 @@ object Cdc {
     }
   }
 
-  /** Stage the three x190/x191 micro-batch files with strictly
-    * ascending mtimes (b0 < b1 < sentinel), anchored at "now" so the
-    * file source's maxFileAge window is irrelevant. */
+  /** Stage micro-batch files (b0, b1, …) with strictly ascending
+    * mtimes, anchored at "now" so the file source's maxFileAge window
+    * is irrelevant. ONE definition for all four streaming gates
+    * (x190/x191/x192/x198) — the mtime-laddering discipline is the
+    * part that must stay in lockstep across them. */
   private def stageStreamBatches(s: org.apache.spark.sql.SparkSession,
-                                 in: String, b0: DataFrame, b1: DataFrame,
-                                 sentinel: DataFrame): Unit = {
-    b0.coalesce(1).write.parquet(in + "/b0")
-    b1.coalesce(1).write.parquet(in + "/b1")
-    sentinel.coalesce(1).write.parquet(in + "/b2")
+                                 in: String, batches: Seq[DataFrame]): Unit = {
     val base = System.currentTimeMillis()
-    stampMtime(s, in + "/b0", base)
-    stampMtime(s, in + "/b1", base + 60000L)
-    stampMtime(s, in + "/b2", base + 120000L)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.parquet(s"$in/b$i")
+      stampMtime(s, s"$in/b$i", base + i * 60000L)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,7 +146,7 @@ object Cdc {
         .withColumn("ts", col("ts").cast("timestamp"))
       // two data batches (cross-batch window state) + the watermark
       // sentinel, delivered strictly last via explicit mtime stamps
-      stageStreamBatches(s, in,
+      stageStreamBatches(s, in, Seq(
         ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 =!= 0),
         ev.orderBy(desc("ts")).limit(1)
@@ -155,7 +154,7 @@ object Cdc {
             lit("__sentinel").as("event_type"),
             (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
             lit(0.0).as("value"))
-          .select(ev.columns.map(col): _*))
+          .select(ev.columns.map(col): _*)))
       val q = graft.streaming.EventAggregates.tumblingCounts(
           s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 day")
@@ -205,7 +204,7 @@ object Cdc {
       val out = scratch.toString + "/out"
       val ev = Tables.events(s, d).drop("props")
         .withColumn("ts", col("ts").cast("timestamp"))
-      stageStreamBatches(s, in,
+      stageStreamBatches(s, in, Seq(
         ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 =!= 0),
         ev.orderBy(desc("ts")).limit(1)
@@ -213,7 +212,7 @@ object Cdc {
             lit("__sentinel").as("event_type"),
             (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
             lit(0.0).as("value"))
-          .select(ev.columns.map(col): _*))
+          .select(ev.columns.map(col): _*)))
       val q = graft.streaming.EventAggregates.sessionized(
           s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 hour")
@@ -281,15 +280,12 @@ object Cdc {
       // split instant chosen so ≥1 attributed pair straddles the batch
       // boundary — see [[ssjMid]] (1-row metadata read, not data)
       val mid = ssjMid(imp, clk)
-      def stage(dir: String, df: DataFrame, tsCol: String): Unit = {
-        df.filter(col(tsCol) < lit(mid)).coalesce(1).write.parquet(dir + "/b0")
-        df.filter(col(tsCol) >= lit(mid)).coalesce(1).write.parquet(dir + "/b1")
-        val base = System.currentTimeMillis()
-        stampMtime(s, dir + "/b0", base)
-        stampMtime(s, dir + "/b1", base + 60000L)
-      }
-      stage(scratch.toString + "/imp", imp, "imp_ts")
-      stage(scratch.toString + "/clk", clk, "click_ts")
+      stageStreamBatches(s, scratch.toString + "/imp", Seq(
+        imp.filter(col("imp_ts") < lit(mid)),
+        imp.filter(col("imp_ts") >= lit(mid))))
+      stageStreamBatches(s, scratch.toString + "/clk", Seq(
+        clk.filter(col("click_ts") < lit(mid)),
+        clk.filter(col("click_ts") >= lit(mid))))
       val impS = s.readStream.schema(imp.schema)
         .option("maxFilesPerTrigger", 1).parquet(scratch.toString + "/imp/*")
       val clkS = s.readStream.schema(clk.schema)
@@ -338,11 +334,7 @@ object Cdc {
         .select((-col("doc_id")).as("doc_id"), col("text"),
           expr("timestamp_micros(946684800000000 + (1000000 + doc_id) * 1000000)")
             .as("ts"))
-      strm.coalesce(1).write.parquet(in + "/b0")
-      clones.coalesce(1).write.parquet(in + "/b1")
-      val base = System.currentTimeMillis()
-      stampMtime(s, in + "/b0", base)
-      stampMtime(s, in + "/b1", base + 60000L)
+      stageStreamBatches(s, in, Seq(strm, clones))
       val sread = s.readStream.schema(strm.schema)
         .option("maxFilesPerTrigger", 1).parquet(in + "/*")
       val q = graft.streaming.StreamDedup

@@ -160,6 +160,64 @@ object TrainingData {
        FROM masters JOIN mk USING (component) JOIN lm USING (component)
        JOIN sm USING (component) ORDER BY component"""
 
+  /** x168/x202 shared blocking-feature plane, pre-renamed into the _a
+    * and _b self-join sides. One definition so the recall audit (x202)
+    * can never drift from the scorer (x168) it audits.
+    *
+    * The per-block rank: a plain (lang, blk)-partitioned window puts
+    * each whole block in ONE task, and web corpora concentrate in a
+    * few (lang, short-length) blocks — a skew straggler at 100 TB.
+    * ScalableRank.groupedRowNumber sub-splits every block into
+    * monotone order-key ranges (max window partition ~|hot block|/256)
+    * and produces IDENTICAL rank values; the composite key
+    * n_chars·(max_doc+1)+doc_id encodes the (n_chars, doc_id) order as
+    * one unique integer (doc_id ≤ max_doc by construction). The rank
+    * input is a SLIM projection (the grouped rank evaluates its input
+    * in the stats pass AND the ranked pass — simhash's per-doc md5
+    * must not sit in that lineage); the signature joins in AFTER the
+    * rank. Deliberately NOT cached: AQE's exchange reuse already
+    * dedups the shuffled stages, and an explicit .cache() measured
+    * SLOWER (3.2 vs 2.0 s at sf0.1). */
+  private def linkageSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val mxd = docs.agg(max("doc_id").as("__mxd"))
+    val slim = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))
+      .withColumn("blk", expr("n_chars div 200"))
+    val ranked = graft.util.ScalableRank.groupedRowNumber(
+        slim.crossJoin(broadcast(mxd))
+          .withColumn("__ok", col("n_chars") * (col("__mxd") + 1) + col("doc_id")),
+        Seq("lang", "blk"), "__ok", "rn")
+      .drop("__ok", "__mxd")
+      .join(Dedup.simhashMd5(docs), Seq("doc_id"))
+    (ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_a")),
+     ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_b")))
+  }
+
+  /** The Fellegi-Sunter comparator sum (integer milli-log-odds) over a
+    * renamed pair — the ONE definition of the x168 match weights,
+    * shared with x202's ground truth. */
+  private def linkageScore(sfx1: String, sfx2: String): org.apache.spark.sql.Column =
+    when(col("source" + sfx1) === col("source" + sfx2), 2197L).otherwise(-693L) +
+      when(abs(col("n_chars" + sfx1) - col("n_chars" + sfx2)) <= 20, 1386L)
+        .otherwise(-511L) +
+      when(bit_count(col("simhash" + sfx1)
+        .bitwiseXOR(col("simhash" + sfx2))) <= 8, 2996L).otherwise(-916L)
+
+  // the same two definitions for the oracles: the ranked feature CTE
+  // (window form — single-node DuckDB needs no sub-splitting) and the
+  // comparator sum, interpolated into BOTH x168's and x202's SQL
+  private val linkageFeatCte: String =
+    """feat AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, s.simhash,
+                       d.n_chars // 200 AS blk,
+                       row_number() OVER (PARTITION BY d.lang, d.n_chars // 200
+                                          ORDER BY d.n_chars, d.doc_id) AS rn
+                FROM documents d JOIN sims s USING (doc_id))"""
+  private val linkageScoreSql: String =
+    """CASE WHEN a.source = b.source THEN 2197 ELSE -693 END +
+       CASE WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1386 ELSE -511 END +
+       CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 8 THEN 2996 ELSE -916 END"""
+
   // md5-parity simhash, generated from the same bit count as Dedup.simhashMd5
   private val simhashSelect: String = {
     val votes = (0 until 32).map(j =>
@@ -2977,44 +3035,12 @@ object TrainingData {
     // partition ~|hot block|/256 — the r11 verdict's skew-straggler
     // item, closed with identical rank values).
     "x168_linkage_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // the per-block rank: a plain (lang, blk)-partitioned window puts
-      // each whole block in ONE task, and web corpora concentrate in a
-      // few (lang, short-length) blocks — a skew straggler at 100 TB.
-      // ScalableRank.groupedRowNumber sub-splits every block into
-      // monotone order-key ranges (max window partition ~|hot block|/256)
-      // and produces IDENTICAL rank values; the composite key
-      // n_chars·(max_doc+1)+doc_id encodes the (n_chars, doc_id) order
-      // as one unique integer (doc_id ≤ max_doc by construction).
-      val mxd = docs.agg(max("doc_id").as("__mxd"))
-      // rank a SLIM projection (the grouped rank evaluates its input in
-      // the stats pass AND the ranked pass — simhash's per-doc md5 must
-      // not sit in that lineage), then join the signature after the
-      // rank. Deliberately NOT cached: the a/b self-join re-reads the
-      // lineage, but AQE's exchange reuse already dedups the shuffled
-      // stages, and an explicit .cache() measured SLOWER (3.2 vs 2.0 s
-      // at sf0.1 — materialization cost without a second scan saved)
-      val slim = docs.select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"))
-        .withColumn("blk", expr("n_chars div 200"))
-      val ranked = graft.util.ScalableRank.groupedRowNumber(
-          slim.crossJoin(broadcast(mxd))
-            .withColumn("__ok", col("n_chars") * (col("__mxd") + 1) + col("doc_id")),
-          Seq("lang", "blk"), "__ok", "rn")
-        .drop("__ok", "__mxd")
-        .join(Dedup.simhashMd5(docs), Seq("doc_id"))
-      val a = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_a"))
-      val b = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_b"))
+      val (a, b) = linkageSides(s, d)
       a.select(col("*"), explode(array(lit(1), lit(2), lit(3))).as("off"))
         .join(b, col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b")
           && col("rn_a") + col("off") === col("rn_b"))
         .select(col("doc_id_a"), col("doc_id_b"),
-          when(col("source_a") === col("source_b"), 2197L).otherwise(-693L).as("w_src"),
-          when(abs(col("n_chars_a") - col("n_chars_b")) <= 20, 1386L)
-            .otherwise(-511L).as("w_len"),
-          when(bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))) <= 8, 2996L)
-            .otherwise(-916L).as("w_sim"))
-        .withColumn("score", col("w_src") + col("w_len") + col("w_sim"))
+          linkageScore("_a", "_b").as("score"))
         .withColumn("verdict",
           when(col("score") >= 4000, "match")
             .when(col("score") >= 1000, "possible")
@@ -3042,19 +3068,7 @@ object TrainingData {
     // audit's budget knob (grow K as √corpus to hold the pair count);
     // the candidate side stays the linear x168 plane.
     "x202_blocking_recall" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val mxd = docs.agg(max("doc_id").as("__mxd"))
-      val slim = docs.select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"))
-        .withColumn("blk", expr("n_chars div 200"))
-      val ranked = graft.util.ScalableRank.groupedRowNumber(
-          slim.crossJoin(broadcast(mxd))
-            .withColumn("__ok", col("n_chars") * (col("__mxd") + 1) + col("doc_id")),
-          Seq("lang", "blk"), "__ok", "rn")
-        .drop("__ok", "__mxd")
-        .join(Dedup.simhashMd5(docs), Seq("doc_id"))
-      val a = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_a"))
-      val b = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_b"))
+      val (a, b) = linkageSides(s, d)
       // production candidates over the FULL corpus, canonical (lo, hi)
       val cand = a.select(col("*"), explode(array(lit(1), lit(2), lit(3))).as("off"))
         .join(b, col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b")
@@ -3064,17 +3078,11 @@ object TrainingData {
           greatest(col("doc_id_a"), col("doc_id_b")).as("hi"))
         .distinct()
       // sampled all-pairs truth at x168's match threshold
-      def score(sfx1: String, sfx2: String) =
-        (when(col("source" + sfx1) === col("source" + sfx2), 2197L).otherwise(-693L)
-          + when(abs(col("n_chars" + sfx1) - col("n_chars" + sfx2)) <= 20, 1386L)
-              .otherwise(-511L)
-          + when(bit_count(col("simhash" + sfx1)
-              .bitwiseXOR(col("simhash" + sfx2))) <= 8, 2996L).otherwise(-916L))
       val sa = a.filter(pmod(col("doc_id_a"), lit(4L)) === 0)
       val sb = b.filter(pmod(col("doc_id_b"), lit(4L)) === 0)
       val truth = sa.join(sb, col("lang_a") === col("lang_b")
           && col("doc_id_a") < col("doc_id_b"))
-        .filter(score("_a", "_b") >= 4000)
+        .filter(linkageScore("_a", "_b") >= 4000)
         .select(col("lang_a").as("lang"),
           col("doc_id_a").as("lo"), col("doc_id_b").as("hi"))
       val hits = truth.join(cand, Seq("lang", "lo", "hi"), "left_semi")
@@ -3552,16 +3560,8 @@ object TrainingData {
 
     "x168_linkage_score" ->
       s"""WITH $simhashSelect,
-          feat AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, s.simhash,
-                          d.n_chars // 200 AS blk,
-                          row_number() OVER (PARTITION BY d.lang, d.n_chars // 200
-                                             ORDER BY d.n_chars, d.doc_id) AS rn
-                   FROM documents d JOIN sims s USING (doc_id)),
-          pairs AS (SELECT
-              CASE WHEN a.source = b.source THEN 2197 ELSE -693 END +
-              CASE WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1386 ELSE -511 END +
-              CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 8 THEN 2996 ELSE -916 END
-                AS score
+          $linkageFeatCte,
+          pairs AS (SELECT $linkageScoreSql AS score
             FROM feat a JOIN feat b
               ON a.lang = b.lang AND a.blk = b.blk
              AND b.rn - a.rn BETWEEN 1 AND 3),
@@ -3649,11 +3649,7 @@ object TrainingData {
     // match threshold
     "x202_blocking_recall" ->
       s"""WITH $simhashSelect,
-          feat AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, s.simhash,
-                          d.n_chars // 200 AS blk,
-                          row_number() OVER (PARTITION BY d.lang, d.n_chars // 200
-                                             ORDER BY d.n_chars, d.doc_id) AS rn
-                   FROM documents d JOIN sims s USING (doc_id)),
+          $linkageFeatCte,
           cand AS (SELECT DISTINCT a.lang,
                           least(a.doc_id, b.doc_id) AS lo,
                           greatest(a.doc_id, b.doc_id) AS hi
@@ -3664,10 +3660,7 @@ object TrainingData {
                     FROM feat a JOIN feat b
                       ON a.lang = b.lang AND a.doc_id < b.doc_id
                      AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
-                    WHERE CASE WHEN a.source = b.source THEN 2197 ELSE -693 END +
-                          CASE WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1386 ELSE -511 END +
-                          CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 8 THEN 2996 ELSE -916 END
-                            >= 4000),
+                    WHERE $linkageScoreSql >= 4000),
           h AS (SELECT t.lang, count(*) AS n_hit
                 FROM truth t JOIN cand c
                   ON t.lang = c.lang AND t.lo = c.lo AND t.hi = c.hi

@@ -22,7 +22,7 @@ object Warehouse {
   /** Deterministic scratch dir per SF for layout-dependent queries
     * (x138 writes a partitioned fact copy). Inside the repo's target/,
     * keyed by the SF dir so sf0.01 and sf0.1 runs never collide. */
-  private def scratch(tag: String, sfDir: String): String =
+  private[queries] def scratch(tag: String, sfDir: String): String =
     s"target/wh_${tag}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   /** Shared cascade leg of the X190 pair (gate form AND the bench's

@@ -38,7 +38,7 @@ class R12cTrancheSpec extends SparkSpecBase {
 
   test("x199: both epochs' scans prune at the partition listing (with unfiltered negative control)") {
     run("x199_partition_evolution").collect() // materializes the two layouts
-    val root = s"target/wh_partevol_orders_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val root = Warehouse.scratch("partevol_orders", sfDir)
     def pf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f

@@ -14,7 +14,7 @@ class R12dTrancheSpec extends SparkSpecBase {
   test("x201: epoch-0 files carry NO channel column; the merged read backfills null → 'legacy'") {
     val rows = run("x201_schema_merge_read").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val root = s"target/wh_schemaevo_orders_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val root = Warehouse.scratch("schemaevo_orders", sfDir)
     val e0 = spark.read.parquet(root + "/e0")
     assert(!e0.columns.contains("channel"),
       "the additive migration must not rewrite old files — epoch 0 keeps the old schema")

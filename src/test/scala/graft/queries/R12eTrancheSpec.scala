@@ -41,8 +41,12 @@ class R12eTrancheSpec extends SparkSpecBase {
       val (avail, target, rate, up) =
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       assert(rate <= 1000000L)
-      assert((avail < target) == (rate == 1000000L && up > 100L),
-        "a source is upsampled (rate pinned at 1e6, factor > 100) iff it is short")
+      // note: up can equal exactly 100 when a source is < 1 % short
+      // (integer division), so the short-source iff is pinned on rate;
+      // and avail == target also saturates rate, hence <=
+      assert((avail <= target) == (rate == 1000000L),
+        "a source's rate saturates at 1e6 ppm iff it is at-or-short of target")
+      assert(up >= 100L)
       assert(avail >= target || up == target * 100L / avail)
     }
     assert(rows.map(_.getLong(2)).distinct.length == 1,
