@@ -30,6 +30,11 @@ case class KeyVal(cents: Long, id: Long)
   */
 class TopKAgg(k: Int) extends Aggregator[KeyVal, Seq[KeyVal], Seq[KeyVal]] {
 
+  // construction-time guard: reduce() dereferences b.last under a
+  // b.size >= k check, which an accidental k <= 0 turns into .last on
+  // an empty Seq at runtime, deep inside a task
+  require(k > 0, s"TopKAgg requires k > 0 (got $k)")
+
   private def ord(kv: KeyVal): (Long, Long) = (-kv.cents, kv.id)
   private val O = Ordering[(Long, Long)]
 

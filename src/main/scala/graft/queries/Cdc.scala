@@ -41,10 +41,15 @@ object Cdc {
       .agg(max("click_ts")).collect()(0)
     if (!strict.isNullAt(0)) strict.getTimestamp(0)
     else {
-      val Array(lo, hi) = imp.select(col("imp_ts").as("ts"))
+      val row = imp.select(col("imp_ts").as("ts"))
         .unionByName(clk.select(col("click_ts").as("ts")))
         .agg(min("ts"), max("ts")).collect()(0)
-        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      // both inputs empty → the min/max aggregates are NULL; fail with a
+      // clear message instead of an NPE on .getTime
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "ssjMid: both impression and click inputs are empty — " +
+          "cannot derive a micro-batch split instant")
+      val (lo, hi) = (row.getTimestamp(0).getTime, row.getTimestamp(1).getTime)
       new java.sql.Timestamp(lo + (hi - lo) / 2)
     }
   }
@@ -335,10 +340,21 @@ object Cdc {
           expr("timestamp_micros(946684800000000 + (1000000 + doc_id) * 1000000)")
             .as("ts"))
       stageStreamBatches(s, in, Seq(strm, clones))
+      // Watermark delay DERIVED from the staged span, not a constant:
+      // ts = epoch + doc_id s and clones land at epoch + (1e6 + doc_id) s,
+      // so a fixed 30-day delay only outlives batch 0's dedup state while
+      // max doc_id < ~2.59M — at a larger scale factor low-id clone
+      // sources would expire after batch 0 and re-emit, breaking the hash
+      // gate silently. Covering the full staged span (+1 h margin) keeps
+      // every batch-0 fingerprint alive until its batch-1 clone arrives
+      // at ANY scale factor. 1-row metadata read, same discipline as
+      // ssjMid above.
+      val maxId = strm.agg(max("doc_id")).collect()(0).getLong(0)
+      val delaySec = maxId + 1000000L + 3600L
       val sread = s.readStream.schema(strm.schema)
         .option("maxFilesPerTrigger", 1).parquet(in + "/*")
       val q = graft.streaming.StreamDedup
-        .dedupOnIngest(sread, hist, "text", "ts", "30 days")
+        .dedupOnIngest(sread, hist, "text", "ts", s"$delaySec seconds")
         .select("fp")
         .writeStream.outputMode("append")
         .option("checkpointLocation", scratch.toString + "/ckpt")

@@ -43,6 +43,29 @@ object Quality {
       li.crossJoin(ord)
     }),
 
+    // POSITIVE control for the orphan plane (r12 verdict #1): the
+    // generated testdata is referentially CLEAN, so q_fk_orphan_summary
+    // passes with all-zero counts — a vacuous gate that a wrong key or
+    // flipped anti-join direction could not break. This variant runs the
+    // SAME one-pass/anti-join functions against GHOST-KEY dims (each dim
+    // truncated by a distinct modulus, the x179 pattern), so every edge
+    // reports a nonzero, hash-checked orphan count; any key/direction
+    // defect now lands as a hash mismatch, not a green 0 == 0.
+    "q_fk_orphan_planted" -> ((s, d) => {
+      val li = QualityChecks.orphanSummaryOnePass(Tables.lineitem(s, d), Seq(
+        ("li_orphan_orders", Tables.orders(s, d).filter(col("o_orderkey") % 97 =!= 0),
+          "l_orderkey", "o_orderkey"),
+        ("li_orphan_part", Tables.part(s, d).filter(col("p_partkey") % 53 =!= 0),
+          "l_partkey", "p_partkey"),
+        ("li_orphan_supp", Tables.supplier(s, d).filter(col("s_suppkey") % 31 =!= 0),
+          "l_suppkey", "s_suppkey")))
+      val ord = QualityChecks.orphanSummary(Seq(
+        ("ord_orphan_cust", Tables.orders(s, d),
+          Tables.customer(s, d).filter(col("c_custkey") % 41 =!= 0),
+          "o_custkey", "c_custkey")))
+      li.crossJoin(ord)
+    }),
+
     // Join-key skew profile: the ops diagnostic behind every salting
     // decision (util.Skew). Per-key row counts of the fact table's join
     // key collapse to floor(log2(count)) buckets — exact integer
@@ -224,6 +247,12 @@ object Quality {
            (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS li_orphan_part,
            (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)) AS li_orphan_supp,
            (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS ord_orphan_cust""",
+    "q_fk_orphan_planted" ->
+      """SELECT
+           (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderkey % 97 <> 0)) AS li_orphan_orders,
+           (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_partkey % 53 <> 0)) AS li_orphan_part,
+           (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_suppkey % 31 <> 0)) AS li_orphan_supp,
+           (SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 41 <> 0)) AS ord_orphan_cust""",
     "q_skew_profile" ->
       """WITH kc AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
           b AS (SELECT CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket, cnt FROM kc)

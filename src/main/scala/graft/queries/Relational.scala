@@ -141,9 +141,24 @@ object Relational {
     }),
 
     // §2.4 note + §5: left-anti orphan-FK check (customers with no orders).
+    // NOTE: the generated testdata is referentially clean, so this gate
+    // passes with 0 rows — the POSITIVE control lives in j4b below (and
+    // in OrphanScanSpec's planted-orphan test).
     "j4_anti_orphans" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // j4's positive control (r12 verdict #1): the SAME anti-join against a
+    // ghost-key orders set (orders of %3==0 custkeys dropped) — every
+    // %3==0 customer that HAS orders becomes an orphan, so the gate
+    // hash-checks a nonzero result; a wrong key or flipped direction can
+    // no longer hide behind a clean corpus.
+    "j4b_orphans_planted" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_custkey") % 3 =!= 0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
@@ -3210,6 +3225,11 @@ object Relational {
     "j4_anti_orphans" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "j4b_orphans_planted" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_custkey % 3 <> 0)
          ORDER BY c_custkey""",
     "j9_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

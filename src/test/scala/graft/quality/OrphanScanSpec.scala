@@ -37,4 +37,33 @@ class OrphanScanSpec extends SparkSpecBase {
     assert(onePass.getLong(0) === antiJoin.getLong(0))
     assert(onePass.getLong(1) === antiJoin.getLong(1))
   }
+
+  /** POSITIVE control (r12 verdict #1): the generated testdata is
+    * referentially clean, so the two tests above can only ever compare
+    * 0 == 0 — a broken anti-join (wrong key, flipped direction) would
+    * stay green. Planted orphans with EXACT per-edge counts make the
+    * spec fail for any such defect. */
+  test("planted orphans surface with exact nonzero per-edge counts in both forms") {
+    import spark.implicits._
+    val fact = Seq(
+      (1L, Option(10L), Option(100L)),
+      (2L, Option(10L), Option(200L)),
+      (3L, Option(20L), Option(999L)),    // orphan on edge b
+      (4L, Option(77L), Option(100L)),    // orphan on edge a
+      (5L, Option(88L), Option(200L)),    // orphan on edge a
+      (6L, Option.empty[Long], Option(100L))) // NULL fk: orphan on a in BOTH forms
+      .toDF("id", "fk_a", "fk_b")
+    val dimA = Seq(10L, 20L, 30L).toDF("pk_a") // 30 has no fact rows
+    val dimB = Seq(100L, 200L).toDF("pk_b")
+    assert(QualityChecks.fkOrphans(fact, dimA, "fk_a", "pk_a").count() === 3L)
+    assert(QualityChecks.fkOrphans(fact, dimB, "fk_b", "pk_b").count() === 1L)
+    val onePass = QualityChecks.orphanSummaryOnePass(fact, Seq(
+      ("orph_a", dimA, "fk_a", "pk_a"),
+      ("orph_b", dimB, "fk_b", "pk_b"))).collect()(0)
+    assert(onePass.getLong(0) === 3L, "one-pass edge-a count")
+    assert(onePass.getLong(1) === 1L, "one-pass edge-b count")
+    // the FLIPPED direction (dim keys without fact rows) counts 1, not 3 —
+    // the exact-count assertions above pin key AND direction
+    assert(QualityChecks.fkOrphans(dimA, fact, "pk_a", "fk_a").count() === 1L)
+  }
 }

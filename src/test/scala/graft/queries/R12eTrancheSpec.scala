@@ -79,6 +79,9 @@ class R12eTrancheSpec extends SparkSpecBase {
       .orderBy("o_orderpriority", "rnk")
       .collect().map(_.toSeq)
     assert(base.toSeq == re.toSeq, "merge must be partitioning-independent")
+    // k <= 0 must fail at construction, not as .last-on-empty inside a task
+    intercept[IllegalArgumentException](new graft.functions.TopKAgg(0))
+    intercept[IllegalArgumentException](new graft.functions.TopKAgg(-3))
   }
 
   test("x208: tokenization is a per-table bijection; the token join carries the key join's rows") {

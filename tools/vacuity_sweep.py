@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Vacuous-gate sweep (r12 verdict #3): a gate whose pass state is
+reachable by an EMPTY or ALL-ZERO result cannot catch a broken operator
+(the j4_anti_orphans pattern — an anti-join on a referentially clean
+corpus passes with 0 rows no matter which key it joins on).
+
+Scans every query output under a graft.Verify dump and classifies:
+  EMPTY      0 rows                               → needs a positive control
+  ALLZERO    every numeric value is 0/NULL        → needs a positive control
+  ZEROROW    some row has all-zero numerics (fine — only whole-result
+             zeroness is vacuous; reported for context at -v)
+  NONZERO    carries substantive values           → self-evidencing
+
+Usage: tools/vacuity_sweep.py /tmp/verify_out [-v]
+Exit 0 always (reporting tool); the round's SURVEY §5 note records the
+verdict per flagged gate.
+"""
+import duckdb, glob, os, sys
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+verbose = "-v" in sys.argv
+con = duckdb.connect()
+
+flagged, clean = [], 0
+for d in sorted(glob.glob(os.path.join(out, "*"))):
+    if not os.path.isdir(d):
+        continue
+    name = os.path.basename(d)
+    try:
+        rel = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+    except Exception as e:
+        flagged.append((name, f"UNREADABLE {e}"))
+        continue
+    if n == 0:
+        flagged.append((name, "EMPTY"))
+        continue
+    nums = [c for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                          "FLOAT", "DOUBLE") or str(t).startswith("DECIMAL")]
+    if not nums:
+        clean += 1  # pure string/struct results: emptiness was the only risk
+        continue
+    checks = " AND ".join(
+        f"(max(abs(coalesce(CAST(\"{c}\" AS DOUBLE), 0))) = 0)" for c in nums)
+    allzero = con.sql(
+        f"SELECT {checks} FROM '{d}/*.parquet'").fetchone()[0]
+    if allzero:
+        flagged.append((name, f"ALLZERO ({n} rows, cols={','.join(nums)})"))
+    else:
+        clean += 1
+
+print(f"swept {clean + len(flagged)} gates: {clean} NONZERO-proven, "
+      f"{len(flagged)} flagged")
+for name, why in flagged:
+    print(f"  {why:60s} {name}")
