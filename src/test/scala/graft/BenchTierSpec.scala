@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure tests for the bench tier selection (Bench.tierSelect) — the
+  * protocol that re-fits the 315-row surface to the driver's 1200 s
+  * budget. A live demonstration needs a full bench run; the selection
+  * logic itself is deterministic and spec-pinned here.
+  */
+class BenchTierSpec extends AnyFunSuite {
+
+  private val anchor = Map(
+    "x1_light" -> 0.5, "x2_light" -> 0.7, "x3_light" -> 0.3,
+    "x4_heavy" -> 5.0, "x5_light" -> 1.1, "x6_light" -> 0.2,
+    "a1_ref" -> 0.4, "j1_ref" -> 9.9, "q_ref" -> 0.1)
+  private val all = anchor.keys.toSeq
+
+  test("non-x rows are always headline, regardless of anchor weight") {
+    val (h, r, s) = Bench.tierSelect(all, anchor, round = 13)
+    assert(Set("a1_ref", "j1_ref", "q_ref").subsetOf(h.toSet))
+    assert((r ++ s).forall(_.startsWith("x")))
+  }
+
+  test("x rows above the heavy threshold are headline; light tail splits 1/3 vs 2/3") {
+    val (h, r, s) = Bench.tierSelect(all, anchor, round = 13)
+    assert(h.contains("x4_heavy"))
+    val tail = Set("x1_light", "x2_light", "x3_light", "x5_light", "x6_light")
+    assert((r ++ s).toSet == tail)
+    assert(r.size == 2 && s.size == 3) // 5 light rows: indices mod 3
+  }
+
+  test("a row absent from the anchor is headline (new rows must be measured)") {
+    val (h, _, _) = Bench.tierSelect(all :+ "x9_new", anchor, round = 13)
+    assert(h.contains("x9_new"))
+  }
+
+  test("rotation is deterministic and covers the whole tail across 3 consecutive rounds") {
+    val rots = (13 to 15).map(rd => Bench.tierSelect(all, anchor, rd)._2.toSet)
+    assert(rots.reduce(_ ++ _) ==
+      Set("x1_light", "x2_light", "x3_light", "x5_light", "x6_light"))
+    assert(rots.combinations(2).forall { case Seq(a, b) => (a intersect b).isEmpty })
+    // same round → identical selection
+    assert(Bench.tierSelect(all, anchor, 13)._2 == Bench.tierSelect(all, anchor, 13)._2)
+  }
+
+  test("headline + rotated + skipped partitions the input exactly") {
+    for (rd <- 0 to 5) {
+      val (h, r, s) = Bench.tierSelect(all, anchor, rd)
+      assert((h ++ r ++ s).sorted == all.sorted)
+      assert(h.intersect(r).isEmpty && h.intersect(s).isEmpty && r.intersect(s).isEmpty)
+    }
+  }
+
+  test("empty anchor degrades to the full surface as headline, never to skipping") {
+    val (h, r, s) = Bench.tierSelect(all, Map.empty, round = 13)
+    // tierSelect with no anchor info: absent rows are headline by rule
+    assert(h.sorted == all.sorted && r.isEmpty && s.isEmpty)
+  }
+
+  test("readAnchor on a missing file yields the empty map (full-surface fallback)") {
+    assert(Bench.readAnchor("/nonexistent/anchor.json").isEmpty)
+  }
+
+  test("readAnchor parses the committed BENCH_ANCHOR.json shape") {
+    val f = java.nio.file.Files.createTempFile("anchor", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"source":["a"],"n":2,"mins":{"q_a":1.5,"x1_b":0.25}}""")
+    val m = Bench.readAnchor(f.toString)
+    assert(m == Map("q_a" -> 1.5, "x1_b" -> 0.25))
+    java.nio.file.Files.delete(f)
+  }
+}
