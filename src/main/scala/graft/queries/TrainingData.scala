@@ -3174,6 +3174,88 @@ object TrainingData {
         .orderBy("dim")
     }),
 
+    // X236: character-diversity audit — the exact-integer stand-in for
+    // a character-entropy gibberish filter (`quality_checks.py:20-56`'s
+    // audit role at the character grain). Collision rate Σc(c−1)/N(N−1)
+    // in ppm (Simpson repeat-rate: "aaaa…" saturates at 1e6, diverse
+    // text sits low), distinct-char count, top-char share, keep
+    // verdict — no log/exp anywhere, so the oracle reproduces every
+    // value bit-for-bit where a float entropy would drift at the ulp.
+    // The per-char explode partial-aggregates to ≤|alphabet| rows per
+    // doc per task BEFORE the shuffle (see CorpusStats.charStats).
+    "x211_char_stats" -> ((s, d) =>
+      graft.text.CorpusStats.charStats(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // X237: Zipf rank-bucket profile + coverage curve — the corpus
+    // vocabulary-health read (per power-of-2 frequency-rank bucket:
+    // type count, token mass, cumulative coverage ppm; template spam
+    // piles mass into the head buckets, and coverage@2^b is the
+    // tokenizer vocab-sizing curve). NO per-type rank is computed: one
+    // groupBy(token), then the (f, #types) histogram is
+    // statistics-sized and the rank intervals split across bucket
+    // boundaries by exact overlap arithmetic — the x118
+    // histogram-refinement discipline (see CorpusStats.zipfProfile).
+    "x212_zipf_profile" -> ((s, d) =>
+      graft.text.CorpusStats.zipfProfile(Tables.documents(s, d))
+        .orderBy("bucket")),
+
+    // X238: per-document duplicated-shingle exposure — the SYMMETRIC
+    // memorization-risk scalar: what fraction (ppm) of a doc's distinct
+    // 3-gram shingles occur in ≥2 docs corpus-wide. x45 is the
+    // ingest-ORDERED novelty (the first copy scores novel); this flags
+    // the boilerplate SOURCE too, and unlike x2/x60's pairwise planes
+    // it fires on diffuse duplication where no single partner crosses
+    // a near-dup threshold. Two map-combined exchanges (shingle df,
+    // doc roll-up); a shingle shared by k docs costs k rows, never k².
+    "x213_dup_exposure" -> ((s, d) =>
+      graft.text.CorpusStats.dupExposure(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // X239: per-dimension embedding variance / dead-dim audit — x210's
+    // second moment: a dimension with ~zero variance carries no
+    // information but still costs PQ codebook bits and distance FLOPs
+    // in every ANN structure built on the corpus (x16/x49/x62); the
+    // audit that says "train the index on 61 of 64 dims". Exact
+    // integer micro-units end-to-end: variance = (n·Σq² − (Σq)²) div n²
+    // over the same round(v·10⁶) quantization as x210 — the numerator
+    // is the non-negative integer form, so floor-vs-truncate parity is
+    // free; the MEAN keeps x210's sign·(abs div n) form. One explode +
+    // one dim-keyed map-combined aggregate; dims-sized output. Sums
+    // ride DECIMAL(38,0): at 10¹⁰ vectors Σq² reaches ~10²², past
+    // BIGINT — the overflow is designed out, not discovered at scale.
+    "x214_dim_variance" -> ((s, d) =>
+      Similarity.dimVariance(Tables.embeddings(s, d)).orderBy("dim")),
+
+    // X240: dedup scope audit (global vs within-source) — the corpus-
+    // assembly question behind FineWeb's per-snapshot-vs-global dedup
+    // finding: how many duplicates does a GLOBAL exact-dedup pass
+    // remove that per-source passes would miss? Per source: docs,
+    // global-dup count (fingerprint's min doc_id lives anywhere),
+    // within-source-dup count (min doc_id in the SAME source),
+    // cross_gain = the difference — exactly the docs only the global
+    // pass catches. The sf corpora are exact-dup-free at sf0.01
+    // (verified via DuckDB), so the gate PLANTS positives the
+    // j4b/x179 way: deterministic clones of doc_id%25==0 into a
+    // synthetic source (cross-source dups) and of doc_id%40==0 into
+    // their OWN source (within dups) — every column is a nonzero,
+    // hash-checked count; a keeper-rule or grouping defect cannot
+    // hide behind a clean corpus. Two fingerprint-keyed map-combined
+    // aggregates + one source roll-up; no pair set materializes.
+    "x215_dedup_scope" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("clone_src").as("source"))
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            col("source")))
+      graft.text.CorpusStats.dedupScope(
+          docs.select(col("doc_id"), col("text"), col("source"))
+            .unionByName(planted))
+        .orderBy("source")
+    }),
+
     // X230: training-mix sampling rates — the decision procedure that
     // consumes x66's DSIR-style weights and x30/x31's samplers: given a
     // token budget (1M) and a stated mix policy (equal representation
@@ -3625,6 +3707,121 @@ object TrainingData {
                 CAST(mean_b_micro AS BIGINT) AS mean_b_micro,
                 CAST(abs(mean_a_micro - mean_b_micro) AS BIGINT) AS drift_micro
          FROM m ORDER BY dim""",
+
+    // exact char-grain diversity: per-char counts via generate_series
+    // + substring (dialect-safe char split), all-integer ppm
+    "x211_char_stats" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+                      FROM documents),
+              ch AS (SELECT doc_id, substring(text, i, 1) AS ch FROM pos),
+              per AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+              agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, count(*) AS nd,
+                             CAST(SUM(c * (c - 1)) AS BIGINT) AS coll,
+                             CAST(MAX(c) AS BIGINT) AS topc
+                      FROM per GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(a.n, 0) AS n_chars,
+                COALESCE(a.nd, 0) AS n_distinct_chars,
+                CAST(CASE WHEN a.n >= 2
+                          THEN CAST(a.coll AS HUGEINT) * 1000000 // (a.n * (a.n - 1))
+                          ELSE 0 END AS BIGINT) AS collision_ppm,
+                CAST(CASE WHEN a.n >= 1
+                          THEN CAST(a.topc AS HUGEINT) * 1000000 // a.n
+                          ELSE 0 END AS BIGINT) AS top_char_ppm,
+                CAST(CASE WHEN COALESCE(a.nd, 0) >= 5
+                           AND (CASE WHEN a.n >= 2
+                                     THEN CAST(a.coll AS HUGEINT) * 1000000 // (a.n * (a.n - 1))
+                                     ELSE 0 END) < 250000
+                          THEN 1 ELSE 0 END AS INT) AS keep
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+
+    // rank intervals from the (f, #types) histogram, split across
+    // power-of-2 bucket boundaries — the same exact overlap arithmetic
+    // as CorpusStats.zipfProfile
+    "x212_zipf_profile" ->
+      s"""WITH $tokCte,
+              ex AS (SELECT unnest(t) AS tok FROM tok),
+              tf AS (SELECT tok, count(*) AS f FROM ex WHERE tok <> '' GROUP BY 1),
+              ff AS (SELECT f, count(*) AS m FROM tf GROUP BY 1),
+              iv AS (SELECT f, m, SUM(m) OVER (ORDER BY f DESC) AS hi_rank FROM ff),
+              iv2 AS (SELECT f, hi_rank - m + 1 AS lo_rank, hi_rank FROM iv),
+              bk AS (SELECT f, lo_rank, hi_rank, b AS bucket,
+                            (CAST(1 AS BIGINT) << b) AS blo,
+                            (CAST(1 AS BIGINT) << (b + 1)) - 1 AS bhi
+                     FROM iv2 CROSS JOIN generate_series(0, 39) AS g(b)),
+              ov AS (SELECT bucket, f,
+                            least(hi_rank, bhi) - greatest(lo_rank, blo) + 1 AS ov
+                     FROM bk
+                     WHERE least(hi_rank, bhi) - greatest(lo_rank, blo) + 1 > 0),
+              per AS (SELECT bucket, CAST(SUM(ov) AS BIGINT) AS n_types,
+                             CAST(SUM(ov * f) AS BIGINT) AS sum_tokens
+                      FROM ov GROUP BY 1),
+              cm AS (SELECT bucket, n_types, sum_tokens,
+                            SUM(sum_tokens) OVER (ORDER BY bucket) AS cum,
+                            SUM(sum_tokens) OVER () AS grand
+                     FROM per)
+         SELECT CAST(bucket AS INT) AS bucket,
+                CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS rank_lo,
+                n_types, sum_tokens,
+                CAST(CAST(cum AS HUGEINT) * 1000000 // CAST(grand AS HUGEINT) AS BIGINT) AS coverage_ppm
+         FROM cm ORDER BY bucket""",
+
+    // symmetric duplicated-shingle exposure off the shared distinct
+    // (doc_id, shingle) plane; df >= 2 = "occurs in another doc"
+    "x213_dup_exposure" ->
+      s"""WITH $shingleCte,
+              dfq AS (SELECT sh AS s2, count(*) AS df FROM sh GROUP BY 1),
+              per AS (SELECT doc_id, count(*) AS n_shingles,
+                             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                      FROM sh JOIN dfq ON sh.sh = dfq.s2 GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(p.n_shingles, 0) AS n_shingles,
+                COALESCE(p.n_shared, 0) AS n_shared,
+                CAST(CASE WHEN p.n_shingles >= 1
+                          THEN CAST(p.n_shared AS HUGEINT) * 1000000 // p.n_shingles
+                          ELSE 0 END AS BIGINT) AS shared_ppm
+         FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
+
+    // x210's quantization, second moment: non-negative integer
+    // numerator so floor ≡ truncate; mean keeps the sign-safe form
+    "x214_dim_variance" ->
+      """WITH e AS (SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+                           unnest(generate_series(1, len(embedding))) AS dim
+                    FROM embeddings),
+              g AS (SELECT dim, count(*) AS n,
+                           SUM(CAST(q AS HUGEINT)) AS sq,
+                           SUM(CAST(q AS HUGEINT) * q) AS sq2
+                    FROM e GROUP BY 1)
+         SELECT CAST(dim AS BIGINT) AS dim, n,
+                CAST(CASE WHEN sq >= 0 THEN sq // n ELSE -((-sq) // n) END AS BIGINT) AS mean_micro,
+                CAST((n * sq2 - sq * sq) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2,
+                CAST(CASE WHEN (n * sq2 - sq * sq) // (CAST(n AS HUGEINT) * n) < 1000000
+                          THEN 1 ELSE 0 END AS INT) AS dead
+         FROM g ORDER BY dim""",
+
+    // planted clone sets (cross-source + within-source) over the same
+    // normalized fingerprint as x1/x119; keepers = min doc_id at each
+    // scope
+    "x215_dedup_scope" ->
+      """WITH pl AS (SELECT doc_id + 1000000 AS doc_id, text, 'clone_src' AS source
+                     FROM documents WHERE doc_id % 25 = 0
+                     UNION ALL
+                     SELECT doc_id + 2000000, text, source
+                     FROM documents WHERE doc_id % 40 = 0),
+              u AS (SELECT doc_id, text, source FROM documents
+                    UNION ALL SELECT doc_id, text, source FROM pl),
+              b AS (SELECT doc_id, source,
+                           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                    FROM u),
+              g AS (SELECT fp, MIN(doc_id) AS gk FROM b GROUP BY 1),
+              w AS (SELECT fp, source, MIN(doc_id) AS sk FROM b GROUP BY 1, 2)
+         SELECT b.source, count(*) AS n_docs,
+                CAST(SUM(CASE WHEN b.doc_id <> g.gk THEN 1 ELSE 0 END) AS BIGINT) AS dup_global,
+                CAST(SUM(CASE WHEN b.doc_id <> w.sk THEN 1 ELSE 0 END) AS BIGINT) AS dup_within,
+                CAST(SUM(CASE WHEN b.doc_id <> g.gk THEN 1 ELSE 0 END)
+                     - SUM(CASE WHEN b.doc_id <> w.sk THEN 1 ELSE 0 END) AS BIGINT) AS cross_gain
+         FROM b JOIN g USING (fp) JOIN w ON w.fp = b.fp AND w.source = b.source
+         GROUP BY b.source ORDER BY b.source""",
 
     // uniform mix policy: target = budget div n_sources, rate capped
     // at 1e6 ppm, upsampling factor where the source is short

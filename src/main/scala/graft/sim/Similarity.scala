@@ -857,4 +857,29 @@ object Similarity {
         col("own_cos"), col("best_cos"),
         (col("pred_label") =!= col("label")).as("suspect"))
   }
+
+  /** Per-dimension variance / dead-dim audit (X239): exact integer
+    * micro-units over the x210 quantization — variance =
+    * (n·Σq² − (Σq)²) div n² (non-negative numerator, so floor ≡
+    * truncate on both engines); the mean keeps x210's sign·(abs div n)
+    * form because Spark `div` truncates where DuckDB `//` floors and
+    * embedding sums go negative. One explode + one dim-keyed
+    * map-combined aggregate, dims-sized output. Sums ride
+    * DECIMAL(38,0): at 10¹⁰ vectors Σq² reaches ~10²², past BIGINT. */
+  def dimVariance(emb: DataFrame, deadBelowMicro2: Long = 1000000L): DataFrame = {
+    val el = emb
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).as("dim"),
+        expr("cast(round(cast(col as double) * 1000000) as bigint)").as("q"))
+    el.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sq2"))
+      .select(col("dim"), col("n"),
+        expr("CASE WHEN sq >= 0 THEN sq div n ELSE -((-sq) div n) END")
+          .as("mean_micro"),
+        expr("(n * sq2 - sq * sq) div (CAST(n AS DECIMAL(38,0)) * n)")
+          .as("var_micro2"))
+      .withColumn("dead", (col("var_micro2") < deadBelowMicro2).cast("int"))
+  }
 }

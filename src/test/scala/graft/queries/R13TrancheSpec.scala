@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{SparkSpecBase, Tables}
+import graft.text.{CorpusStats, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Behavior pins for the round-13 tranche (X236-X238): char-diversity
+  * collision arithmetic, Zipf rank-bucket interval splitting, and
+  * duplicated-shingle exposure — every case a PLANTED positive with
+  * hand-computed exact values (the r12 vacuity lesson applied at
+  * birth: no gate in this tranche can pass on an empty/zero result).
+  */
+class R13TrancheSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("x211: collision/top-char ppm recompute exactly on planted docs") {
+    val docs = Seq(
+      (1L, "aaaa"),      // 1 distinct char, collision saturates at 1e6
+      (2L, "abcdef"),    // all-distinct: collision 0, keep
+      (3L, "aabb"),      // sum c(c-1) = 4 over N(N-1) = 12 -> 333333
+      (4L, "")           // empty: all zeros, no NPE / no lost row
+    ).toDF("doc_id", "text")
+    val r = CorpusStats.charStats(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getInt(5)))
+    assert(r(0) == ((1L, 4L, 1L, 1000000L, 1000000L, 0)))
+    assert(r(1) == ((2L, 6L, 6L, 0L, 166666L, 1)))
+    assert(r(2) == ((3L, 4L, 2L, 333333L, 500000L, 0)))
+    assert(r(3) == ((4L, 0L, 0L, 0L, 0L, 0)))
+  }
+
+  test("x211 gate: every corpus doc accounted, length carried exactly") {
+    val rows = run("x211_char_stats").collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.length == docs.count())
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000000L))
+    assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1000000L))
+    // n_chars must be exactly length(text) — the explode lost nothing
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == lens(r.getLong(0)),
+      s"doc ${r.getLong(0)}: n_chars must equal length(text)"))
+    assert(rows.exists(_.getLong(3) > 0), "positive control: some collision mass")
+  }
+
+  test("x212: rank intervals split exactly across a bucket boundary") {
+    // freqs: x->9 (rank 1), p,q,r->2 (ranks 2-4): the f=2 interval
+    // straddles bucket 1 ([2,3], 2 types) and bucket 2 ([4,7], 1 type)
+    val docs = Seq((1L, ("x " * 9) + "p q"), (2L, "p q r r")).toDF("doc_id", "text")
+    val r = CorpusStats.zipfProfile(docs).orderBy("bucket").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (0, 1L, 1L, 9L, 600000L),    //  9/15
+      (1, 2L, 2L, 4L, 866666L),    // 13/15
+      (2, 4L, 1L, 2L, 1000000L)))  // 15/15 exact
+  }
+
+  test("x212 gate: type and token mass conserved; coverage monotone to exactly 1e6") {
+    val rows = run("x212_zipf_profile").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    assert(rows.map(_.getLong(2)).sum == toks.select("tok").distinct().count(),
+      "bucket type counts must sum to the exact vocabulary size")
+    assert(rows.map(_.getLong(3)).sum == toks.count(),
+      "bucket token mass must sum to the exact corpus token count")
+    val cov = rows.map(_.getLong(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage monotone")
+    assert(cov.last == 1000000L, "full coverage is exactly 1e6 ppm")
+    // rank_lo is 2^bucket
+    rows.foreach(r => assert(r.getLong(1) == (1L << r.getInt(0))))
+  }
+
+  test("x213: planted shared shingle scores both members; unique docs score 0") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d}; 'a b c' shared with doc 2
+      (2L, "a b c x"),   // shingles {a b c, b c x}
+      (3L, "p q r"),     // one unique shingle
+      (4L, "t u")        // too short: no shingles
+    ).toDF("doc_id", "text")
+    val r = CorpusStats.dupExposure(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("x214: sign-safe mean, exact variance, planted dead dim") {
+    // planted: dim 1 mixes signs (pins sign·(abs div n) truncation:
+    // -100000/3 must give -33333, not floor's -33334); dim 2 constant
+    val e = Seq(
+      (1L, Array(-0.3f, 0.5f)),
+      (2L, Array(0.1f, 0.5f)),
+      (3L, Array(0.1f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.dimVariance(e).orderBy("dim").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4)))
+    assert(out.toSeq == Seq(
+      (1, 3L, -33333L, 35555555555L, 0),
+      (2, 3L, 500000L, 0L, 1)))
+  }
+
+  test("x214 gate: dim 1's variance recomputes from raw quantized values") {
+    val rows = run("x214_dim_variance").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) >= 0))
+    val qs = graft.Tables.embeddings(spark, sfDir)
+      .select(expr("cast(round(cast(embedding[0] as double) * 1000000) as bigint)").as("q"))
+      .collect().map(_.getLong(0))
+    val n = qs.length.toLong
+    val sq = qs.map(BigInt(_)).sum
+    val sq2 = qs.map(q => BigInt(q) * q).sum
+    val want = (BigInt(n) * sq2 - sq * sq) / (BigInt(n) * n)
+    assert(BigInt(rows.head.getLong(3)) == want,
+      "dim 1 variance must equal the exact integer form")
+  }
+
+  test("x215: planted cross/within clones land in the right scope columns") {
+    val docs = Seq(
+      (1L, "t one", "A"), (2L, "t one", "A"),      // within-A dup
+      (3L, "t two", "A"), (4L, "t two", "B"),      // cross dup, B side
+      (5L, "unique", "B")).toDF("doc_id", "text", "source")
+    val r = CorpusStats.dedupScope(docs).orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("A", 3L, 1L, 1L, 0L),
+      ("B", 2L, 1L, 0L, 1L)))
+  }
+
+  test("x215 gate: the clone_src plant is fully global-dup, never within-dup") {
+    val rows = run("x215_dedup_scope").collect()
+    val docs = Tables.documents(spark, sfDir)
+    val n25 = docs.filter(col("doc_id") % 25 === 0).count()
+    val n40 = docs.filter(col("doc_id") % 40 === 0).count()
+    assert(n25 > 0 && n40 > 0, "plant preconditions")
+    val cs = rows.find(_.getString(0) == "clone_src").get
+    assert(cs.getLong(1) == n25 && cs.getLong(2) == n25 && cs.getLong(3) == 0L
+      && cs.getLong(4) == n25,
+      "every clone_src doc is a global dup and no within dup")
+    assert(rows.map(_.getLong(3)).sum >= n40,
+      "within-source plants must register as within dups")
+    rows.foreach(r => assert(r.getLong(4) >= 0, "cross_gain is never negative"))
+  }
+
+  test("x213 gate: exposure bounded, and the corpus carries nonzero shared mass") {
+    val rows = run("x213_dup_exposure").collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_shared <= n_shingles")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    assert(rows.exists(_.getLong(2) > 0),
+      "positive control: the sf corpus has cross-doc shingles")
+  }
+}
