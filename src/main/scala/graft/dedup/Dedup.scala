@@ -473,6 +473,42 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_shingles")
   }
 
+  /** Apply [[dupSpans]]' cut list (X241): rebuild each document with
+    * every token inside a duplicated span REMOVED — the write half of
+    * the Lee et al. exact-substring dedup (x60 answers "which tokens to
+    * remove"; this removes them and re-emits the corpus). Output per
+    * doc: cleaned text, original token count, tokens removed.
+    *
+    * Scale shape: the span table joins back to the token table as an
+    * equi-join on doc_id with a residual range predicate (spans per doc
+    * are few and DISJOINT by x60's interval union, so the anti-join
+    * emits each kept token once — no dedup pass needed); the rebuild is
+    * the x40 order-independent aggregate (array_sort over collected
+    * (pos, token) structs), never a window. Everything rides two doc_id
+    * exchanges plus dupSpans' own shingle exchange. */
+  def spanExcise(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spans = dupSpans(docs, n)
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("p"), col("tok"))
+      .filter(length(col("tok")) > 0)
+    val kept = tok.join(spans,
+      tok("doc_id") === spans("doc_id") &&
+        col("p").between(col("span_start"), col("span_end")), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    val totals = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    docs.select("doc_id").join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Near-dup clustering: one-`iters`-hop min-label propagation over the
     * symmetric pair graph, then keeper = the minimum doc of each
     * component. Near-dup groups at sane thresholds are cliques, where a

@@ -3256,6 +3256,17 @@ object TrainingData {
         .orderBy("source")
     }),
 
+    // X241: duplicated-span excision — the WRITE half of x60's Lee et
+    // al. cut list: rebuild every document with the tokens inside any
+    // cross-document duplicated span removed, emitting cleaned text +
+    // removal accounting. x40 drops fixed 8-token segments; this cuts
+    // the exact maximal duplicated intervals x60 localized (disjoint by
+    // interval union, so the anti-join emits each kept token once).
+    // Span→token application is an equi-join on doc_id with a residual
+    // range predicate; rebuild is the x40 order-independent aggregate.
+    "x216_span_excise" -> ((s, d) =>
+      Dedup.spanExcise(Tables.documents(s, d)).orderBy("doc_id")),
+
     // X230: training-mix sampling rates — the decision procedure that
     // consumes x66's DSIR-style weights and x30/x31's samplers: given a
     // token budget (1M) and a stated mix policy (equal representation
@@ -3822,6 +3833,42 @@ object TrainingData {
                      - SUM(CASE WHEN b.doc_id <> w.sk THEN 1 ELSE 0 END) AS BIGINT) AS cross_gain
          FROM b JOIN g USING (fp) JOIN w ON w.fp = b.fp AND w.source = b.source
          GROUP BY b.source ORDER BY b.source""",
+
+    // x60's span CTEs (df>1 flag → island merge → [min, max+2]) applied
+    // back to the 1-based token table as a NOT EXISTS range probe;
+    // rebuild via ordered string_agg
+    "x216_span_excise" ->
+      s"""WITH $posShingleCte,
+              dup AS (SELECT sh FROM (SELECT sh, count(*) AS df
+                                      FROM (SELECT DISTINCT doc_id, sh FROM shp) GROUP BY sh)
+                      WHERE df > 1),
+              fl AS (SELECT doc_id, i FROM shp JOIN dup USING (sh)),
+              brks AS (SELECT doc_id, i,
+                              CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 3
+                                   THEN 0 ELSE 1 END AS brk
+                       FROM fl),
+              isl AS (SELECT doc_id, i,
+                             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+                      FROM brks),
+              spans AS (SELECT doc_id, min(i) AS s, max(i) + 2 AS e
+                        FROM isl GROUP BY doc_id, island),
+              tk AS (SELECT doc_id, i AS p, t[i] AS tok
+                     FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok)
+                     WHERE t[i] <> ''),
+              kept AS (SELECT doc_id, p, tok FROM tk
+                       WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                         WHERE s.doc_id = tk.doc_id
+                                           AND tk.p BETWEEN s.s AND s.e)),
+              rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                            count(*) AS n_kept
+                     FROM kept GROUP BY 1),
+              tt AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(rb.clean_text, '') AS clean_text,
+                CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(tt.n_tokens, 0) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed
+         FROM documents d LEFT JOIN tt USING (doc_id) LEFT JOIN rb USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // uniform mix policy: target = budget div n_sources, rate capped
     // at 1e6 ppm, upsampling factor where the source is short

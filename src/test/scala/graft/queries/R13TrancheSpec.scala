@@ -146,6 +146,38 @@ class R13TrancheSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(4) >= 0, "cross_gain is never negative"))
   }
 
+  test("x216: cut list application removes exactly the duplicated spans") {
+    val docs = Seq(
+      (1L, "a b c p q r"),        // shares only 'a b c' with doc 2 -> cut [1,3]
+      (2L, "x y a b c u v"),      // the same shingle mid-doc -> cut [3,5]
+      (3L, "z z z q"),            // intra-doc repetition is NOT duplication
+      (4L, "m n o p m n o"),      // overlapping flags merge -> whole doc cut
+      (5L, "m n o p m n o w")     // same span [1,7], token 8 survives
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.spanExcise(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, "p q r", 6L, 3L),
+      (2L, "x y u v", 7L, 3L),
+      (3L, "z z z q", 4L, 0L),
+      (4L, "", 7L, 7L),
+      (5L, "w", 8L, 7L)))
+  }
+
+  test("x216 gate: token accounting conserved; some corpus spans are cut") {
+    val rows = run("x216_span_excise").collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val toks = if (r.getString(1).isEmpty) 0 else r.getString(1).split(" ").length
+      assert(toks == r.getLong(2) - r.getLong(3),
+        "clean_text token count must equal n_tokens - n_removed")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2))
+    }
+    assert(rows.exists(_.getLong(3) > 0),
+      "positive control: the sf corpus has duplicated spans to cut")
+  }
+
   test("x213 gate: exposure bounded, and the corpus carries nonzero shared mass") {
     val rows = run("x213_dup_exposure").collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
