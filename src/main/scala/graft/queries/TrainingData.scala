@@ -3267,6 +3267,23 @@ object TrainingData {
     "x216_span_excise" -> ((s, d) =>
       Dedup.spanExcise(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // X242: deterministic sorted-shard layout audit — the WRITE-side
+    // decision table for the measure-sorted, zone-map-prunable layouts
+    // x122/x127 read: every order assigned to one of 32 shards by
+    // EXACT global rank of (price-cents, orderkey), per-shard zone map
+    // + boundary quality out. repartitionByRange would SAMPLE the
+    // boundaries (two runs, two layouts); ScalableRank's two-phase
+    // prefix-sum keeps assignment bit-deterministic with one narrow
+    // shuffle and no AllTuples window (see util.SortedLayout).
+    "x217_sorted_shards" -> ((s, d) =>
+      graft.util.SortedLayout.sortedShardAudit(
+          Tables.orders(s, d).select(
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"),
+            col("o_orderkey")),
+          "cents", "o_orderkey", tieSpan = 10000000000L, nShards = 32)
+        .orderBy("shard_id")),
+
     // X230: training-mix sampling rates — the decision procedure that
     // consumes x66's DSIR-style weights and x30/x31's samplers: given a
     // token budget (1M) and a stated mix policy (equal representation
@@ -3869,6 +3886,25 @@ object TrainingData {
                 CAST(COALESCE(tt.n_tokens, 0) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed
          FROM documents d LEFT JOIN tt USING (doc_id) LEFT JOIN rb USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // exact-rank shard assignment over the composite (cents, orderkey)
+    // key; zone map + strict-boundary flag per shard
+    "x217_sorted_shards" ->
+      """WITH r AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS k,
+                           row_number() OVER (ORDER BY
+                             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000
+                               + o_orderkey) AS rn,
+                           count(*) OVER () AS n
+                    FROM orders),
+              sh AS (SELECT (rn - 1) // ((n + 31) // 32) AS shard_id, k FROM r),
+              z AS (SELECT shard_id, count(*) AS n_rows,
+                           min(k) AS min_key, max(k) AS max_key
+                    FROM sh GROUP BY 1)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id, n_rows, min_key, max_key,
+                CAST(CASE WHEN COALESCE(lag(max_key) OVER (ORDER BY shard_id),
+                                        -9223372036854775808) < min_key
+                          THEN 1 ELSE 0 END AS INT) AS clean_cut
+         FROM z ORDER BY shard_id""",
 
     // uniform mix policy: target = budget div n_sources, rate capped
     // at 1e6 ppm, upsampling factor where the source is short

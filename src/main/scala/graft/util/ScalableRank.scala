@@ -38,9 +38,12 @@ object ScalableRank {
     val bucketed = df.crossJoin(broadcast(stats))
       .withColumn("__bucket",
         when(col("__mx") === col("__mn"), lit(0L))
+          // DECIMAL-widened interpolation: a full-range long key times
+          // nBuckets overflows BIGINT (found by X242's 1e10-span
+          // composite sort key); same integer values, wider carrier
           .otherwise(expr(
-            s"""((CAST($orderCol AS BIGINT) - CAST(__mn AS BIGINT)) * $nBuckets)
-                div (CAST(__mx AS BIGINT) - CAST(__mn AS BIGINT) + 1)""")))
+            s"""((CAST($orderCol AS DECIMAL(38,0)) - CAST(__mn AS DECIMAL(38,0))) * $nBuckets)
+                div (CAST(__mx AS DECIMAL(38,0)) - CAST(__mn AS DECIMAL(38,0)) + 1)""")))
     val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
     val offsets = counts.as("a")
       .join(counts.as("b"), col("b.__bucket") < col("a.__bucket"), "left")

@@ -178,6 +178,37 @@ class R13TrancheSpec extends SparkSpecBase {
       "positive control: the sf corpus has duplicated spans to cut")
   }
 
+  test("x217: exact-rank shards fill evenly; clean_cut only on strict key breaks") {
+    // keys [10,10,10,20,20,30,40,40], uid 1..8, 4 shards of 2:
+    // shard 1 splits the 10-run (clean_cut 0), shard 3 starts past 30
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 4L), (20L, 5L),
+      (30L, 6L), (40L, 7L), (40L, 8L)).toDF("k", "uid")
+    val r = graft.util.SortedLayout
+      .sortedShardAudit(df, "k", "uid", tieSpan = 100L, nShards = 4)
+      .orderBy("shard_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4)))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 10L, 10L, 1),
+      (1L, 2L, 10L, 20L, 0),
+      (2L, 2L, 20L, 30L, 0),
+      (3L, 2L, 40L, 40L, 1)))
+  }
+
+  test("x217 gate: rows conserved, shards even, zone maps monotone") {
+    val rows = run("x217_sorted_shards").collect()
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nOrders, "every order lands in a shard")
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.init.distinct.length == 1 && sizes.last <= sizes.head,
+      "equal fill except a short final shard")
+    val pairs = rows.map(r => (r.getLong(2), r.getLong(3)))
+    pairs.foreach { case (lo, hi) => assert(lo <= hi, "zone map lo <= hi") }
+    // rank-ordered layout: the next shard can never start BELOW the
+    // previous shard's max (equal at a split key run, above otherwise)
+    assert(pairs.zip(pairs.tail).forall { case ((_, hi), (lo2, _)) => lo2 >= hi },
+      "shard zone maps must be rank-ordered")
+  }
+
   test("x213 gate: exposure bounded, and the corpus carries nonzero shared mass") {
     val rows = run("x213_dup_exposure").collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
