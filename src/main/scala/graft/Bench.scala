@@ -208,8 +208,9 @@ object Bench {
     *     and every row ABSENT from the anchor (a new row must be
     *     measured every round until a full-surface anchor covers it);
     *   rotated — the remaining light tail, a deterministic third per
-    *     round (sorted index mod 3 == round mod 3), at min_runs=2
-    *     depth (no luxury passes);
+    *     round (STABLE name-hash mod 3 == round mod 3, so a row's
+    *     rotation round never shifts when the tail grows), at
+    *     min_runs=2 depth (no luxury passes);
     *   skipped — the other two thirds, carried by the committed
     *     anchor (per-row values remain round-over-round comparable
     *     because every row re-measures at least every third round).
@@ -221,10 +222,16 @@ object Bench {
     val (headline, tail) = all.sorted.partition { n =>
       !n.startsWith("x") || anchorMins.get(n).forall(_ > heavySec)
     }
-    val (rotated, skipped) = tail.zipWithIndex.partition {
-      case (_, i) => i % 3 == ((round % 3) + 3) % 3
+    // rotation group = STABLE per-name hash, not the tail's positional
+    // index: an index-keyed rotation shifts every row's group whenever
+    // tail membership churns (each new light row re-indexes the rows
+    // after it), which can starve a row of re-measurement indefinitely
+    // while the surface keeps growing. String.hashCode is JLS-specified
+    // and identical across JVMs, so groups are deterministic forever.
+    val (rotated, skipped) = tail.partition { n =>
+      ((n.hashCode % 3) + 3) % 3 == ((round % 3) + 3) % 3
     }
-    (headline, rotated.map(_._1), skipped.map(_._1))
+    (headline, rotated, skipped)
   }
 
   /** Anchor reader: `{"mins": {row: sec}}` via the Jackson shipped in
@@ -299,10 +306,13 @@ object Bench {
     // round number: env pin, else 1 + the BENCH_r*.json already landed
     // in cwd (the driver runs from the repo root) — deterministic and
     // monotone, so each tail third re-measures every third round
-    val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt).getOrElse {
-      Option(new java.io.File(".").listFiles()).map(_.count(f =>
-        f.getName.matches("BENCH_r\\d+\\.json"))).getOrElse(0) + 1
-    }
+    // toIntOption: a malformed env pin degrades to the file-count rule
+    // (the anchor-path contract — degrade, never crash the 1200 s run)
+    val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").flatMap(_.toIntOption)
+      .getOrElse {
+        Option(new java.io.File(".").listFiles()).map(_.count(f =>
+          f.getName.matches("BENCH_r\\d+\\.json"))).getOrElse(0) + 1
+      }
     val (headline, rotated, skipped) =
       if (tierOff || anchorMins.isEmpty) (base, Seq.empty[String], Seq.empty[String])
       else tierSelect(base, anchorMins, round)
@@ -722,6 +732,12 @@ object Bench {
     val skippedJson = skipped.map(jstr).mkString("[", ",", "]")
     // `value` is the CLEAN total only: warmup-fallback rows (planning +
     // codegen compile time) must not poison round-over-round comparison.
+    // Under TIERING `value`/`queries`/`mins` cover the TIMED subset of
+    // the round (headline + this round's rotation group) — composition
+    // varies by round, so cross-round readers must compare
+    // `total_min_full_est` (timed mins + anchor-carried mins, a
+    // full-surface figure every round) or per-row values, never the
+    // raw timed `value` sum.
     val aggregate =
       s"""{"metric":"total","value":$totalClean,"unit":"sec","queries":$qs,""" +
       s""""mins":$mins,"skipped_rows":$skippedJson,""" +

@@ -3244,12 +3244,19 @@ object TrainingData {
     // aggregates + one source roll-up; no pair set materializes.
     "x215_dedup_scope" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // clone-id offsets DERIVED from max(doc_id) (the x198 lesson:
+      // fixed 1e6/2e6 offsets collide with real ids past 1M docs);
+      // cross clones land in (mx, 2mx+1], within clones in (2mx+1, 3mx+2]
+      // — disjoint from the corpus and each other at any SF
+      val mx = docs.agg(max("doc_id").as("__mx"))
       val planted = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        .crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("__mx") + 1).as("doc_id"), col("text"),
           lit("clone_src").as("source"))
         .unionByName(docs.filter(col("doc_id") % 40 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
-            col("source")))
+          .crossJoin(broadcast(mx))
+          .select((col("doc_id") + (col("__mx") + 1) * 2).as("doc_id"),
+            col("text"), col("source")))
       graft.text.CorpusStats.dedupScope(
           docs.select(col("doc_id"), col("text"), col("source"))
             .unionByName(planted))
@@ -3831,10 +3838,12 @@ object TrainingData {
     // normalized fingerprint as x1/x119; keepers = min doc_id at each
     // scope
     "x215_dedup_scope" ->
-      """WITH pl AS (SELECT doc_id + 1000000 AS doc_id, text, 'clone_src' AS source
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+              pl AS (SELECT doc_id + (SELECT m FROM mx) + 1 AS doc_id, text,
+                            'clone_src' AS source
                      FROM documents WHERE doc_id % 25 = 0
                      UNION ALL
-                     SELECT doc_id + 2000000, text, source
+                     SELECT doc_id + ((SELECT m FROM mx) + 1) * 2, text, source
                      FROM documents WHERE doc_id % 40 = 0),
               u AS (SELECT doc_id, text, source FROM documents
                     UNION ALL SELECT doc_id, text, source FROM pl),

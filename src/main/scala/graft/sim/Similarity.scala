@@ -874,7 +874,10 @@ object Similarity {
     el.groupBy("dim").agg(
         count(lit(1)).as("n"),
         sum(col("q").cast("decimal(38,0)")).as("sq"),
-        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sq2"))
+        // widen BEFORE the square: q*q in LONG wraps past |q| ~ 3e9
+        // (|v| > ~3037) — the oracle squares in HUGEINT, so a long
+        // wrap here would be both wrong and a hash mismatch
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("sq2"))
       .select(col("dim"), col("n"),
         expr("CASE WHEN sq >= 0 THEN sq div n ELSE -((-sq) div n) END")
           .as("mean_micro"),

@@ -115,19 +115,6 @@ object CorpusStats {
         expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div grand").as("coverage_ppm"))
   }
 
-  /** Per-document duplicated-shingle exposure: the fraction (ppm) of a
-    * document's distinct 3-gram shingles that also occur in at least
-    * `minDf − 1` OTHER documents — the memorization-risk score of one
-    * document against the whole corpus. The per-doc scalar complement
-    * of the pairwise planes: x60 localizes shared spans per PAIR, x40
-    * rewrites text; this ranks documents by how much of them is
-    * corpus-duplicated (boilerplate-heavy docs float to the top even
-    * when no single partner crosses a near-dup threshold).
-    *
-    * Scale shape: one exchange on the shingle key (doc-frequency), one
-    * on doc_id (the roll-up) — both map-side combined; no pair set is
-    * ever materialized, so a shingle shared by k docs costs k rows,
-    * not k². */
   /** Dedup scope audit: per source, how many exact duplicates a GLOBAL
     * dedup pass removes vs a per-source pass (FineWeb's
     * per-snapshot-vs-global question as an audit). Keeper = min doc_id
@@ -149,6 +136,19 @@ object CorpusStats {
       .withColumn("cross_gain", col("dup_global") - col("dup_within"))
   }
 
+  /** Per-document duplicated-shingle exposure: the fraction (ppm) of a
+    * document's distinct 3-gram shingles that also occur in at least
+    * `minDf − 1` OTHER documents — the memorization-risk score of one
+    * document against the whole corpus. The per-doc scalar complement
+    * of the pairwise planes: x60 localizes shared spans per PAIR, x40
+    * rewrites text; this ranks documents by how much of them is
+    * corpus-duplicated (boilerplate-heavy docs float to the top even
+    * when no single partner crosses a near-dup threshold).
+    *
+    * Scale shape: one exchange on the shingle key (doc-frequency), one
+    * on doc_id (the roll-up) — both map-side combined; no pair set is
+    * ever materialized, so a shingle shared by k docs costs k rows,
+    * not k². */
   def dupExposure(docs: DataFrame, minDf: Int = 2): DataFrame = {
     val sh = docs
       .select(col("doc_id"),

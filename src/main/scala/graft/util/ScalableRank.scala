@@ -92,9 +92,11 @@ object ScalableRank {
       .withColumn("__bucket",
         when(col(orderCol).isNull, lit(-1L))
           .when(col("__mx") <=> col("__mn"), lit(0L))
+          // same DECIMAL widening as globalRowNumber: a full-range long
+          // key times nBuckets overflows BIGINT
           .otherwise(expr(
-            s"""((CAST($orderCol AS BIGINT) - CAST(__mn AS BIGINT)) * $nBuckets)
-                div (CAST(__mx AS BIGINT) - CAST(__mn AS BIGINT) + 1)""")))
+            s"""((CAST($orderCol AS DECIMAL(38,0)) - CAST(__mn AS DECIMAL(38,0))) * $nBuckets)
+                div (CAST(__mx AS DECIMAL(38,0)) - CAST(__mn AS DECIMAL(38,0)) + 1)""")))
     val counts = bucketed.groupBy((g :+ col("__bucket")): _*)
       .agg(count(lit(1)).as("__bn"))
     val offsets = counts.as("a")

@@ -21,12 +21,29 @@ class BenchTierSpec extends AnyFunSuite {
     assert((r ++ s).forall(_.startsWith("x")))
   }
 
-  test("x rows above the heavy threshold are headline; light tail splits 1/3 vs 2/3") {
+  test("x rows above the heavy threshold are headline; light tail splits by stable hash group") {
     val (h, r, s) = Bench.tierSelect(all, anchor, round = 13)
     assert(h.contains("x4_heavy"))
     val tail = Set("x1_light", "x2_light", "x3_light", "x5_light", "x6_light")
     assert((r ++ s).toSet == tail)
-    assert(r.size == 2 && s.size == 3) // 5 light rows: indices mod 3
+    // rotated = exactly the tail rows whose name-hash group matches the round
+    assert(r.forall(n => ((n.hashCode % 3) + 3) % 3 == 13 % 3))
+    assert(s.forall(n => ((n.hashCode % 3) + 3) % 3 != 13 % 3))
+  }
+
+  test("a row's rotation round is stable under tail growth (no index-churn starvation)") {
+    // index-keyed rotation shifted every row's group when the tail grew;
+    // hash-keyed rotation must keep each row's group fixed no matter how
+    // many new light rows are added around it
+    val grown = all ++ Seq("x0_aa_light", "x0_ab_light", "x0_ac_light",
+      "x0_ad_light", "x0_ae_light", "x0_af_light", "x0_ag_light")
+    val grownAnchor = anchor ++ grown.filter(_.startsWith("x0_")).map(_ -> 0.1)
+    for (rd <- 13 to 18) {
+      val before = Bench.tierSelect(all, anchor, rd)._2.toSet
+      val after = Bench.tierSelect(grown, grownAnchor, rd)._2.toSet
+      assert(before.subsetOf(after),
+        s"round $rd: growing the tail must never move an existing row out of its rotation round")
+    }
   }
 
   test("a row absent from the anchor is headline (new rows must be measured)") {

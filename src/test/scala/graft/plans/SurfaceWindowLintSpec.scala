@@ -54,7 +54,18 @@ class SurfaceWindowLintSpec extends SparkSpecBase {
     // lateness curve: the un-partitioned prefix-max window runs over
     // the HOUR-GRID bucket maxima (the x113/x121 bounded-grid class);
     // the per-event running max is partitioned by that hour bucket
-    "x203_lateness_curve")
+    "x203_lateness_curve",
+    // Zipf rank-bucket profile: both un-partitioned windows ride the
+    // (frequency, #types) HISTOGRAM (distinct frequency VALUES — the
+    // statistics-sized table, never types or tokens) and the ≤40-row
+    // bucket table; no per-type rank is ever computed — see
+    // CorpusStats.zipfProfile (the x118/TopFrac exemption class)
+    "x212_zipf_profile",
+    // sorted-shard audit: the rank itself is ScalableRank's two-phase
+    // bucket-partitioned form (linted green); the only un-partitioned
+    // window is the boundary-quality lag over the 32-row zones table
+    // — shards-sized metadata at any corpus scale (util.SortedLayout)
+    "x217_sorted_shards")
 
   /** Columns whose cardinality is bounded by the DOMAIN, not the data:
     * a Window partitioned ONLY by these puts a corpus-scale fraction in

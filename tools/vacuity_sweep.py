@@ -17,8 +17,11 @@ verdict per flagged gate.
 """
 import duckdb, glob, os, sys
 
-out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-verbose = "-v" in sys.argv
+# flag-position-independent parsing: `vacuity_sweep.py -v` must not
+# scan the literal directory "-v" and report a vacuous "swept 0 gates"
+args = [a for a in sys.argv[1:] if a != "-v"]
+verbose = "-v" in sys.argv[1:]
+out = args[0] if args else "/tmp/verify_out"
 con = duckdb.connect()
 
 flagged, clean = [], 0
@@ -49,6 +52,13 @@ for d in sorted(glob.glob(os.path.join(out, "*"))):
         flagged.append((name, f"ALLZERO ({n} rows, cols={','.join(nums)})"))
     else:
         clean += 1
+        if verbose:
+            zr_pred = " AND ".join(
+                f"(abs(coalesce(CAST(\"{c}\" AS DOUBLE), 0)) = 0)" for c in nums)
+            zr = con.sql(
+                f"SELECT count(*) FROM '{d}/*.parquet' WHERE {zr_pred}").fetchone()[0]
+            if zr:
+                print(f"  ZEROROW {name}: {zr}/{n} all-zero-numeric rows (context only)")
 
 print(f"swept {clean + len(flagged)} gates: {clean} NONZERO-proven, "
       f"{len(flagged)} flagged")
