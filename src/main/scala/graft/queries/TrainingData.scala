@@ -3291,6 +3291,27 @@ object TrainingData {
           "cents", "o_orderkey", tieSpan = 10000000000L, nShards = 32)
         .orderBy("shard_id")),
 
+    // X243: incremental shard routing — x217's maintenance half: a
+    // simulated daily delta (orderkey % 13 == 0, ~8% of the base)
+    // routes against the COMMITTED shard boundaries instead of
+    // re-ranking the corpus. The zones table is shards-sized, so
+    // routing is a broadcast range join (first shard whose max_key
+    // covers the key; above-max appends to the last shard) and the
+    // rewrite verdict (delta pressure > 8% of the shard) is the table
+    // a compaction job reads. The base corpus is never touched again.
+    "x218_shard_routing" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("o_orderkey"))
+      graft.util.SortedLayout.shardRouting(
+          o.filter(col("o_orderkey") % 13 =!= 0),
+          o.filter(col("o_orderkey") % 13 === 0),
+          "cents", "o_orderkey", tieSpan = 10000000000L, nShards = 32,
+          rewriteAbovePpm = 80000L)
+        .orderBy("shard_id")
+    }),
+
     // X230: training-mix sampling rates — the decision procedure that
     // consumes x66's DSIR-style weights and x30/x31's samplers: given a
     // token budget (1M) and a stated mix policy (equal representation
@@ -3914,6 +3935,34 @@ object TrainingData {
                                         -9223372036854775808) < min_key
                           THEN 1 ELSE 0 END AS INT) AS clean_cut
          FROM z ORDER BY shard_id""",
+
+    // x217's rank CTE over the %13-filtered base, then the delta routed
+    // by zone-map upper bound (min matching shard, last-shard overflow)
+    "x218_shard_routing" ->
+      """WITH r AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS k,
+                           row_number() OVER (ORDER BY
+                             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000
+                               + o_orderkey) AS rn,
+                           count(*) OVER () AS n
+                    FROM orders WHERE o_orderkey % 13 <> 0),
+              sh AS (SELECT (rn - 1) // ((n + 31) // 32) AS shard_id, k FROM r),
+              z AS (SELECT shard_id, count(*) AS n_rows, max(k) AS max_key
+                    FROM sh GROUP BY 1),
+              d AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS k,
+                           o_orderkey
+                    FROM orders WHERE o_orderkey % 13 = 0),
+              mt AS (SELECT d.k, d.o_orderkey, min(z.shard_id) AS sid
+                     FROM d LEFT JOIN z ON z.max_key >= d.k GROUP BY 1, 2),
+              rt AS (SELECT COALESCE(sid, (SELECT max(shard_id) FROM z)) AS shard_id,
+                            count(*) AS n_delta
+                     FROM mt GROUP BY 1)
+         SELECT CAST(z.shard_id AS BIGINT) AS shard_id, z.n_rows,
+                CAST(COALESCE(rt.n_delta, 0) AS BIGINT) AS n_delta,
+                CAST(CAST(COALESCE(rt.n_delta, 0) AS HUGEINT) * 1000000 // z.n_rows AS BIGINT) AS delta_ppm,
+                CAST(CASE WHEN CAST(COALESCE(rt.n_delta, 0) AS HUGEINT) * 1000000 // z.n_rows > 80000
+                          THEN 1 ELSE 0 END AS INT) AS rewrite
+         FROM z LEFT JOIN rt ON rt.shard_id = z.shard_id
+         ORDER BY z.shard_id""",
 
     // uniform mix policy: target = budget div n_sources, rate capped
     // at 1e6 ppm, upsampling factor where the source is short

@@ -55,4 +55,46 @@ object SortedLayout {
           < col("min_key")).cast("int"))
       .select("shard_id", "n_rows", "min_key", "max_key", "clean_cut")
   }
+
+  /** Incremental maintenance for a [[sortedShardAudit]] layout (X243):
+    * route a DELTA batch against the committed shard boundaries
+    * (zone-map upper bounds) instead of re-ranking the whole corpus —
+    * the daily-ingest read that decides which shards a compaction
+    * rewrites. Routing rule, exact and total: a delta key lands in the
+    * FIRST shard whose max_key covers it; keys above the global max
+    * append to the last shard. Output per shard: base rows, delta
+    * rows, delta pressure (ppm), and the rewrite verdict when delta
+    * exceeds `rewriteAbovePpm` of the shard.
+    *
+    * Scale shape: the zones table is shards-sized, so routing is a
+    * BROADCAST range join (delta × ≤nShards rows, min-aggregated per
+    * delta row) — the corpus is never touched again; everything after
+    * rides the shards-sized aggregate. */
+  def shardRouting(base: DataFrame, delta: DataFrame,
+                   keyCol: String, uniqueCol: String, tieSpan: Long,
+                   nShards: Int = 32,
+                   rewriteAbovePpm: Long = 100000L): DataFrame = {
+    val zones = sortedShardAudit(base, keyCol, uniqueCol, tieSpan, nShards)
+      .select(col("shard_id"), col("n_rows"), col("max_key"))
+    // above-global-max keys append to the LAST EXISTING shard (derived,
+    // not nShards-1: a small base can materialize fewer shards)
+    val lastSid = zones.agg(max("shard_id").as("__last"))
+    val routed = delta
+      .select(col(keyCol).cast("long").as("__k"),
+        col(uniqueCol).cast("long").as("__u"))
+      .join(broadcast(zones.select(col("shard_id").as("__sid"), col("max_key"))),
+        col("max_key") >= col("__k"), "left")
+      .groupBy("__k", "__u")
+      .agg(min("__sid").as("__m"))
+      .crossJoin(broadcast(lastSid))
+      .select(coalesce(col("__m"), col("__last")).as("shard_id"))
+      .groupBy("shard_id").agg(count(lit(1)).as("n_delta"))
+    zones.select("shard_id", "n_rows")
+      .join(routed, Seq("shard_id"), "left")
+      .select(col("shard_id"), col("n_rows"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("delta_ppm",
+        expr("CAST(n_delta AS DECIMAL(38,0)) * 1000000 div n_rows"))
+      .withColumn("rewrite", (col("delta_ppm") > rewriteAbovePpm).cast("int"))
+  }
 }

@@ -209,6 +209,40 @@ class R13TrancheSpec extends SparkSpecBase {
       "shard zone maps must be rank-ordered")
   }
 
+  test("x218: delta routes by zone-map upper bound; overflow appends to the last shard") {
+    // base keys [10,10,20,20,30,30,40,40] -> 4 shards of 2:
+    // maxes 10,20,30,40; delta keys probe: below-min, inside, boundary,
+    // above-global-max
+    val base = Seq((10L, 1L), (10L, 2L), (20L, 3L), (20L, 4L), (30L, 5L),
+      (30L, 6L), (40L, 7L), (40L, 8L)).toDF("k", "uid")
+    val delta = Seq(
+      (5L, 11L),   // below everything -> shard 0
+      (15L, 12L),  // first covering max is 20 -> shard 1
+      (20L, 13L),  // equal to shard 1's max -> shard 1 (min matching)
+      (99L, 14L),  // above global max -> last shard (3)
+      (99L, 15L)).toDF("k", "uid")
+    val r = graft.util.SortedLayout
+      .shardRouting(base, delta, "k", "uid", tieSpan = 100L, nShards = 4,
+        rewriteAbovePpm = 600000L)
+      .orderBy("shard_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4)))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 1L, 500000L, 0),
+      (1L, 2L, 2L, 1000000L, 1),
+      (2L, 2L, 0L, 0L, 0),
+      (3L, 2L, 2L, 1000000L, 1)))
+  }
+
+  test("x218 gate: every delta row routed exactly once") {
+    val rows = run("x218_shard_routing").collect()
+    val nDelta = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 13 === 0).count()
+    assert(rows.map(_.getLong(2)).sum == nDelta,
+      "routing must be total: no delta row lost or double-counted")
+    assert(rows.exists(_.getLong(2) > 0), "positive control: delta mass lands")
+    rows.foreach(r => assert((r.getLong(3) > 80000L) == (r.getInt(4) == 1)))
+  }
+
   test("x213 gate: exposure bounded, and the corpus carries nonzero shared mass") {
     val rows = run("x213_dup_exposure").collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
