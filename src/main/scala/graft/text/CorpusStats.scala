@@ -154,6 +154,7 @@ object CorpusStats {
       .select(col("doc_id"),
         explode(TextFunctions.shingles(TextFunctions.tokens(col("text")))).as("sh"))
       .distinct()
+      .cache() // df aggregate + the roll-up join both read the plane (x40 discipline)
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val per = sh.join(df, Seq("sh"))
       .groupBy("doc_id").agg(

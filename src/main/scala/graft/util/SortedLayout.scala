@@ -76,6 +76,11 @@ object SortedLayout {
                    rewriteAbovePpm: Long = 100000L): DataFrame = {
     val zones = sortedShardAudit(base, keyCol, uniqueCol, tieSpan, nShards)
       .select(col("shard_id"), col("n_rows"), col("max_key"))
+    // zones is referenced three times (route, last-shard, report) but
+    // deliberately NOT cached: ReuseExchange already deduplicates the
+    // underlying rank's shuffles across the references, and a cache
+    // barrier here measured ~1.4× SLOWER (InMemoryRelation
+    // materialization cost without saving any real work)
     // above-global-max keys append to the LAST EXISTING shard (derived,
     // not nShards-1: a small base can materialize fewer shards)
     val lastSid = zones.agg(max("shard_id").as("__last"))
