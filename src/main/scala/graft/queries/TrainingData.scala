@@ -3291,6 +3291,28 @@ object TrainingData {
           "cents", "o_orderkey", tieSpan = 10000000000L, nShards = 32)
         .orderBy("shard_id")),
 
+    // X244: embedding norm audit — the precondition check every cosine
+    // consumer on the vector plane (x11/x13/x16/x33/x61…) silently
+    // assumes: are the vectors actually unit-norm? A mixed corpus
+    // (half normalized, half raw encoder output) makes dot-product
+    // shortcuts rank garbage long before recall audits notice. Exact
+    // fixed-point norms (the same codegen'd FixedPointDot as every
+    // cosine), histogrammed by 0.1-of-unit buckets of norm² with an
+    // off-unit verdict per bucket — one map-combined aggregate,
+    // buckets-sized output.
+    "x219_norm_audit" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Similarity.dotFixed(col("embedding"), col("embedding")).as("nsq"))
+        .withColumn("bucket", expr("nsq div 100000000000"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_vecs"),
+          min("nsq").as("min_nsq"),
+          max("nsq").as("max_nsq"))
+        .withColumn("off_unit",
+          (col("bucket") < 9 || col("bucket") >= 11).cast("int"))
+        .orderBy("bucket")),
+
     // X243: incremental shard routing — x217's maintenance half: a
     // simulated daily delta (orderkey % 13 == 0, ~8% of the base)
     // routes against the COMMITTED shard boundaries instead of
@@ -3935,6 +3957,19 @@ object TrainingData {
                                         -9223372036854775808) < min_key
                           THEN 1 ELSE 0 END AS INT) AS clean_cut
          FROM z ORDER BY shard_id""",
+
+    // the same q = round(v·1e6) quantization as every dot oracle;
+    // buckets are 1e11 micro² = 0.1 of a unit norm²
+    "x219_norm_audit" ->
+      """WITH e AS (SELECT vec_id,
+                           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+                    FROM embeddings),
+              nv AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nsq FROM e GROUP BY 1),
+              b AS (SELECT nsq // 100000000000 AS bucket, nsq FROM nv)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_vecs,
+                min(nsq) AS min_nsq, max(nsq) AS max_nsq,
+                CAST(CASE WHEN bucket < 9 OR bucket >= 11 THEN 1 ELSE 0 END AS INT) AS off_unit
+         FROM b GROUP BY bucket ORDER BY bucket""",
 
     // x217's rank CTE over the %13-filtered base, then the delta routed
     // by zone-map upper bound (min matching shard, last-shard overflow)

@@ -243,6 +243,38 @@ class R13TrancheSpec extends SparkSpecBase {
     rows.foreach(r => assert((r.getLong(3) > 80000L) == (r.getInt(4) == 1)))
   }
 
+  test("x219: planted unit / short / long vectors land in the right norm buckets") {
+    val e = Seq(
+      (1L, Array(0.6f, 0.8f)),   // norm^2 = 1e12 exactly -> bucket 10, on-unit
+      (2L, Array(0.1f, 0.1f)),   // 2e10 -> bucket 0, off
+      (3L, Array(1.2f, 0.0f))    // 1.44e12 -> bucket 14, off
+    ).toDF("vec_id", "embedding")
+    val r = e.select(col("vec_id"),
+        graft.sim.Similarity.dotFixed(col("embedding"), col("embedding")).as("nsq"))
+      .withColumn("bucket", expr("nsq div 100000000000"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"),
+        min("nsq").as("min_nsq"), max("nsq").as("max_nsq"))
+      .withColumn("off_unit", (col("bucket") < 9 || col("bucket") >= 11).cast("int"))
+      .orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4)))
+    assert(r.toSeq == Seq(
+      (0L, 1L, 20000000000L, 20000000000L, 1),
+      (10L, 1L, 1000000000000L, 1000000000000L, 0),
+      (14L, 1L, 1440000000000L, 1440000000000L, 1)))
+  }
+
+  test("x219 gate: every vector lands in exactly one bucket") {
+    val rows = run("x219_norm_audit").collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(2) >= b * 100000000000L &&
+        r.getLong(3) < (b + 1) * 100000000000L, "min/max inside the bucket range")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("x213 gate: exposure bounded, and the corpus carries nonzero shared mass") {
     val rows = run("x213_dup_exposure").collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
