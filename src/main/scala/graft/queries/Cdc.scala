@@ -364,6 +364,66 @@ object Cdc {
       s.read.parquet(out).orderBy("fp")
     }),
 
+    // X67 promoted end-to-end (completing ALL FIVE stateful streaming
+    // lifecycles: sink swap, tumbling, session-merge, join state, and —
+    // here — TIMER-DRIVEN emission): `closedSessions`'
+    // flatMapGroupsWithState + event-time timeout, driven through the
+    // real machinery. What this proves that the batch t3 face cannot:
+    // each session is emitted EXACTLY ONCE, finalized, when the
+    // watermark passes its gap horizon — intra-batch gaps close
+    // eagerly, open sessions close via the event-time TIMER the state
+    // registered in an earlier micro-batch, and state is evicted on
+    // close. Staging is TIME-split (not the x190 parity split):
+    // `setTimeoutTimestamp` must exceed the current watermark, so
+    // batches are event-time ordered — batch 1 carries only rows at or
+    // after the split instant, keeping every timer registration above
+    // the watermark batch 0 established. The sentinel (user −1, 4 days
+    // past max ts) advances the watermark so every real session's
+    // timer fires; its own session never can and is filtered
+    // defensively. Hashed against t3's session_window oracle verbatim:
+    // one sessionization, three execution faces (batch aggregate,
+    // streamed aggregate, keyed state), one hash.
+    "x220_stream_closed_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scratch = java.nio.file.Files.createTempDirectory("graft_scls_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile): Unit))
+      val in = scratch.toString + "/in"
+      val out = scratch.toString + "/out"
+      val ev = Tables.events(s, d).drop("props")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      // corpus-midpoint split instant (1-row metadata read)
+      val row = ev.agg(min("ts"), max("ts")).collect()(0)
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "x220: events input is empty — cannot derive a split instant")
+      val (lo, hi) = (row.getTimestamp(0).getTime, row.getTimestamp(1).getTime)
+      val mid = new java.sql.Timestamp(lo + (hi - lo) / 2)
+      stageStreamBatches(s, in, Seq(
+        ev.filter(col("ts") < lit(mid)),
+        ev.filter(col("ts") >= lit(mid)),
+        ev.orderBy(desc("ts")).limit(1)
+          .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            lit("__sentinel").as("event_type"),
+            (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
+            lit(0.0).as("value"))
+          .select(ev.columns.map(col): _*)))
+      val q = graft.streaming.EventAggregates.closedSessions(
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in + "/*"),
+          gapMs = 3600000L, watermark = "2 hours")
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", scratch.toString + "/ckpt")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .filter(col("user_id") =!= -1L)
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // §3.2 end-to-end: the full CDC batch shape (parse → flatten →
     // normalize → pk → metadata), minus the nondeterministic timestamp.
     "t_cdc_transform" -> ((s, d) => {
@@ -411,6 +471,22 @@ object Cdc {
     // batch answer (t3's oracle verbatim) — cross-batch session merges
     // included
     "x191_stream_sessions" ->
+      """WITH m AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           s AS (SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+         SELECT min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
+                user_id, count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id ASC NULLS FIRST, session_start""",
+    // the TIMER-driven keyed-state face must converge to the identical
+    // batch sessionization (t3's oracle verbatim) — closed-once
+    // emission, cross-batch timers, exact-cents totals included
+    "x220_stream_closed_sessions" ->
       """WITH m AS (SELECT user_id, ts, value,
                 CASE WHEN lag(ts) OVER w IS NULL
                           OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s

@@ -63,10 +63,19 @@ object EventAggregates {
                            watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
-  case class SessionOpen(start_ms: Long, last_ms: Long, n: Long, total: Double)
+  /** Open-session state: event times ride as epoch MICROS (Catalyst's
+    * native timestamp precision — `Timestamp.getTime` would truncate to
+    * millis and drift from the batch oracle), and the running total as
+    * exact CENTS (the [[graft.util.Det.dsum]] discipline in keyed-state
+    * form — a plain double accumulation would drift from the
+    * decimal-summing batch oracle on the second event of any session). */
+  case class SessionOpen(start_us: Long, last_us: Long, n: Long, total_cents: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp,
                            n_events: Long, total_value: Double)
+
+  /** Mirror of Spark's `CAST(v AS DECIMAL(18,2))` (and DuckDB's — both
+    * round the shortest decimal representation HALF_UP), as cents. */
 
   /** T5 extension: CLOSED-session emission via `flatMapGroupsWithState`
     * + event-time timeout — the stateful shape `session_window` cannot
@@ -85,15 +94,33 @@ object EventAggregates {
                      watermark: String = "2 hours"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
+    // local defs (not object methods): the state-update closure ships to
+    // executors, and capturing the enclosing object would make the task
+    // unserializable
+    // mirror of Spark's CAST(v AS DECIMAL(18,2)) (and DuckDB's — both
+    // round the shortest decimal representation HALF_UP), as cents
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact
+    // epoch-micros → Timestamp, micros preserved (the constructor takes
+    // millis; setNanos replaces the full fractional second)
+    def usTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def close(uid: Long, s: SessionOpen): ClosedSession =
-      ClosedSession(uid, new java.sql.Timestamp(s.start_ms),
-        new java.sql.Timestamp(s.last_ms + gapMs), s.n, s.total)
+      ClosedSession(uid, usTs(s.start_us), usTs(s.last_us + gapUs),
+        s.n, s.total_cents / 100.0)
     events.withWatermark("ts", watermark)
-      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
-      .as[(Long, java.sql.Timestamp, Double)]
+      .select(col("user_id").cast("long"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
          state: GroupState[SessionOpen]) =>
           if (state.hasTimedOut) {
             val done = close(uid, state.get)
@@ -101,26 +128,32 @@ object EventAggregates {
             Iterator.single(done)
           } else {
             // fold this batch's events in event-time order into the open
-            // session; a gap > gapMs closes and emits the earlier one
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            // session; a gap ≥ gapMs closes and emits the earlier one
+            val sorted = rows.map(r => (r._3, r._4)).toSeq.sortBy(_._1)
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { case (_, ts, v) =>
-              val t = ts.getTime
+            sorted.foreach { case (t, v) =>
               open match {
-                case Some(s) if t <= s.last_ms + gapMs =>
-                  open = Some(SessionOpen(s.start_ms, math.max(s.last_ms, t), s.n + 1, s.total + v))
+                // STRICT bound: an event at exactly last+gap starts a new
+                // session — `session_window` ranges are [start, last+gap),
+                // and the two faces must sessionize identically
+                case Some(s) if t < s.last_us + gapUs =>
+                  open = Some(SessionOpen(s.start_us, math.max(s.last_us, t), s.n + 1,
+                    s.total_cents + cents(v)))
                 case Some(s) =>
                   closed += close(uid, s)
-                  open = Some(SessionOpen(t, t, 1L, v))
+                  open = Some(SessionOpen(t, t, 1L, cents(v)))
                 case None =>
-                  open = Some(SessionOpen(t, t, 1L, v))
+                  open = Some(SessionOpen(t, t, 1L, cents(v)))
               }
             }
             open.foreach { s =>
               state.update(s)
               // fires when the watermark passes the session's gap horizon
-              state.setTimeoutTimestamp(s.last_ms + gapMs)
+              // (floor-to-millis can only fire the timer sub-ms EARLY, and
+              // any event that could still have joined the session would
+              // itself be below that watermark)
+              state.setTimeoutTimestamp(Math.floorDiv(s.last_us + gapUs, 1000L))
             }
             closed.result().iterator
           }

@@ -80,6 +80,48 @@ class EventAggregatesSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("an event at EXACTLY last+gap starts a new session (session_window parity: ranges are [start, last+gap))") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.closedSessions(input.toDF(),
+        gapMs = 600000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("csb").outputMode("append").start()
+    try {
+      // second event exactly 10 min after the first: the batch oracle
+      // (lag diff >= gap ⇒ new session) puts it in a NEW session, so the
+      // keyed-state face must close the first one immediately
+      input.addData(
+        Ev(t("2024-01-01 00:00:00"), 9, "a", 1.0),
+        Ev(t("2024-01-01 00:10:00"), 9, "a", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("csb").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Timestamp]("session_start") === t("2024-01-01 00:00:00"))
+      assert(rows(0).getAs[Timestamp]("session_end") === t("2024-01-01 00:10:00"))
+      assert(rows(0).getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
+  test("session totals accumulate as exact cents, not drifting doubles") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAggregates.closedSessions(input.toDF(),
+        gapMs = 600000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("csc").outputMode("append").start()
+    try {
+      // 0.1 + 0.2 in double order-of-arrival is 0.30000000000000004; the
+      // decimal-summing batch oracle says exactly 0.3 — so must we
+      input.addData(
+        Ev(t("2024-01-01 00:00:00"), 11, "a", 0.1),
+        Ev(t("2024-01-01 00:01:00"), 11, "a", 0.2),
+        Ev(t("2024-01-01 01:00:00"), 11, "a", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("csc").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Double]("total_value") === 0.3)
+    } finally q.stop()
+  }
+
   test("an intra-batch gap closes the earlier session immediately") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
