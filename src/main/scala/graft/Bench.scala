@@ -664,6 +664,30 @@ object Bench {
       }
     }
 
+    // ---- stall re-sampling: a row whose provisional median/min already
+    // exceeds the 3× stall threshold caught at least one sample inside a
+    // host-contention window; with budget headroom, buy each flagged row
+    // one more clean shot NOW so the official artifact's stall flags
+    // reflect PERSISTENT contention, not one bad window (the r13
+    // artifact shipped 17 flags while leaving 28% of its budget unspent)
+    for (st <- states
+         if st.err.isEmpty && st.samples.nonEmpty &&
+            resolve(st.samples.toSeq, st.warm).stall) {
+      if (elapsed / budget < 0.85) {
+        try {
+          val s = timedRun(st.name)
+          st.samples += s
+          emit(s"""{"query":${jstr(st.name)},"pass":${st.planned + 1},""" +
+            s""""sec":$s,"stall_resample":true}""")
+        } catch {
+          case e: Throwable =>
+            st.err = Some(fmtErr(e))
+            emit(s"""{"query":${jstr(st.name)},"pass":${st.planned + 1},""" +
+              s""""sec":null,"err":${jstr(st.err.get)}}""")
+        }
+      }
+    }
+
     // ---- per-query resolution: median + min of real samples; warmup
     // fallback only when the budget allowed no timed run at all.
     sealed trait Res
@@ -729,6 +753,13 @@ object Bench {
     // stay comparable. Scalars sit near the END of the line — the
     // driver keeps only the stdout tail.
     val anchorSkippedMin = skipped.flatMap(anchorMins.get).sum
+    // this round's rotated group, priced at the anchor: the hash-keyed
+    // thirds are statistical, not by construction (r13 groups: 59/76/67
+    // rows, 46-56 s) — emitting the rotated group's anchor cost makes a
+    // skewed group visible in the artifact BEFORE it overruns a budget
+    // (BenchTierSpec pins the ≤45%-of-tail balance on the committed
+    // anchor)
+    val rotatedAnchorMin = rotated.flatMap(anchorMins.get).sum
     val skippedJson = skipped.map(jstr).mkString("[", ",", "]")
     // `value` is the CLEAN total only: warmup-fallback rows (planning +
     // codegen compile time) must not poison round-over-round comparison.
@@ -749,6 +780,7 @@ object Bench {
       s""""tier_round":$round,"n_headline":${headline.size},""" +
       s""""n_rotated":${rotated.size},"n_skipped":${skipped.size},""" +
       s""""anchor_skipped_min":$anchorSkippedMin,""" +
+      s""""rotated_anchor_min":$rotatedAnchorMin,""" +
       s""""total_min_full_est":${totalMin + anchorSkippedMin},""" +
       s""""wall":$elapsed,"sf":${jstr(sfDir)}}"""
     println(aggregate)

@@ -31,6 +31,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators cache a shared plane (x213's shingle table,
+      // x216's token table, …) that the returned plan reads twice; the
+      // write above is the terminal action, so drop the plane here —
+      // otherwise ~326 queries' planes accumulate and lean on LRU
+      // eviction for the whole dump (Bench clears before every timed
+      // run for the same reason)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

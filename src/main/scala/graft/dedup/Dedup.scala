@@ -492,7 +492,11 @@ object Dedup {
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).as("p"), col("tok"))
       .filter(length(col("tok")) > 0)
-      .cache() // kept anti-join + per-doc totals both read the token table
+      // kept anti-join + per-doc totals both read the token table
+      // (uncached form measured 4.5× worse). Lifetime: the harness owns
+      // the terminal action and clears the cache after it (Bench before
+      // every timed run, Verify after every dump)
+      .cache()
     val kept = tok.join(spans,
       tok("doc_id") === spans("doc_id") &&
         col("p").between(col("span_start"), col("span_end")), "left_anti")

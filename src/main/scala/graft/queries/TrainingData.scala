@@ -3302,6 +3302,10 @@ object TrainingData {
     // buckets-sized output.
     "x219_norm_audit" -> ((s, d) =>
       Tables.embeddings(s, d)
+        // parity guard: for an empty/null embedding the oracle's unnest
+        // produces no rows (the vector vanishes), while dotFixed would
+        // emit nsq=0 into bucket 0 — drop degenerates on both engines
+        .filter(size(col("embedding")) > 0)
         .select(col("vec_id"),
           Similarity.dotFixed(col("embedding"), col("embedding")).as("nsq"))
         .withColumn("bucket", expr("nsq div 100000000000"))

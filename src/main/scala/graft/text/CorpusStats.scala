@@ -154,7 +154,12 @@ object CorpusStats {
       .select(col("doc_id"),
         explode(TextFunctions.shingles(TextFunctions.tokens(col("text")))).as("sh"))
       .distinct()
-      .cache() // df aggregate + the roll-up join both read the plane (x40 discipline)
+      // df aggregate + the roll-up join both read the plane (x40
+      // discipline). Lifetime: the returned plan is lazy, so the
+      // harness owns the terminal action and clears the cache after it
+      // (Bench before every timed run, Verify after every dump) —
+      // long-lived sessions embedding this operator should do the same
+      .cache()
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val per = sh.join(df, Seq("sh"))
       .groupBy("doc_id").agg(

@@ -31,6 +31,47 @@ class BenchTierSpec extends AnyFunSuite {
     assert(s.forall(n => ((n.hashCode % 3) + 3) % 3 != 13 % 3))
   }
 
+  test("rotation groups of REAL surface names match hand-computed JLS hashes") {
+    // concrete pins (hash computed by hand from the JLS s[0]·31ⁿ⁻¹+…
+    // definition, NOT by calling the production expression — a test that
+    // mirrors the formula can only prove the code equals itself):
+    //   x2_jaccard_pairs  hash −1769449167 → group 0
+    //   x7_lang_id        hash  −426379380 → group 0
+    //   x1_dedup_exact    hash   495520984 → group 1
+    //   x21_url_canon     hash  1938783575 → group 2
+    //   x46_oov_rate      hash   803137166 → group 2
+    val names = Seq("x2_jaccard_pairs", "x7_lang_id", "x1_dedup_exact",
+      "x21_url_canon", "x46_oov_rate")
+    val light = names.map(_ -> 0.1).toMap
+    def rotatedAt(round: Int): Set[String] =
+      Bench.tierSelect(names, light, round)._2.toSet
+    assert(rotatedAt(0) === Set("x2_jaccard_pairs", "x7_lang_id"))
+    assert(rotatedAt(1) === Set("x1_dedup_exact"))
+    assert(rotatedAt(2) === Set("x21_url_canon", "x46_oov_rate"))
+    // and the groups recur with period 3
+    assert(rotatedAt(3) === rotatedAt(0))
+    assert(rotatedAt(14) === rotatedAt(2))
+  }
+
+  test("committed-anchor rotation groups are balanced: no group exceeds 45% of the tail") {
+    // the hash-keyed thirds are statistical, not by construction — this
+    // is the guard that catches a skewed group BEFORE it overruns the
+    // driver's 1200 s budget (the artifact also now emits
+    // rotated_anchor_min per round). Runs against the real committed
+    // anchor and the real tail split.
+    val mins = Bench.readAnchor("BENCH_ANCHOR.json")
+    assert(mins.nonEmpty, "committed BENCH_ANCHOR.json must parse")
+    val names = mins.keys.toSeq
+    val groups = (0 to 2).map { rd =>
+      Bench.tierSelect(names, mins, rd)._2.flatMap(mins.get).sum
+    }
+    val tailTotal = groups.sum
+    assert(tailTotal > 0.0)
+    for ((g, i) <- groups.zipWithIndex)
+      assert(g <= 0.45 * tailTotal,
+        f"rotation group $i carries $g%.1f s of the $tailTotal%.1f s tail (> 45%%)")
+  }
+
   test("a row's rotation round is stable under tail growth (no index-churn starvation)") {
     // index-keyed rotation shifted every row's group when the tail grew;
     // hash-keyed rotation must keep each row's group fixed no matter how
