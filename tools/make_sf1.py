@@ -11,13 +11,28 @@ replica-0-only — a fixed probe set against a 10x corpus, the realistic
 scale-up. events.ts is re-cast to TIMESTAMP_NS to keep the driver data's
 physical parquet type (graft.Tables.events reads nanos-as-long).
 
+Two modes (second CLI arg):
+  clone (default) — replicas i>0 carry byte-identical text/embeddings:
+    the DUPLICATION stress artifact. Every clone-sensitive operator
+    (x13, x81, x197, x213, x216) reads its worst case here, which
+    conflates "quadratic in clones" with "quadratic in data".
+  perturb — replicas i>0 get a deterministic doc-id-derived token
+    appended to text and a vec-id-derived fixed-point epsilon added to
+    embedding[0]: no exact clones anywhere, near-dup structure kept, so
+    the anchor measures TRUE data scaling. Replica 0 stays pristine in
+    both modes (fixed probe sets read original rows).
+
 Bench-only data: no oracle runs against it (hash correctness at 10x was
 separately proven at sf0.1 in round 4).
+
+Usage: make_sf1.py [dst] [clone|perturb]
 """
 import duckdb, os, sys
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
+MODE = sys.argv[2] if len(sys.argv) > 2 else "clone"
+assert MODE in ("clone", "perturb"), MODE
 REPLICAS = 10
 OFF = 100_000_000
 
@@ -59,10 +74,35 @@ emit("events", f"""
   SELECT event_id + i*{OFF} AS event_id, CAST(ts AS TIMESTAMP_NS) AS ts,
          user_id + i*{OFF} AS user_id, event_type, value, props
   FROM {src('events')}, r""")
-emit("documents", f"""
-  SELECT doc_id + i*{OFF} AS doc_id, text, lang, source, n_chars
-  FROM {src('documents')}, r""")
-emit("embeddings", f"""
-  SELECT vec_id + i*{OFF} AS vec_id, embedding, label
-  FROM {src('embeddings')}, r""")
-print("done ->", DST)
+if MODE == "clone":
+    emit("documents", f"""
+      SELECT doc_id + i*{OFF} AS doc_id, text, lang, source, n_chars
+      FROM {src('documents')}, r""")
+    emit("embeddings", f"""
+      SELECT vec_id + i*{OFF} AS vec_id, embedding, label
+      FROM {src('embeddings')}, r""")
+else:
+    # deterministic perturbation, replica 0 untouched: one appended
+    # doc-id-derived token breaks text clone identity (shingle sets stay
+    # ~identical — near-dup structure survives); one fixed-point epsilon
+    # on embedding[0] breaks vector clone identity (epsilon = (id-mixed
+    # 1..99)·1e-4, far above the 1e-6 quantization step, far below unit
+    # norm — cosine neighborhoods survive)
+    emit("documents", f"""
+      SELECT doc_id + i*{OFF} AS doc_id,
+             CASE WHEN i = 0 THEN text
+                  ELSE text || ' zq' || CAST(doc_id + i*{OFF} AS VARCHAR) END AS text,
+             lang, source,
+             CASE WHEN i = 0 THEN n_chars
+                  ELSE n_chars + 3 + length(CAST(doc_id + i*{OFF} AS VARCHAR)) END AS n_chars
+      FROM {src('documents')}, r""")
+    emit("embeddings", f"""
+      SELECT vec_id + i*{OFF} AS vec_id,
+             CASE WHEN i = 0 THEN embedding
+                  ELSE list_concat(
+                         [CAST(embedding[1]
+                               + ((i*31 + vec_id % 59) % 99 + 1) * 0.0001 AS FLOAT)],
+                         embedding[2:]) END AS embedding,
+             label
+      FROM {src('embeddings')}, r""")
+print("done ->", DST, f"(mode={MODE})")

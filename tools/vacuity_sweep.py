@@ -11,16 +11,26 @@ Scans every query output under a graft.Verify dump and classifies:
              zeroness is vacuous; reported for context at -v)
   NONZERO    carries substantive values           → self-evidencing
 
-Usage: tools/vacuity_sweep.py /tmp/verify_out [-v]
+Usage: tools/vacuity_sweep.py /tmp/verify_out [-v] [--json VACUITY_rN.json]
 Exit 0 always (reporting tool); the round's SURVEY §5 note records the
-verdict per flagged gate.
+verdict per flagged gate, and --json commits the sweep as a per-round
+artifact (r13 verdict #5: a new gate regressing to vacuous must show up
+as a diff, not only in a transient stdout read).
 """
-import duckdb, glob, os, sys
+import duckdb, glob, json, os, sys
 
 # flag-position-independent parsing: `vacuity_sweep.py -v` must not
 # scan the literal directory "-v" and report a vacuous "swept 0 gates"
-args = [a for a in sys.argv[1:] if a != "-v"]
-verbose = "-v" in sys.argv[1:]
+json_path = None
+rest = []
+it = iter(sys.argv[1:])
+for a in it:
+    if a == "--json":
+        json_path = next(it, None)
+    else:
+        rest.append(a)
+args = [a for a in rest if a != "-v"]
+verbose = "-v" in rest
 out = args[0] if args else "/tmp/verify_out"
 con = duckdb.connect()
 
@@ -64,3 +74,12 @@ print(f"swept {clean + len(flagged)} gates: {clean} NONZERO-proven, "
       f"{len(flagged)} flagged")
 for name, why in flagged:
     print(f"  {why:60s} {name}")
+
+if json_path:
+    with open(json_path, "w") as f:
+        json.dump({"metric": "vacuity_sweep", "source": out,
+                   "swept": clean + len(flagged), "nonzero_proven": clean,
+                   "flagged": [{"gate": n, "why": w} for n, w in flagged]},
+                  f, indent=1)
+        f.write("\n")
+    print(f"wrote {json_path}")
