@@ -390,7 +390,12 @@ object Cdc {
         org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile): Unit))
       val in = scratch.toString + "/in"
       val out = scratch.toString + "/out"
+      // closedSessions REQUIRES non-null user_id (keyed state needs a
+      // key; the Long decode throws on NULL) — filter here AND in the
+      // oracle (sessionOracleSql's x220 face), so the two engines agree
+      // if the events table ever carries null users
       val ev = Tables.events(s, d).drop("props")
+        .filter(col("user_id").isNotNull)
         .withColumn("ts", col("ts").cast("timestamp"))
       // corpus-midpoint split instant (1-row metadata read)
       val row = ev.agg(min("ts"), max("ts")).collect()(0)
@@ -418,7 +423,7 @@ object Cdc {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.read.parquet(out)
-        .filter(col("user_id") =!= -1L)
+        .filter(col("user_id").isNull || col("user_id") =!= -1L)
         .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
         .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
         .orderBy("user_id", "session_start")
@@ -434,6 +439,26 @@ object Cdc {
         .drop("processed_at", CdcStream.ParseErrorCol)
         .orderBy("event_id")
     }))
+
+  /** The gaps-and-islands batch sessionization — ONE definition for its
+    * THREE faces (t3 batch `session_window`, x191 streamed aggregate,
+    * x220 keyed state), so a future sessionization tweak cannot
+    * desynchronize the "one sessionization, one hash" contract. The
+    * x220 face filters NULL users on both engines (closedSessions
+    * requires a key; the `session_window` faces group NULLs as a key). */
+  private def sessionOracleSql(where: String = ""): String =
+    s"""WITH m AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+              FROM events $where WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           s AS (SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+         SELECT min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
+                user_id, count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id ASC NULLS FIRST, session_start"""
 
   def oracles: Map[String, String] = Map(
     "t2_tumbling_window" ->
@@ -454,51 +479,16 @@ object Cdc {
          SELECT win_start, event_type, count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
-    "t3_session_window" ->
-      """WITH m AS (SELECT user_id, ts, value,
-                CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-           s AS (SELECT user_id, ts, value,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-              FROM m)
-         SELECT min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
-                user_id, count(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM s GROUP BY user_id, sid
-         ORDER BY user_id ASC NULLS FIRST, session_start""",
+    "t3_session_window" -> sessionOracleSql(),
     // the STREAM-executed session plan must converge to the identical
     // batch answer (t3's oracle verbatim) — cross-batch session merges
     // included
-    "x191_stream_sessions" ->
-      """WITH m AS (SELECT user_id, ts, value,
-                CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-           s AS (SELECT user_id, ts, value,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-              FROM m)
-         SELECT min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
-                user_id, count(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM s GROUP BY user_id, sid
-         ORDER BY user_id ASC NULLS FIRST, session_start""",
+    "x191_stream_sessions" -> sessionOracleSql(),
     // the TIMER-driven keyed-state face must converge to the identical
-    // batch sessionization (t3's oracle verbatim) — closed-once
-    // emission, cross-batch timers, exact-cents totals included
+    // batch sessionization — closed-once emission, cross-batch timers,
+    // exact-cents totals included; null users filtered on both engines
     "x220_stream_closed_sessions" ->
-      """WITH m AS (SELECT user_id, ts, value,
-                CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
-              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-           s AS (SELECT user_id, ts, value,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-              FROM m)
-         SELECT min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
-                user_id, count(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM s GROUP BY user_id, sid
-         ORDER BY user_id ASC NULLS FIRST, session_start""",
+      sessionOracleSql(where = "WHERE user_id IS NOT NULL"),
     "t4_interval_join" ->
       """WITH imp AS (SELECT event_id AS imp_id, user_id AS imp_user, ts AS imp_ts
                       FROM events WHERE event_type = 'view'),

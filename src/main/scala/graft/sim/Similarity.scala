@@ -799,6 +799,12 @@ object Similarity {
       .filter(size(col("qarr")) > 0)
       .withColumn("gid", min(col("vec_id")).over(Window.partitionBy("qarr")))
       .drop("qarr")
+    // mem feeds reps, lowIds, internal and the fan-out union UNCACHED
+    // by measurement: ReuseExchange already dedupes the qarr window's
+    // shuffle, and a .cache() here measured a wash at sf0.1 (x13
+    // 2.09→1.96, x35 1.72→1.94) and a slight LOSS at the 10× replica
+    // (x13 2.46→2.66) — the x218-zones lesson again: don't cache what
+    // exchange reuse already shares
     val reps = mem.filter(col("vec_id") === col("gid")).select("vec_id", "embedding")
     // the k+1 lowest member ids per group — all any top-k list can use
     val lowIds = mem.select(col("vec_id"), col("gid"))

@@ -74,9 +74,6 @@ object EventAggregates {
                            session_end: java.sql.Timestamp,
                            n_events: Long, total_value: Double)
 
-  /** Mirror of Spark's `CAST(v AS DECIMAL(18,2))` (and DuckDB's — both
-    * round the shortest decimal representation HALF_UP), as cents. */
-
   /** T5 extension: CLOSED-session emission via `flatMapGroupsWithState`
     * + event-time timeout — the stateful shape `session_window` cannot
     * express (the built-in aggregate re-emits a session every time it
@@ -89,7 +86,10 @@ object EventAggregates {
     * passes its gap horizon — state is evicted on close, bounding the
     * store to one open session per active user (idle users' state ages
     * out through the same timeout). End semantics match
-    * `session_window`: end = last event + gap. */
+    * `session_window`: end = last event + gap. REQUIRES non-null
+    * user_id (keyed state needs a key; the Long decode would throw on
+    * NULL) — filter or sentinel null-user events upstream, unlike the
+    * `session_window` faces, which group NULL users as their own key. */
   def closedSessions(events: DataFrame, gapMs: Long = 3600000L,
                      watermark: String = "2 hours"): Dataset[ClosedSession] = {
     val spark = events.sparkSession

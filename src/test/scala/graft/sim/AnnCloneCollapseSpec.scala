@@ -90,7 +90,8 @@ class AnnCloneCollapseSpec extends SparkSpecBase {
       .select((col("i") * 100 + 1000).as("vec_id"), col("embedding"))
     val emb = base.unionByName(clones)
     val res = Similarity.annTopK(emb, 64, 5)
-      .filter(col("qid") === 5900) // the highest clone id (59*100+1000)
+      .filter(col("qid") === 6900) // the HIGHEST clone id (59*100+1000) —
+      // the member farthest beyond the rn<=k+1 lowIds prefix
       .orderBy("rank")
       .select("vb", "cos", "rank").as[(Long, Double, Int)].collect()
     // its top-5 are the five lowest ids of the clone group: 0, then

@@ -7,10 +7,12 @@ The sf1 anchor has two modes since round 14 (r13 verdict #3):
   perturb — target/sf1p, deterministic per-replica perturbation: no
             exact clones, near-dup structure kept — TRUE data scaling
 
-Usage: make_sf1_anchor.py OUT round sf01_anchor clone.json [perturb.json ...]
-Each input is a bench_summary.json captured after a run against the
-matching SF dir; later files only ADD rows (per mode). The sf0.1 anchor
-supplies the per-row baseline so the artifact carries the 10x ratio.
+Usage: make_sf1_anchor.py OUT round sf01_anchor MODE:capture.json ...
+Each capture is a bench_summary.json from a run against the matching SF
+dir, tagged EXPLICITLY as clone: or perturb: (inferring the mode from
+the sf path silently misfiles captures from differently-named dirs);
+within a mode, earlier files win (pass timed captures before warm-only
+ones). The sf0.1 anchor supplies the per-row baseline for the 10x ratio.
 """
 import json, sys
 
@@ -18,10 +20,11 @@ out, rnd, anchor_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 anchor = json.load(open(anchor_path)).get("mins", {})
 
 modes = {}
-for p in sys.argv[4:]:
+for spec in sys.argv[4:]:
+    mode, _, p = spec.partition(":")
+    if mode not in ("clone", "perturb") or not p:
+        sys.exit(f"make_sf1_anchor: capture must be clone:PATH or perturb:PATH, got {spec!r}")
     d = json.load(open(p))
-    sf = d.get("sf", "")
-    mode = "perturb" if sf.rstrip("/").endswith("sf1p") else "clone"
     rows = modes.setdefault(mode, {})
     for q, sec in d.get("mins", d.get("queries", {})).items():
         rows.setdefault(q, sec)

@@ -27,6 +27,10 @@ it = iter(sys.argv[1:])
 for a in it:
     if a == "--json":
         json_path = next(it, None)
+        if json_path is None:
+            # a silently-unwritten artifact is exactly the regression
+            # path --json exists to close — fail loudly instead
+            sys.exit("vacuity_sweep: --json requires a path argument")
     else:
         rest.append(a)
 args = [a for a in rest if a != "-v"]
