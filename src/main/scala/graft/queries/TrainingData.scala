@@ -309,6 +309,12 @@ object TrainingData {
        FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10) q
        LEFT JOIN hits USING (qid) ORDER BY qid"""
 
+  /** x13b: hot-bucket candidate cap and planted-cluster size — shared
+    * by the Spark plan and the generated oracle. Copies > cap so the
+    * planted family's buckets provably exceed the cap at every SF. */
+  val AnnBucketCap = 64
+  val AnnHotCopies = 80
+
   /** Doc-frequency cap for the x36 capped-Jaccard query — shared by the
     * Spark plan and the generated oracle so the two cannot drift. */
   val JaccardDfCap = 25
@@ -722,6 +728,61 @@ object TrainingData {
        cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vb
                 FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
                                             AND a.vec_id <> b.vec_id),
+       dots AS (SELECT c.qid, c.vb, SUM(x.q * y.q) AS dot
+                FROM cand c JOIN e x ON x.vec_id = c.qid
+                            JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
+                GROUP BY 1, 2),
+       scored AS (SELECT qid, vb, CAST(dot AS DOUBLE) / sqrt(nx.nsq * ny.nsq) AS cos
+                  FROM dots JOIN norms nx ON nx.vec_id = qid JOIN norms ny ON ny.vec_id = vb)
+       SELECT qid, vb, cos, rank FROM
+         (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vb) AS INT) AS rank
+          FROM scored)
+       WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** x13b: the adaptive-geometry ANN chain over a base that UNIONS the
+    * planted hot cluster (AnnHotCopies copies of vector 0 at ids above
+    * max(vec_id)), with the hot-bucket filter (HAVING count ≤ cap)
+    * applied between the chunk table and the candidate self-join —
+    * the same plant, width resolution, and cap the Spark plan runs. */
+  private def annBoundedOracleSql(k: Int = 5, targetBucket: Int = 16): String = {
+    val numBands = Similarity.NumBands
+    val maxPlanes = numBands * 15
+    val w = Similarity.planeWeights(64, maxPlanes)
+    val rows = (0 until maxPlanes).map { p =>
+      s"($p, ${(0 until 64).map(d => w(p)(d).toLong).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT (SELECT max(vec_id) FROM embeddings) + i,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                FROM generate_series(1, $AnnHotCopies) AS g(i)),
+       e AS (SELECT vec_id,
+                    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+                    unnest(generate_series(1, len(embedding))) AS pos
+             FROM base),
+       norms AS (SELECT vec_id, CAST(SUM(q * q) AS DOUBLE) AS nsq FROM e GROUP BY vec_id),
+       cnt AS (SELECT count(*) AS n FROM base),
+       geo AS (SELECT greatest(8, min(w)) AS bandw
+               FROM generate_series(1, 15) AS g(w), cnt
+               WHERE ($targetBucket * (CAST(1 AS BIGINT) << w)) >= n OR w = 15),
+       pl AS (SELECT p, unnest(wts) AS wt, unnest(generate_series(1, 64)) AS pos
+              FROM (VALUES $rows) AS t(p, wts), geo
+              WHERE p < $numBands * bandw),
+       pd AS (SELECT e.vec_id, p, SUM(e.q * wt) AS dot
+              FROM e JOIN pl USING (pos) GROUP BY 1, 2),
+       sigs AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+                FROM pd GROUP BY 1),
+       chunks AS (SELECT vec_id, ci,
+                         (sig >> (ci * bandw)) & ((CAST(1 AS BIGINT) << bandw) - 1) AS chunk
+                  FROM sigs CROSS JOIN generate_series(0, ${numBands - 1}) AS g(ci), geo),
+       okb AS (SELECT ci, chunk FROM chunks GROUP BY ci, chunk
+               HAVING count(*) <= $AnnBucketCap),
+       cold AS (SELECT c.vec_id, c.ci, c.chunk FROM chunks c JOIN okb USING (ci, chunk)),
+       cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vb
+                FROM cold a JOIN cold b ON a.ci = b.ci AND a.chunk = b.chunk
+                                        AND a.vec_id <> b.vec_id),
        dots AS (SELECT c.qid, c.vb, SUM(x.q * y.q) AS dot
                 FROM cand c JOIN e x ON x.vec_id = c.qid
                             JOIN e y ON y.vec_id = c.vb AND y.pos = x.pos
@@ -2040,6 +2101,32 @@ object TrainingData {
     "x35_ann_adaptive" -> ((s, d) =>
       Similarity.annTopKAdaptive(Tables.embeddings(s, d), 64, 5)
         .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")),
+
+    // Bounded-bucket ANN (the hot-bucket guard, completing the ANN
+    // scale triad: x13 collapse kills exact-clone mass, x35 adaptive
+    // geometry right-sizes EXPECTED bucket load, this cap fences the
+    // skew expectation misses — candidates ≤ n·bands·cap by
+    // CONSTRUCTION). The gate plants its own hot cluster (80 copies of
+    // vector 0 at ids above max(vec_id) — the x198/x215 derived-id
+    // discipline) so the cap provably binds at every SF: the planted
+    // family floods its 4 buckets past the 64 cap, those buckets are
+    // skipped, and the family (vector 0 included) vanishes from the
+    // output — the recall trade made hash-visible. The oracle replays
+    // the same plant, the same count-derived adaptive width, and the
+    // same HAVING count(*) <= cap bucket filter.
+    "x13b_ann_bounded" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // 1-row metadata read (the ssjMid discipline), not data
+      val mx = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val hot = s.range(1, 1 + AnnHotCopies).toDF("i")
+        .crossJoin(emb.filter(col("vec_id") === 0).select(col("embedding")))
+        .select((col("i") + mx).as("vec_id"), col("embedding"))
+      val all = emb.unionByName(hot)
+      val planes = Similarity.adaptivePlanes(all.count(), Similarity.NumBands, 16)
+      Similarity.annTopKBounded(all, 64, 5, AnnBucketCap,
+          planes, Similarity.NumBands)
+        .select("qid", "vb", "cos", "rank").orderBy("qid", "rank")
+    }),
 
     // ANN recall audit — recall@5 of the LSH index against exact brute
     // force on a sampled query set: the continuous quality monitor of a
@@ -4771,6 +4858,7 @@ object TrainingData {
     "x13_ann_topk" -> annOracleSql,
     "x55_ann_recall" -> annRecallOracleSql(),
     "x35_ann_adaptive" -> annAdaptiveOracleSql(),
+    "x13b_ann_bounded" -> annBoundedOracleSql(),
     // SQ8 two-stage retrieval: codebook (per-dim min/max), round-half-up
     // integer quantization ((x·510 + r) // 2r — mirrors sq8Codes), code
     // dots → top-20 shortlist, exact fixed-point re-rank to top-5

@@ -856,6 +856,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** [[annTopK]] with a HARD per-bucket candidate bound — the hot-bucket
+    * guard (standard LSH practice, the FAISS "skip over-full lists"
+    * move): candidate volume per bucket is size², so ONE pathological
+    * bucket — a dense region of near-identical-but-distinct vectors
+    * that no exact-dedup collapse removes — can dominate the whole
+    * self-join. Buckets larger than `maxBucket` are skipped wholesale
+    * (a bucket that big carries no ranking signal: it votes "everything
+    * is near everything"), which bounds candidates at
+    * n·numBands·maxBucket — LINEAR in n under ANY data distribution,
+    * by construction rather than by expectation.
+    *
+    * The documented recall trade: members of a skipped bucket lose the
+    * neighbors they only shared that bucket with (the planted-cluster
+    * gate makes the loss hash-visible). Production composition order:
+    * exact dedup (x42 / annTopK's collapse) removes clone mass →
+    * adaptive geometry ([[adaptivePlanes]]) right-sizes EXPECTED bucket
+    * load as n grows → this cap fences the skew the expectation missed.
+    * One extra map-combined bucket histogram (buckets-sized) + a
+    * semi-join — no new corpus-sized state. */
+  def annTopKBounded(emb: DataFrame, dim: Int, k: Int, maxBucket: Int,
+                     numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
+    val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)
+    val cold = banded.join(
+      banded.groupBy("band_idx", "band").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket).select("band_idx", "band"),
+      Seq("band_idx", "band"), "left_semi")
+    val a = cold.select(col("vec_id").as("qid"), col("band_idx"), col("band"))
+    val b = cold.select(col("vec_id").as("vb"), col("band_idx"), col("band"))
+    val cand = a.join(b, Seq("band_idx", "band")).filter(col("qid") =!= col("vb"))
+      .select("qid", "vb").distinct()
+    val n = norms(emb)
+    pairDots(cand, emb, emb, "qid", "vb")
+      .join(n.select(col("vec_id").as("qid"), col("nsq").as("na")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vb"), col("nsq").as("nb")), Seq("vb"))
+      .select(col("qid"), col("vb"), cosExpr.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("vb"))))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------- contrastive-training data mining ----------------
 
   /** Hard-negative mining for contrastive training: for each query
