@@ -612,15 +612,30 @@ object Similarity {
 
   // ---------------- LSH (random hyperplanes) ----------------
 
-  /** Default signature geometry: 32 hyperplanes split into 4 bands of
+  /** Fixed signature geometry: 32 hyperplanes split into 4 bands of
     * 8 bits (Charikar signatures bucketed MinHash-style). Candidates
     * must agree on at least one full band, so per-band bucket count is
     * 2^(numPlanes/numBands) — widen the bands as the corpus grows (see
     * [[adaptivePlanes]]) to keep bucket size, and therefore the bucket
     * self-join, bounded. The earlier fixed 16-bit/2-chunk geometry
-    * capped buckets at 256 per chunk: candidate volume grew ~n²/256. */
+    * capped buckets at 256 per chunk: candidate volume grew ~n²/256.
+    *
+    * NumPlanes is the floor the adaptive resolution clamps to (and the
+    * pinned width for oracle-fixed runs); since round 15 the FULL-CORPUS
+    * entry points ([[annTopK]], [[annTopKBounded]]) default to
+    * [[AdaptiveGeometry]] instead — a fixed width is only safe when the
+    * caller has already sized it against n. */
   val NumPlanes = 32
   val NumBands = 4
+
+  /** Sentinel for the `numPlanes` parameter of [[annTopK]] /
+    * [[annTopKBounded]]: resolve the signature width from the corpus
+    * size at build time ([[adaptivePlanes]] of one count job). The
+    * DEFAULT since round 15 — any fixed geometry has candidate volume
+    * ∝ n²/buckets once the corpus outgrows its bucket count (the r14
+    * sf1 measurement: fixed 32-plane x13 read 73.9× per 10× on the
+    * perturbed replica, adaptive 13.2×). */
+  val AdaptiveGeometry: Int = -1
 
   /** Signature width that scales with corpus size: per-band bucket
     * count 2^w ≈ n / targetBucket, so expected bucket size stays
@@ -731,6 +746,14 @@ object Similarity {
     annTopK(emb, dim, k, planes, NumBands)
   }
 
+  /** Resolve a geometry argument: the [[AdaptiveGeometry]] sentinel
+    * becomes `adaptivePlanes(count(corpus))` — one count job, the same
+    * float-free resolution the generated oracles replay from their own
+    * count(*) — any explicit width passes through untouched. */
+  private def resolvePlanes(emb: DataFrame, numPlanes: Int, numBands: Int): Int =
+    if (numPlanes == AdaptiveGeometry) adaptivePlanes(emb.count(), numBands)
+    else numPlanes
+
   /** [[annTopK]] restricted to a sampled query set — the recall-audit /
     * serving shape: the band table over the FULL corpus is the
     * persisted index, while the probe side semi-joins down to the
@@ -787,9 +810,22 @@ object Similarity {
     * loses to k same-cos lower ids from its own group), and only the
     * k+1 lowest clone-mates can reach a member's own list (k+1 covers
     * the member itself appearing in the prefix). Both caps are exact,
-    * never heuristics. */
+    * never heuristics.
+    *
+    * Geometry defaults to [[AdaptiveGeometry]] (round 15): the
+    * signature width resolves from the corpus count so bucket
+    * occupancy — and with it the band self-join — stays bounded as n
+    * grows; a fixed width is ∝ n²/buckets past its design size (the
+    * r14 perturbed-replica measurement: 73.9× vs 13.2× per 10×). Pass
+    * an explicit width only for oracle-pinned/pre-sized runs. */
   def annTopK(emb: DataFrame, dim: Int, k: Int,
-              numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
+              numPlanes: Int = AdaptiveGeometry, numBands: Int = NumBands): DataFrame = {
+    // geometry resolves BEFORE the collapse, from the FULL corpus count
+    // (an index build knows n anyway; the oracle replays the same
+    // resolution from its own count(*) over the same table) — the
+    // collapsed rep count would under-size buckets exactly on the
+    // clone-heavy corpora the collapse exists for
+    val planes = resolvePlanes(emb, numPlanes, numBands)
     // group id = min vec_id per distinct quantized array; empty/null
     // embeddings have no signature rows in the uncollapsed plan (never
     // candidates), so they are excluded here too
@@ -813,7 +849,7 @@ object Similarity {
       .filter(col("rn") <= k + 1)
 
     // rep-level LSH pipeline — the uncollapsed plan, over representatives
-    val banded = sigBands(signatures(reps, dim, numPlanes), numPlanes, numBands)
+    val banded = sigBands(signatures(reps, dim, planes), planes, numBands)
     val a = banded.select(col("vec_id").as("qg"), col("band_idx"), col("band"))
     val b = banded.select(col("vec_id").as("vg"), col("band_idx"), col("band"))
     val cand = a.join(b, Seq("band_idx", "band")).filter(col("qg") =!= col("vg"))
@@ -876,8 +912,9 @@ object Similarity {
     * One extra map-combined bucket histogram (buckets-sized) + a
     * semi-join — no new corpus-sized state. */
   def annTopKBounded(emb: DataFrame, dim: Int, k: Int, maxBucket: Int,
-                     numPlanes: Int = NumPlanes, numBands: Int = NumBands): DataFrame = {
-    val banded = sigBands(signatures(emb, dim, numPlanes), numPlanes, numBands)
+                     numPlanes: Int = AdaptiveGeometry, numBands: Int = NumBands): DataFrame = {
+    val planes = resolvePlanes(emb, numPlanes, numBands)
+    val banded = sigBands(signatures(emb, dim, planes), planes, numBands)
     val cold = banded.join(
       banded.groupBy("band_idx", "band").agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= maxBucket).select("band_idx", "band"),

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
 class AnnCloneCollapseSpec extends SparkSpecBase {
   import spark.implicits._
 
-  /** The pre-r14 uncollapsed annTopK, verbatim — the semantic oracle. */
+  /** The pre-r14 uncollapsed annTopK, verbatim — the semantic oracle.
+    * Geometry is the fixed 32-plane default of that era; the production
+    * annTopK's r15 adaptive default resolves the SAME width on every
+    * corpus below 4097 rows (the 8-bit floor), which covers all the
+    * planted corpora here — the above-floor regime is pinned separately
+    * by AnnAdaptiveDefaultSpec. */
   private def uncollapsedAnnTopK(emb: DataFrame, dim: Int, k: Int): DataFrame = {
     val banded = Similarity.sigBands(Similarity.signatures(emb, dim))
     val a = banded.select(col("vec_id").as("qid"), col("band_idx"), col("band"))
