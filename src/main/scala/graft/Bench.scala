@@ -634,6 +634,13 @@ object Bench {
       val allowed =
         if (pass == 1) frac < 1.5 // one real run beats warmup-as-timing
         else if (pass == 2) frac < 1.2
+        // pass 3 spends the rehearsal's standing ~40% headroom (r14
+        // wall 722 of 1200 s with pass 3+ gated at 0.6 — the gate, not
+        // the budget, was what held headline rows at 2 samples): a
+        // min-of-3 headline tier makes drift adjudication (host band
+        // vs plan change) one artifact read instead of a dedicated
+        // idle-host session. Deeper luxury passes stay at 0.6.
+        else if (pass == 3) frac < 0.8
         else frac < 0.6
       if (allowed) {
         try {
@@ -670,10 +677,16 @@ object Bench {
     // one more clean shot NOW so the official artifact's stall flags
     // reflect PERSISTENT contention, not one bad window (the r13
     // artifact shipped 17 flags while leaving 28% of its budget unspent)
-    for (st <- states
-         if st.err.isEmpty && st.samples.nonEmpty &&
-            resolve(st.samples.toSeq, st.warm).stall) {
-      if (elapsed / budget < 0.85) {
+    for (st <- states if st.err.isEmpty && st.samples.nonEmpty) {
+      val prov = resolve(st.samples.toSeq, st.warm)
+      // headroom gate accounts for the row's OWN expected cost (r14
+      // ADVICE): the bare elapsed<0.85 check admitted rows whose
+      // resample duration is bounded only by the per-query watchdog —
+      // a minutes-long row entered at 0.84 could overshoot the budget
+      // by well over 2×. The provisional median is the best available
+      // estimate of what the extra sample will cost.
+      if (prov.stall && elapsed / budget < 0.85 &&
+          elapsed + prov.sec <= 0.95 * budget) {
         try {
           val s = timedRun(st.name)
           st.samples += s
@@ -681,9 +694,12 @@ object Bench {
             s""""sec":$s,"stall_resample":true}""")
         } catch {
           case e: Throwable =>
-            st.err = Some(fmtErr(e))
+            // the row already resolved cleanly from its timed samples —
+            // a failure in the EXTRA diagnostic sample must not demote
+            // it to a partial-error row (r14 ADVICE); record the
+            // failure as its own flag line and leave the state alone
             emit(s"""{"query":${jstr(st.name)},"pass":${st.planned + 1},""" +
-              s""""sec":null,"err":${jstr(st.err.get)}}""")
+              s""""sec":null,"stall_resample_err":${jstr(fmtErr(e))}}""")
         }
       }
     }

@@ -18,9 +18,16 @@ Two modes (second CLI arg):
     conflates "quadratic in clones" with "quadratic in data".
   perturb — replicas i>0 get a deterministic doc-id-derived token
     appended to text and a vec-id-derived fixed-point epsilon added to
-    embedding[0]: no exact clones anywhere, near-dup structure kept, so
-    the anchor measures TRUE data scaling. Replica 0 stays pristine in
-    both modes (fixed probe sets read original rows).
+    embedding[0]: no cross-replica clones of the same source row, near-
+    dup structure kept, so the anchor measures TRUE data scaling.
+    Replica 0 stays pristine in both modes (fixed probe sets read
+    original rows) — so it KEEPS sf0.1's planted intra-replica exact
+    clones (the dedup gates need them), and distinct base rows that were
+    already byte-identical can still collide across replicas when their
+    derived epsilons coincide: clone-sensitive operators still see
+    small, original-scale clone groups in perturb mode. "True data
+    scaling" here means clone mass stays ~constant while data grows 10x,
+    not that clones are absent.
 
 Bench-only data: no oracle runs against it (hash correctness at 10x was
 separately proven at sf0.1 in round 4).
