@@ -160,14 +160,19 @@ object Cdc {
             (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
             lit(0.0).as("value"))
           .select(ev.columns.map(col): _*)))
-      val q = graft.streaming.EventAggregates.tumblingCounts(
-          s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 day")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", scratch.toString + "/ckpt")
-        .format("parquet").option("path", out)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state partitions sized from the staged volume (StreamTuning:
+      // streams can't AQE-coalesce; at gate scale 32 near-empty state
+      // stores dominated every micro-batch — ~2 s per 0-row batch)
+      graft.streaming.StreamTuning.withInputSizedShufflePartitions(s, Seq(in)) {
+        val q = graft.streaming.EventAggregates.tumblingCounts(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 day")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", scratch.toString + "/ckpt")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
         .filter(col("event_type") =!= "__sentinel")
         .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
@@ -218,14 +223,17 @@ object Cdc {
             (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
             lit(0.0).as("value"))
           .select(ev.columns.map(col): _*)))
-      val q = graft.streaming.EventAggregates.sessionized(
-          s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 hour")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", scratch.toString + "/ckpt")
-        .format("parquet").option("path", out)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized state partitions (see x190 / StreamTuning)
+      graft.streaming.StreamTuning.withInputSizedShufflePartitions(s, Seq(in)) {
+        val q = graft.streaming.EventAggregates.sessionized(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in + "/*"), "1 hour")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", scratch.toString + "/ckpt")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
         .filter(col("user_id").isNull || col("user_id") =!= -1L)
         .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
@@ -295,13 +303,19 @@ object Cdc {
         .option("maxFilesPerTrigger", 1).parquet(scratch.toString + "/imp/*")
       val clkS = s.readStream.schema(clk.schema)
         .option("maxFilesPerTrigger", 1).parquet(scratch.toString + "/clk/*")
-      val q = graft.streaming.StreamJoin.attributedClicks(impS, clkS, "1 hour")
-        .select("imp_id", "click_id", "imp_user")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", scratch.toString + "/ckpt")
-        .format("parquet").option("path", out)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized state partitions (see x190 / StreamTuning) — the
+      // stream-stream join keeps TWO state stores per partition, so the
+      // per-partition fixed cost is heaviest on this row
+      graft.streaming.StreamTuning.withInputSizedShufflePartitions(s,
+          Seq(scratch.toString + "/imp", scratch.toString + "/clk")) {
+        val q = graft.streaming.StreamJoin.attributedClicks(impS, clkS, "1 hour")
+          .select("imp_id", "click_id", "imp_user")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", scratch.toString + "/ckpt")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out).orderBy("imp_id", "click_id")
     }),
 
@@ -353,14 +367,17 @@ object Cdc {
       val delaySec = maxId + 1000000L + 3600L
       val sread = s.readStream.schema(strm.schema)
         .option("maxFilesPerTrigger", 1).parquet(in + "/*")
-      val q = graft.streaming.StreamDedup
-        .dedupOnIngest(sread, hist, "text", "ts", s"$delaySec seconds")
-        .select("fp")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", scratch.toString + "/ckpt")
-        .format("parquet").option("path", out)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized state partitions (see x190 / StreamTuning)
+      graft.streaming.StreamTuning.withInputSizedShufflePartitions(s, Seq(in)) {
+        val q = graft.streaming.StreamDedup
+          .dedupOnIngest(sread, hist, "text", "ts", s"$delaySec seconds")
+          .select("fp")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", scratch.toString + "/ckpt")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out).orderBy("fp")
     }),
 
@@ -412,16 +429,19 @@ object Cdc {
             (col("ts") + expr("INTERVAL 4 DAYS")).as("ts"),
             lit(0.0).as("value"))
           .select(ev.columns.map(col): _*)))
-      val q = graft.streaming.EventAggregates.closedSessions(
-          s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1).parquet(in + "/*"),
-          gapMs = 3600000L, watermark = "2 hours")
-        .toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", scratch.toString + "/ckpt")
-        .format("parquet").option("path", out)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized state partitions (see x190 / StreamTuning)
+      graft.streaming.StreamTuning.withInputSizedShufflePartitions(s, Seq(in)) {
+        val q = graft.streaming.EventAggregates.closedSessions(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in + "/*"),
+            gapMs = 3600000L, watermark = "2 hours")
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", scratch.toString + "/ckpt")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
         .filter(col("user_id").isNull || col("user_id") =!= -1L)
         .withColumn("session_start", col("session_start").cast("timestamp_ntz"))

@@ -1323,13 +1323,18 @@ object Warehouse {
         .unionByName(ghosts.withColumn("sign", lit(-1L)))
       v0.coalesce(1).write.parquet(inDir + "/b0")
       delta.coalesce(1).write.parquet(inDir + "/b1")
-      val q = s.readStream.schema(v0.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir + "/*")
-        .writeStream
-        .option("checkpointLocation", scratch.toString + "/ckpt")
-        .foreachBatch(RetractableView.sink(store, "o_orderstatus") _)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized partitions for the per-batch fold (StreamTuning —
+      // the foreachBatch group-fold pays the same per-partition fixed
+      // cost per micro-batch as the stateful gates)
+      graft.streaming.StreamTuning.withInputSizedShufflePartitions(s, Seq(inDir)) {
+        val q = s.readStream.schema(v0.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir + "/*")
+          .writeStream
+          .option("checkpointLocation", scratch.toString + "/ckpt")
+          .foreachBatch(RetractableView.sink(store, "o_orderstatus") _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val applied = RetractableView.lastApplied(s, store)
       require(applied == 1L, s"expected two micro-batches applied, marker=$applied")
       // crash-replay: redeliver an already-applied id — must no-op (a
