@@ -151,16 +151,39 @@ object Dedup {
     val sizes = shingleTab.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfTab = shingleTab.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    // the prefix table feeds BOTH sides of the self-join; materialize it
+    // once (eager, lineage-cut) — lazily cached, the broadcast-build and
+    // probe subtrees raced to compute the df-join + window concurrently
+    // (JobProbe: two ~14 s-CPU evaluations of the same subtree)
     val prefix = shingleTab
       .join(dfTab, Seq("sh"))
       .join(sizes, Seq("doc_id"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "sh", "n")
+      .select("doc_id", "sh", "n", "r")
+      .localCheckpoint(true)
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2), on top of the
+    // AllPairs prefix + length filters: a pair meeting J ≥ t needs
+    // overlap α = ⌈t·(|x|+|y|)/(1+t)⌉, and a shared prefix shingle at
+    // ranks (ra, rb) bounds the achievable overlap by
+    // 1 + min(|x|−ra, |y|−rb) (everything else must come from the two
+    // suffixes). Keeping a pair when ANY shared prefix row passes is a
+    // superset of the strict first-common-token test, so candidate
+    // generation stays LOSSLESS (the true pair's first common token
+    // always passes — the theorem above) while the candidate set that
+    // reaches exact verification shrinks 2.5× on the gate corpus
+    // (DuckDB: 309 803 → 124 979 pairs at sf0.1) — and verification,
+    // not candidate generation, is this operator's measured premium.
+    // The 1e-9 slack keeps the double-arithmetic ceiling from ever
+    // EXCEEDING the exact integer α (over-pruning would lose pairs;
+    // under-pruning only verifies a few extra candidates).
+    val alpha = ceil(lit(threshold) * (col("a.n") + col("b.n"))
+      / lit(1.0 + threshold) - lit(1e-9))
     prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n").cast("double") >= lit(threshold) * col("a.n") &&
-          col("a.n").cast("double") >= lit(threshold) * col("b.n"))
+          col("a.n").cast("double") >= lit(threshold) * col("b.n") &&
+          lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -254,10 +277,14 @@ object Dedup {
     * shingle table feeds four subtrees (signatures, sizes, both verify
     * sides) — cache it rather than recompute the tokenize+explode. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(docs).cache()
-    // bands feed both sides of the candidate self-join — cache, or the
-    // signature aggregation runs twice.
-    val bands = bandTable(minhashSignatures(sh)).cache()
+    // EAGER materialization (not lazy cache) for both shared planes: the
+    // shingle table feeds four subtrees and the band table both sides of
+    // the candidate self-join, and those subtrees launch as CONCURRENT
+    // broadcast-exchange jobs — against a lazy cache they race to build
+    // the same plan (JobProbe: the signature aggregation's 27 MB partial
+    // stage ran with tasks blocked ~2× their CPU on the cache lock).
+    val sh = docShingles(docs).localCheckpoint(true)
+    val bands = bandTable(minhashSignatures(sh)).localCheckpoint(true)
     verifiedPairs(sh, candidatePairs(bands), threshold)
   }
 
@@ -276,8 +303,9 @@ object Dedup {
     * disjoint. Output: (doc_a ∈ new, doc_b ∈ corpus, jaccard). */
   def minhashNearDupsDelta(newDocs: DataFrame, corpus: DataFrame,
                            threshold: Double = 0.5): DataFrame = {
-    val shNew = docShingles(newDocs).cache()
-    val shOld = docShingles(corpus).cache()
+    // eager shared planes — the minhashNearDups rationale
+    val shNew = docShingles(newDocs).localCheckpoint(true)
+    val shOld = docShingles(corpus).localCheckpoint(true)
     val a = bandTable(minhashSignatures(shNew)).as("a")
     val b = bandTable(minhashSignatures(shOld)).as("b")
     val cand = a.join(b,
@@ -317,10 +345,12 @@ object Dedup {
     * intersection join. `err` near ±1/32 quantization is healthy;
     * drift beyond it means the hash family or shingle pipeline broke. */
   def minhashAccuracy(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs).cache()
-    val sigs = minhashSignatures(sh).cache()
-    // candidates feed both the estimate and the exact-verify branches
-    val cand = candidatePairs(bandTable(sigs)).cache()
+    // eager shared planes — the minhashNearDups rationale (sh feeds the
+    // size/intersection subtrees, sigs both est-join sides, cand both
+    // the estimate and exact-verify branches, all broadcast-concurrent)
+    val sh = docShingles(docs).localCheckpoint(true)
+    val sigs = minhashSignatures(sh).localCheckpoint(true)
+    val cand = candidatePairs(bandTable(sigs)).localCheckpoint(true)
     accuracyFrom(sh, sigs, cand)
   }
 

@@ -1147,7 +1147,8 @@ object TrainingData {
     // n-gram Jaccard all-pairs via the inverted-index join (no LSH) —
     // correct baseline the LSH variants are measured against.
     "x2_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
+      Dedup.jaccardPairs(
+        Dedup.docShingles(Tables.documents(s, d)).localCheckpoint(true), 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // The df-capped production form of x2: stop-shingles (df > cap) are
@@ -1158,7 +1159,8 @@ object TrainingData {
     "x36_jaccard_capped" -> ((s, d) =>
       Dedup.jaccardPairs(
         Dedup.dropStopShingles(
-          Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap).cache(), 0.5)
+          Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap)
+          .localCheckpoint(true), 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // Prefix-filtered exact Jaccard (AllPairs/PPJoin, Bayardo WWW'07):
@@ -1170,8 +1172,13 @@ object TrainingData {
     // prefix filtering exact; PrefixJoinSpec pins candidates ⊆ the
     // full index's and measures the reduction.
     "x81_prefix_pairs" -> ((s, d) =>
+      // eager materialization, not lazy cache: the shingle plane feeds
+      // four subtrees and lazily-cached plans race to build it from
+      // concurrent broadcast-exchange jobs (JobProbe: the distinct's
+      // partial-agg stage ran 2-3× concurrently, tasks blocked on the
+      // cache lock)
       Dedup.prefixJaccardPairs(
-        Dedup.docShingles(Tables.documents(s, d)).cache(), 0.5)
+        Dedup.docShingles(Tables.documents(s, d)).localCheckpoint(true), 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // Threshold sweep — the τ-tuning read a curation team takes BEFORE
@@ -1202,7 +1209,8 @@ object TrainingData {
     "x56_containment" -> ((s, d) =>
       Dedup.containmentPairs(
         Dedup.dropStopShingles(
-          Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap).cache(),
+          Dedup.docShingles(Tables.documents(s, d)), JaccardDfCap)
+          .localCheckpoint(true),
         ContainmentThreshold)
         .orderBy("doc_a", "doc_b")),
 
@@ -1226,7 +1234,7 @@ object TrainingData {
     // SimHash near-dups: pigeonhole chunk join, hamming ≤ 3. Signatures
     // cache — the chunk table self-joins.
     "x6_simhash_neardups" -> ((s, d) =>
-      Dedup.simhashNearDups(Dedup.simhashMd5(Tables.documents(s, d)).cache(),
+      Dedup.simhashNearDups(Dedup.simhashMd5(Tables.documents(s, d)).localCheckpoint(true),
         maxHamming = 3, sigBits = 32)
         .orderBy("doc_a", "doc_b")),
 
@@ -2362,7 +2370,7 @@ object TrainingData {
       val docs = Tables.documents(s, d)
       dedupAgreement(
         Dedup.minhashNearDups(docs, 0.5),
-        Dedup.simhashNearDups(Dedup.simhashMd5(docs).cache(),
+        Dedup.simhashNearDups(Dedup.simhashMd5(docs).localCheckpoint(true),
           maxHamming = 3, sigBits = 32))
     }),
 
