@@ -78,7 +78,16 @@ object PipelineRunner {
       col("c_name").as("customer_name"),
       col("c_mktsegment").as("segment"),
       col("c_acctbal").as("acct_balance"))
-    customerDim.write.mode(SaveMode.Overwrite).parquet(s"$warehouseDir/customer_dim")
+    // the customer-dim refresh shares nothing with the date-dim merge —
+    // run it as a concurrent job so its write back-fills the other
+    // job's scheduling gaps (guide §2.6 overlap-independent-jobs; the
+    // DAG runs these as parallel tasks too)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val custFut = Future {
+      customerDim.write.mode(SaveMode.Overwrite).parquet(s"$warehouseDir/customer_dim")
+    }
 
     val dateDim = DateDim.fromColumn(cleaned, "order_date")
     val datePath = s"$warehouseDir/date_dim"
@@ -86,10 +95,15 @@ object PipelineRunner {
       case Some(existing) => existing.unionByName(dateDim).dropDuplicates("date_id")
       case None => dateDim
     }
-    // rewrite via a staging path: the merged plan still reads datePath
+    // rewrite via a staging path (the merged plan still reads datePath),
+    // then SWAP the directories — an atomic-rename publish, not a second
+    // Spark job that decodes and re-encodes the same parquet bytes
     val staging = s"$warehouseDir/.date_dim_staging"
     mergedDates.write.mode(SaveMode.Overwrite).parquet(staging)
-    spark.read.parquet(staging).write.mode(SaveMode.Overwrite).parquet(datePath)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(datePath))
+    if (!new java.io.File(staging).renameTo(new java.io.File(datePath)))
+      throw new java.io.IOException(s"date_dim publish rename failed: $staging -> $datePath")
+    Await.result(custFut, Duration.Inf)
 
     // fact (F21 replay-safe): dense surrogate keys offset past the HWM,
     // via the two-phase scale-safe global rank (ScalableRank) — a batch

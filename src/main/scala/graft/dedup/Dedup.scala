@@ -57,7 +57,10 @@ object Dedup {
     * inverted-index join need the distinct form. */
   def docShingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   n: Int = 3, distinct: Boolean = true): DataFrame = {
-    val occ = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    // CPU-dense per input byte — widen a narrower-than-cluster input
+    // first (identity at production scan widths; see ScanTuning)
+    val wide = graft.util.ScanTuning.ensureParallelism(docs, col(idCol))
+    val occ = wide.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), explode(shingles(col("t"), n)).as("sh"))
     if (distinct) occ.distinct() else occ
   }
@@ -398,7 +401,8 @@ object Dedup {
 
   /** 64-bit SimHash over distinct whitespace tokens (xxhash64 bit votes). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = graft.util.ScanTuning.ensureParallelism(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
     val votes = (0 until 64).map(j =>
       sum(when(shiftright(xxhash64(col("tok")), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
@@ -413,8 +417,9 @@ object Dedup {
     * xxhash64 variant but bit-reproducible on any engine with md5 —
     * used by the oracle-checked query surface. */
   def simhashMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val tok = graft.util.ScanTuning.ensureParallelism(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
     // md5 materializes once per occurrence in its own projection, then
     // the 32 hex digits parse as FOUR 32-bit integers (conv) and vote j
     // reads the low bit of nibble j by shift-and-mask — integer ops
@@ -444,7 +449,8 @@ object Dedup {
     * pass per doc — no cross-doc shuffle beyond the doc_id partition. */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                          n: Int = 3, w: Int = 4): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val sh = graft.util.ScanTuning.ensureParallelism(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .select(col("doc_id"), posexplode(shingles(col("t"), n)).as(Seq("pos", "sh")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     // md5 materializes in its own projection BEFORE the window: WindowExec
@@ -478,7 +484,8 @@ object Dedup {
     * size. No all-pairs stage anywhere (unlike suffix-array
     * formulations, which need a corpus-wide sort). */
   def dupSpans(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val sh = graft.util.ScanTuning.ensureParallelism(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       // 1-based position to match token coordinates
       .select(col("doc_id"), posexplode(shingles(col("t"), n)).as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
@@ -518,15 +525,14 @@ object Dedup {
     * exchanges plus dupSpans' own shingle exchange. */
   def spanExcise(docs: DataFrame, n: Int = 3): DataFrame = {
     val spans = dupSpans(docs, n)
-    val tok = docs
+    val tok = graft.util.ScanTuning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).as("p"), col("tok"))
       .filter(length(col("tok")) > 0)
       // kept anti-join + per-doc totals both read the token table
-      // (uncached form measured 4.5× worse). Lifetime: the harness owns
-      // the terminal action and clears the cache after it (Bench before
-      // every timed run, Verify after every dump)
-      .cache()
+      // (uncached form measured 4.5× worse); eager, not lazy — the two
+      // consumers launch concurrently (the minhashNearDups lesson)
+      .localCheckpoint(true)
     val kept = tok.join(spans,
       tok("doc_id") === spans("doc_id") &&
         col("p").between(col("span_start"), col("span_end")), "left_anti")

@@ -673,7 +673,13 @@ object Similarity {
     val w = planeWeights(dim, numPlanes)
     val wDf = (for { p <- 0 until numPlanes; d <- 0 until dim }
       yield (p, d, w(p)(d).toLong)).toDF("p", "pos", "wt")
-    val pd = elements(emb).join(broadcast(wDf), Seq("pos"))
+    // the weight join fans ×numPlanes×dim per vector — widen a
+    // narrower-than-cluster corpus first (identity at production scan
+    // widths; see ScanTuning). Applied HERE, not inside elements():
+    // loop-shaped consumers (PQ subspace k-means) call elements on tiny
+    // frames repeatedly, where an added exchange per call is a net loss.
+    val pd = elements(graft.util.ScanTuning.ensureParallelism(emb, col("vec_id")))
+      .join(broadcast(wDf), Seq("pos"))
       .groupBy("vec_id", "p").agg(sum(col("qv") * col("wt")).as("dot"))
     pd.groupBy("vec_id")
       .agg(sum(when(col("dot") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))

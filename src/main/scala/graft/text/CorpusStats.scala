@@ -150,16 +150,15 @@ object CorpusStats {
     * ever materialized, so a shingle shared by k docs costs k rows,
     * not k². */
   def dupExposure(docs: DataFrame, minDf: Int = 2): DataFrame = {
-    val sh = docs
+    val sh = graft.util.ScanTuning.ensureParallelism(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(TextFunctions.shingles(TextFunctions.tokens(col("text")))).as("sh"))
       .distinct()
       // df aggregate + the roll-up join both read the plane (x40
-      // discipline). Lifetime: the returned plan is lazy, so the
-      // harness owns the terminal action and clears the cache after it
-      // (Bench before every timed run, Verify after every dump) —
-      // long-lived sessions embedding this operator should do the same
-      .cache()
+      // discipline) — materialized EAGERLY: the two consumers launch as
+      // concurrent subtree jobs and race a lazy cache (the
+      // minhashNearDups lesson)
+      .localCheckpoint(true)
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val per = sh.join(df, Seq("sh"))
       .groupBy("doc_id").agg(

@@ -97,7 +97,11 @@ object TextFunctions {
     val H = "__graft_hits"
     val hitName = LangMarkers.map { case (lang, _) => lang -> s"__graft_h_$lang" }.toMap
     val AllHits = "__graft_h_all"
-    var out = df.withColumn(T, tokens(col(textCol)))
+    // tokenize + the six-set marker traversal are CPU-dense per input
+    // byte — widen a narrower-than-cluster input first (identity at
+    // production scan widths; see ScanTuning)
+    var out = graft.util.ScanTuning.ensureParallelism(df, col(textCol))
+      .withColumn(T, tokens(col(textCol)))
     val tok = col(T)
     if (langCol.isDefined || qualityCol.isDefined) {
       // the combined marker list overlaps across languages ("la" ∈ es∩fr),
