@@ -79,8 +79,16 @@ object FuzzyMatch {
                       maxDist: Int = 1, q: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prefixLen = q * maxDist + 1
-    val names = df.select(col(idCol).cast("long").as("id"),
-      lower(trim(col(nameCol))).as("name"))
+    // q-gram explode + the gram self-join are CPU-dense per input byte —
+    // widen a narrower-than-cluster input (identity at production scan
+    // widths; see ScanTuning), and materialize the shared gram/prefix
+    // planes EAGERLY: each feeds both sides of the candidate join, and
+    // lazily-shared plans are rebuilt by the concurrent broadcast
+    // subtrees (the x81/minhashNearDups lesson — JobProbe showed the
+    // 2.1 s gram-expansion stage computed twice).
+    val names = graft.util.ScanTuning.ensureParallelism(df, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        lower(trim(col(nameCol))).as("name"))
     // strings the gram theorem cannot protect, and their possible
     // partners (both length-bounded — this is a degenerate sliver)
     val shortMax = q * maxDist + q - 1
@@ -95,12 +103,14 @@ object FuzzyMatch {
         s"""array_distinct(transform(
               sequence(1, greatest(length(name) - ${q - 1}, 1)),
               i -> substring(name, i, $q)))""")).as("g"))
+      .localCheckpoint(true)
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     val wg = Window.partitionBy("id").orderBy("gdf", "g")
     val prefix = grams.join(dfreq, Seq("g"))
       .withColumn("rn", row_number().over(wg))
       .filter(col("rn") <= prefixLen)
       .select("id", "g")
+      .localCheckpoint(true)
     val cand = prefix.as("a")
       .join(grams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

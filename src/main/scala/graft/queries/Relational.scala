@@ -118,7 +118,11 @@ object Relational {
     // J2/A4 (`DB.sql:109-124`, completed GROUP BY per SURVEY §8.6):
     // 3-table star join + hash-aggregate rollup. Flagship query.
     "j2_star3_rollup" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      // the fact-side join probe + partial rollup run inside the scan
+      // stage — widen the single-row-group gate input (identity at
+      // production widths; measured 1.5 -> 1.1 s; see ScanTuning)
+      graft.util.ScanTuning.ensureParallelism(
+          Tables.lineitem(s, d), col("l_orderkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), yr("o_orderdate").as("order_year"), col("l_returnflag"))
@@ -414,9 +418,13 @@ object Relational {
       // group) — quantile_cont-exact with no percentile buffer and no
       // fact rescan.
       val stackExpr = cols.map(c => s"'$c', cast($c as double)").mkString(", ")
+      // ONE materialization: stats + both quantile stages read vc, and
+      // the concurrent subtrees otherwise re-ran the 4x stack expand +
+      // count three times (JobProbe: 3 identical 5.4 MB partial stages)
       val vc = li
         .selectExpr(s"stack(${cols.size}, $stackExpr) as (column_name, __v)")
         .groupBy("column_name", "__v").agg(count(lit(1)).as("__w"))
+        .localCheckpoint(true)
       val stats = vc.groupBy("column_name").agg(
         sum("__w").as("n_rows"),
         count(when(col("__v").isNotNull, 1)).as("ndv"),
@@ -1549,7 +1557,11 @@ object Relational {
     // under any partitioning (util.Det). The ship-date band is a pushed
     // scan filter.
     "a20_pricing_summary" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      // Q1's partial aggregate (8 exact-decimal sums) runs inside the
+      // scan stage — widen the single-row-group gate input (identity at
+      // production scan widths; measured 1.6 -> 0.96 s; see ScanTuning)
+      graft.util.ScanTuning.ensureParallelism(
+          Tables.lineitem(s, d), col("l_orderkey"))
         .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -2442,7 +2454,11 @@ object Relational {
         col("l_tax").cast("decimal(18,2)"),
         col("l_returnflag"), col("l_linestatus"),
         date_format(col("l_shipdate"), "yyyy-MM-dd"))
-      Tables.lineitem(s, d)
+      // per-row md5 over every column is CPU-dense in the scan stage —
+      // widen the single-row-group gate input (identity at production
+      // scan widths; measured 1.8 -> 1.15 s; see ScanTuning)
+      graft.util.ScanTuning.ensureParallelism(
+          Tables.lineitem(s, d), col("l_orderkey"))
         .select(pmod(col("l_orderkey"), lit(16L)).as("bucket"),
           conv(substring(md5(canon), 1, 12), 16, 10)
             .cast("decimal(38,0)").as("digest"))
