@@ -234,6 +234,36 @@ object Bench {
     (headline, rotated, skipped)
   }
 
+  /** Tier-round marker (target/bench_tier_round.json): the r15 scaling
+    * probe was contaminated because the driver's LOW-CORE run derived a
+    * different `tier_round` from the BENCH-file count than the 32-core
+    * run minutes earlier (the driver saves BENCH_rN.json in between),
+    * so the two runs timed DIFFERENT rotation thirds and the c8/c32
+    * ratio set was a rotation-polluted intersection. The first tiered
+    * run of a driver session persists its derived round here; a
+    * follow-up run within [[RoundMarkerFreshMs]] (the same driver
+    * session — scaling probes run minutes apart; rounds are many hours
+    * apart) reuses it, so both runs time the SAME row set. Env-pinned
+    * rounds (SPARK_GRAFT_BENCH_ROUND) bypass both read and write. */
+  val RoundMarkerFreshMs: Long = 3L * 3600 * 1000
+  val RoundMarkerPath = "target/bench_tier_round.json"
+  def readRoundMarker(path: String = RoundMarkerPath,
+                      now: Long = System.currentTimeMillis()): Option[Int] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val (r, at) = (root.get("round"), root.get("at"))
+      if (r == null || at == null || now - at.asLong() > RoundMarkerFreshMs) None
+      else Some(r.asInt())
+    } catch { case _: Throwable => None }
+  def writeRoundMarker(round: Int, path: String = RoundMarkerPath,
+                       now: Long = System.currentTimeMillis()): Unit =
+    try {
+      new java.io.File(path).getParentFile.mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"""{"round":$round,"at":$now}""")
+    } catch { case _: Throwable => () }
+
   /** Anchor reader: `{"mins": {row: sec}}` via the Jackson shipped in
     * Spark's own jars. Missing/unreadable file → empty map, which makes
     * every row headline (tiering degrades to the full surface, never to
@@ -308,11 +338,17 @@ object Bench {
     // monotone, so each tail third re-measures every third round
     // toIntOption: a malformed env pin degrades to the file-count rule
     // (the anchor-path contract — degrade, never crash the 1200 s run)
-    val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").flatMap(_.toIntOption)
+    val envRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").flatMap(_.toIntOption)
+    val round = envRound
+      // same-session marker first (scaling-probe rotation parity — see
+      // readRoundMarker scaladoc): the low-core run must time the SAME
+      // rotation third as the main run it is compared against
+      .orElse(if (tierOff) None else readRoundMarker())
       .getOrElse {
         Option(new java.io.File(".").listFiles()).map(_.count(f =>
           f.getName.matches("BENCH_r\\d+\\.json"))).getOrElse(0) + 1
       }
+    if (envRound.isEmpty && !tierOff) writeRoundMarker(round)
     val (headline, rotated, skipped) =
       if (tierOff || anchorMins.isEmpty) (base, Seq.empty[String], Seq.empty[String])
       else tierSelect(base, anchorMins, round)
@@ -559,6 +595,25 @@ object Bench {
       new java.io.FileWriter("bench_progress.jsonl", false), true)
     def emit(line: String): Unit = { System.err.println(line); progress.println(line) }
 
+    // ---- task-concurrency evidence (r15 scaling-probe finding): a
+    // c8-vs-c32 ratio near 1 is ambiguous — overhead-dominated row or
+    // genuinely serial plan? Record the max number of SIMULTANEOUSLY
+    // running tasks per query so flat ratios are attributable: a row
+    // whose max_conc ≈ cpus is parallel but overhead-bound at this SF;
+    // max_conc ≈ 1 is a serial plan worth fixing. Listener-bus delivery
+    // is async, so a boundary event can attribute to the neighboring
+    // query — ±1-event noise on a coarse diagnostic, acceptable.
+    val tasksRunning = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxConcSinceReset = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        val c = tasksRunning.incrementAndGet()
+        maxConcSinceReset.accumulateAndGet(c, math.max(_, _))
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasksRunning.decrementAndGet()
+    })
+
     val qTimeout = sys.env.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT")
       .map(_.toDouble).getOrElse(180.0)
     def execute(n: String): Unit = {
@@ -583,6 +638,7 @@ object Bench {
     }
     def timedRun(n: String): Double = {
       spark.catalog.clearCache()
+      maxConcSinceReset.set(0)
       val s = System.nanoTime()
       execute(n)
       (System.nanoTime() - s) / 1e9
@@ -597,12 +653,16 @@ object Bench {
       var planned: Int = 0
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
+      var maxConc: Int = 0 // max simultaneously-running tasks, any run
     }
+    def trackConc(st: QState): Unit =
+      st.maxConc = math.max(st.maxConc, maxConcSinceReset.get)
     val pinnedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
     val states = names.map { n =>
       val st = new QState(n)
       try {
         st.warm = timedRun(n)
+        trackConc(st)
         // rotated tail rows stop at the min_runs=2 floor — luxury pass-3+
         // depth is reserved for the headline tier (budget spent where the
         // round-over-round signal lives)
@@ -645,6 +705,7 @@ object Bench {
       if (allowed) {
         try {
           val s = timedRun(st.name)
+          trackConc(st)
           st.samples += s
           emit(s"""{"query":${jstr(st.name)},"pass":$pass,"sec":$s}""")
           // warm-divergence retry: a pass-1/2 sample >3× the warmup of
@@ -658,6 +719,7 @@ object Bench {
           if (pass <= 2 && !st.warm.isNaN && s > 3.0 * st.warm &&
               elapsed / budget < 1.2) {
             val r = timedRun(st.name)
+            trackConc(st)
             st.samples += r
             emit(s"""{"query":${jstr(st.name)},"pass":$pass,"sec":$r,""" +
               """"retry":true}""")
@@ -689,6 +751,7 @@ object Bench {
           elapsed + prov.sec <= 0.95 * budget) {
         try {
           val s = timedRun(st.name)
+          trackConc(st)
           st.samples += s
           emit(s"""{"query":${jstr(st.name)},"pass":${st.planned + 1},""" +
             s""""sec":$s,"stall_resample":true}""")
@@ -726,7 +789,8 @@ object Bench {
         case Ok(med, mn, runs, planned, warm, deg, stall, wmin, partial) =>
           emit(s"""{"query":${jstr(st.name)},"sec":$med,"min":$mn,"runs":$runs,""" +
             s""""planned":$planned,"warm":$warm,"degraded":$deg,""" +
-            s""""stall_suspect":$stall,"warm_min":$wmin,"err":null,""" +
+            s""""stall_suspect":$stall,"warm_min":$wmin,""" +
+            s""""max_conc":${st.maxConc},"err":null,""" +
             s""""partial_err":${partial.map(jstr).getOrElse("null")}}""")
         case Err(e) =>
           emit(s"""{"query":${jstr(st.name)},"sec":null,"err":${jstr(e)}}""")
@@ -785,9 +849,14 @@ object Bench {
     // `total_min_full_est` (timed mins + anchor-carried mins, a
     // full-surface figure every round) or per-row values, never the
     // raw timed `value` sum.
+    // per-row max simultaneously-running tasks (scaling-probe evidence:
+    // flat low-core ratios split into "parallel but overhead-bound" vs
+    // "serial plan" by this column)
+    val concJson = states.filter(_.err.isEmpty)
+      .map(st => jstr(st.name) + ":" + st.maxConc).mkString("{", ",", "}")
     val aggregate =
       s"""{"metric":"total","value":$totalClean,"unit":"sec","queries":$qs,""" +
-      s""""mins":$mins,"skipped_rows":$skippedJson,""" +
+      s""""mins":$mins,"task_conc":$concJson,"skipped_rows":$skippedJson,""" +
       s""""total_min":$totalMin,"total_degraded":$totalDegraded,""" +
       s""""errors":$errJson,"degraded":$degJson,"stall_suspect":$stallJson,""" +
       s""""warm_min":$warmMinJson,"min_runs":$minRuns,""" +

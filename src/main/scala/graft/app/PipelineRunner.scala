@@ -89,20 +89,43 @@ object PipelineRunner {
       customerDim.write.mode(SaveMode.Overwrite).parquet(s"$warehouseDir/customer_dim")
     }
 
-    val dateDim = DateDim.fromColumn(cleaned, "order_date")
+    // whatever happens on the date-dim path below, never unwind while the
+    // concurrent customer-dim overwrite is still running (it would keep
+    // rewriting the table past run()'s failure, its own failure swallowed)
     val datePath = s"$warehouseDir/date_dim"
-    val mergedDates = tryRead(spark, datePath) match {
-      case Some(existing) => existing.unionByName(dateDim).dropDuplicates("date_id")
-      case None => dateDim
+    try {
+      val dateDim = DateDim.fromColumn(cleaned, "order_date")
+      val mergedDates = tryRead(spark, datePath) match {
+        case Some(existing) => existing.unionByName(dateDim).dropDuplicates("date_id")
+        case None => dateDim
+      }
+      // rewrite via a staging path (the merged plan still reads datePath),
+      // then SWAP the directories — a rename publish, not a second Spark
+      // job that decodes and re-encodes the same parquet bytes. Renames go
+      // through the Hadoop FileSystem of the warehouse's scheme (file://,
+      // hdfs://; on object stores rename is a copy but still correct), and
+      // the old table is renamed ASIDE before the swap so a crash between
+      // the two renames leaves an explicit `.date_dim_old` to recover
+      // from, not a silently missing table.
+      val staging = s"$warehouseDir/.date_dim_staging"
+      mergedDates.write.mode(SaveMode.Overwrite).parquet(staging)
+      val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (stagingP, dateP, oldP) = (new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(datePath),
+        new org.apache.hadoop.fs.Path(s"$warehouseDir/.date_dim_old"))
+      fs.delete(oldP, true)
+      if (fs.exists(dateP) && !fs.rename(dateP, oldP))
+        throw new java.io.IOException(s"date_dim publish: rename-aside failed: $dateP -> $oldP")
+      if (!fs.rename(stagingP, dateP))
+        throw new java.io.IOException(s"date_dim publish rename failed: $staging -> $datePath")
+      fs.delete(oldP, true)
+    } catch {
+      case e: Throwable =>
+        try Await.result(custFut, Duration.Inf)
+        catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
     }
-    // rewrite via a staging path (the merged plan still reads datePath),
-    // then SWAP the directories — an atomic-rename publish, not a second
-    // Spark job that decodes and re-encodes the same parquet bytes
-    val staging = s"$warehouseDir/.date_dim_staging"
-    mergedDates.write.mode(SaveMode.Overwrite).parquet(staging)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(datePath))
-    if (!new java.io.File(staging).renameTo(new java.io.File(datePath)))
-      throw new java.io.IOException(s"date_dim publish rename failed: $staging -> $datePath")
     Await.result(custFut, Duration.Inf)
 
     // fact (F21 replay-safe): dense surrogate keys offset past the HWM,

@@ -145,7 +145,7 @@ object Dedup {
     * prefix self-join + the verify joins — same order as x2, smaller
     * worst key. */
   def prefixJaccardPairs(shingleTab: DataFrame, threshold: Double): DataFrame =
-    verifiedPairs(shingleTab, prefixCandidates(shingleTab, threshold), threshold)
+    verifiedPairsArrays(shingleTab, prefixCandidates(shingleTab, threshold), threshold)
 
   /** Candidate pairs of [[prefixJaccardPairs]] before verification —
     * exposed for the reduction audit (spec measures candidates vs the
@@ -316,7 +316,7 @@ object Dedup {
         col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifiedPairs(shNew.union(shOld), cand, threshold)
+    verifiedPairsArrays(shNew.union(shOld), cand, threshold)
   }
 
   /** Exact-Jaccard verification of a candidate pair set: intersection
@@ -332,6 +332,57 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[verifiedPairs]] restructured for LARGE candidate sets: per-pair
+    * verification over per-doc shingle-set ARRAYS instead of a
+    * candidate × shingle-plane explode. The explode shape joins every
+    * candidate against the full (doc_id, sh) plane twice (one row per
+    * candidate per doc_a-shingle — a |cand|·|doc| blow-up), re-counts
+    * per pair, then joins per-doc sizes twice more: 4 joins + 2
+    * aggregates after candidate generation, every row probing two
+    * corpus-sized hashed relations (measured on x81: widening that probe
+    * stage to 32 tasks burned 17× the single-task CPU — concurrent
+    * random probes into two ~100 MB shared relations thrash the cache).
+    * This form aggregates the plane ONCE per doc, attaches both arrays
+    * by pair key, and computes |A∩B| locally per row with
+    * array_intersect — 2 joins, 0 post-join aggregates, per-row work
+    * touching only the pair's own ~|doc| elements, so it parallelizes
+    * cleanly. `sh` must be distinct per (doc_id, sh) (docShingles
+    * contract; delta callers have disjoint id spaces), making
+    * size(array_intersect) exactly the set-intersection count and
+    * jaccard = i/(na+nb−i) the bit-identical IEEE division.
+    *
+    * A/B-measured split (r16): x81 5.23→2.75 s and x54 1.90→1.71 s
+    * here, while the small-candidate minhash rows (x4 1.40→1.49,
+    * x34 1.94→2.10) pay more for the collect_list aggregate than the
+    * verify saves — they stay on [[verifiedPairs]].
+    *
+    * The candidate table is bytes-TINY (two longs/row) while verify is
+    * CPU-dense per row, so AQE's byte-sized coalescing would collapse
+    * the post-distinct exchange to ONE task (measured on x81: two
+    * 2.3 s single-task stages — the range-sort sampler re-runs the
+    * monolith). One deterministic hash repartition pins the verify
+    * stage at cluster width; the shuffled bytes are pair metadata
+    * (guide §2.3 "shuffle keys, not payloads"), negligible at any
+    * scale. Keyed (doc_b, doc_a) — semantically any pair key works,
+    * but the (doc_a, doc_b) order is the distinct's own partitioning
+    * and the planner would elide the repartition as redundant. */
+  private[dedup] def verifiedPairsArrays(sh: DataFrame, cand: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val arrs = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("arr"))
+    val candWide = cand.repartition(
+      cand.sparkSession.sparkContext.defaultParallelism, col("doc_b"), col("doc_a"))
+    candWide
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("i"),
+        size(col("arr_a")).cast("long").as("na"),
+        size(col("arr_b")).cast("long").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

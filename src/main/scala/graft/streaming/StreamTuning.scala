@@ -34,24 +34,37 @@ object StreamTuning {
     * partitioning. */
   val AdvisoryBytesPerPartition: Long = 64L << 20
 
-  private def dirBytes(path: String): Long = {
-    val root = new java.io.File(path)
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    walk(root)
-  }
+  /** Total bytes under `path`, resolved through the Hadoop FileSystem
+    * for the path's scheme — file://, hdfs://, s3a:// all work, where a
+    * `java.io.File` walk silently reads 0 on anything non-local (and 0
+    * bytes would size EVERY production stream to one state partition).
+    * `None` = could not resolve (missing path, bad scheme): the caller
+    * must treat unknown volume as "do not downsize", never as empty. */
+  private[streaming] def dirBytes(s: SparkSession, path: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(fs.getContentSummary(p).getLength) else None
+    } catch { case _: Exception => None }
 
   /** Run `body` (stream start + awaitTermination) with
     * `spark.sql.shuffle.partitions` sized from the total bytes staged
-    * under `inputDirs`; restore the session value afterwards. */
+    * under `inputDirs`; restore the session value afterwards. Defensive
+    * on both inputs: a non-numeric session value (e.g. "auto" under a
+    * vendor runtime) caps at `defaultParallelism` instead of throwing,
+    * and any directory whose size cannot be resolved keeps the session
+    * width (identity) rather than collapsing the stream to 1 partition. */
   def withInputSizedShufflePartitions[T](s: SparkSession,
                                          inputDirs: Seq[String])(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val before = s.conf.get(key)
-    val bytes = inputDirs.map(dirBytes).sum
-    val target = math.max(1L,
-      math.min(before.toLong, bytes / AdvisoryBytesPerPartition + 1))
+    val cap = scala.util.Try(before.toLong)
+      .getOrElse(s.sparkContext.defaultParallelism.toLong)
+    val sizes = inputDirs.map(dirBytes(s, _))
+    val target =
+      if (sizes.exists(_.isEmpty)) cap // unknown volume: never downsize
+      else math.max(1L,
+        math.min(cap, sizes.flatten.sum / AdvisoryBytesPerPartition + 1))
     s.conf.set(key, target.toString)
     try body finally s.conf.set(key, before)
   }

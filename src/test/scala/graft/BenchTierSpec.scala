@@ -127,4 +127,34 @@ class BenchTierSpec extends AnyFunSuite {
     assert(m == Map("q_a" -> 1.5, "x1_b" -> 0.25))
     java.nio.file.Files.delete(f)
   }
+
+  // ---- tier-round marker (r16 scaling-probe parity): the driver's
+  // low-core run must resolve the SAME rotation round as the main run
+  // minutes earlier, even though the driver saves BENCH_rN.json between
+  // the two and shifts the file-count derivation.
+
+  test("round marker round-trips within the freshness window") {
+    val f = java.nio.file.Files.createTempFile("tier_round", ".json")
+    val now = 1700000000000L
+    Bench.writeRoundMarker(16, f.toString, now)
+    assert(Bench.readRoundMarker(f.toString, now + 60 * 1000) === Some(16))
+    java.nio.file.Files.delete(f)
+  }
+
+  test("a stale round marker is ignored (next round re-derives)") {
+    val f = java.nio.file.Files.createTempFile("tier_round", ".json")
+    val now = 1700000000000L
+    Bench.writeRoundMarker(16, f.toString, now)
+    assert(Bench.readRoundMarker(f.toString,
+      now + Bench.RoundMarkerFreshMs + 1) === None)
+    java.nio.file.Files.delete(f)
+  }
+
+  test("a missing or malformed round marker degrades to None, never throws") {
+    assert(Bench.readRoundMarker("/nonexistent/tier_round.json") === None)
+    val f = java.nio.file.Files.createTempFile("tier_round", ".json")
+    java.nio.file.Files.writeString(f, "{not json")
+    assert(Bench.readRoundMarker(f.toString) === None)
+    java.nio.file.Files.delete(f)
+  }
 }
