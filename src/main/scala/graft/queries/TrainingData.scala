@@ -1112,7 +1112,15 @@ object TrainingData {
     * 5-gram benchmark overlap; two unrolled min-distance relaxations
     * over the undirected pair graph (see the x96 scaladoc). */
   def contamSpreadOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh5 = Dedup.docShingles(docs, n = 5).cache()
+    // EAGER planes (r16; were lazy .cache()/uncached): sh5 feeds the
+    // benchmark-shingle and seed subtrees whose broadcast builds race a
+    // lazy cache (the r15 minhashNearDups finding); the undirected edge
+    // plane feeds every relaxation round; and each round's `dist` is
+    // referenced TWICE by the next round (relax + outer join), so an
+    // unmaterialized loop re-evaluates the seed join 2^rounds times —
+    // the same lineage blow-up LabelPropagation fixed in r15. dist is
+    // per-doc metadata (id, int).
+    val sh5 = Dedup.docShingles(docs, n = 5).localCheckpoint(true)
     val bench = sh5.filter(col("doc_id") % 20 === 0).select("sh").distinct()
     val seeds = sh5.filter(col("doc_id") % 20 =!= 0)
       .join(bench, Seq("sh"), "left_semi").select("doc_id").distinct()
@@ -1120,16 +1128,18 @@ object TrainingData {
       .filter(col("doc_a") % 20 =!= 0 && col("doc_b") % 20 =!= 0)
     val und = tp.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(tp.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint(true)
     var dist = docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
       .join(seeds.withColumn("d0", lit(0)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("d0").as("dist"))
+      .localCheckpoint(true)
     for (_ <- 1 to 2) {
       val relaxed = und
         .join(dist.filter(col("dist").isNotNull), col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("dist") + 1).as("nd"))
       dist = dist.join(relaxed, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), least(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint(true)
     }
     dist.select(col("doc_id"), col("dist").as("hop_dist"),
         col("dist").isNotNull.cast("int").as("is_suspect"))
@@ -2762,9 +2772,16 @@ object TrainingData {
     "x117_quantile_norm" -> ((s, d) => {
       import graft.util.TopFrac
       val docs = Tables.documents(s, d)
+      // EAGER shared plane (r16): the quality-scoring pipeline feeds
+      // FOUR subtree evaluations (each TopFrac pass reads its input
+      // twice by contract — histogram + keep — and both groupTiles and
+      // tiles read q), so without materialization the CPU-dense
+      // tokenize+marker traversal ran 4× per run. The materialized
+      // plane is per-doc metadata (id, q_ppm, source).
       val q = TextFunctions.withTextSignals(docs, langCol = None, nTokensCol = None)
         .select(col("doc_id"), round(col("quality") * 1000000).cast("long").as("q_ppm"))
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .localCheckpoint(true)
       val srcTiled = TopFrac.groupTiles(q, "source", "q_ppm", "doc_id",
           100, QualityCoarseDiv)
         .withColumnRenamed("tile", "src_centile")
@@ -2865,12 +2882,16 @@ object TrainingData {
       val keyed = docs.join(broadcast(srcIdx), Seq("source"))
         .crossJoin(broadcast(keyBase))
         .withColumn("okey", col("src_idx") * col("kb") + col("doc_id"))
+      // EAGER (r16; was a lazy .cache()): zones feeds the decision join
+      // and the totals broadcast concurrently — the lazy-cache race
+      // (JobProbe: a 32-task stage blocked ~14× its CPU on the cache
+      // lock). The zone table is file-count metadata.
       val zones = ScalableRank.globalRowNumber(keyed, "okey", "rn")
         .withColumn("shard", expr("(rn - 1) div 256"))
         .groupBy("shard")
         .agg(min("source").as("zmin"), max("source").as("zmax"),
           count(lit(1)).as("n_rows"))
-        .cache()
+        .localCheckpoint(true)
       val decisions = zones
         .crossJoin(broadcast(srcs.withColumnRenamed("source", "qsrc")))
         .withColumn("scanned",
@@ -3581,11 +3602,15 @@ object TrainingData {
     // layout ranks window-free.
     "x127_zorder_zonemaps" -> ((s, d) => {
       import graft.util.{ScalableRank, ZOrder}
+      // EAGER (r16; was a lazy .cache()): this per-doc metadata plane
+      // feeds the key-base aggregate, the predicate dim, the matching
+      // counts, and BOTH layout rank pipelines — five consumers whose
+      // broadcast builds race a lazy cache (the x122 JobProbe finding).
       val docs = Tables.documents(s, d).select(col("doc_id"),
           expr("least(255, n_chars div 4)").cast("long").as("len_bucket"),
           (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 256)
             .as("src_bucket"))
-        .cache()
+        .localCheckpoint(true)
       val kb = docs.agg((max("doc_id") + 1).as("kb"))
       // two predicate families: (source AND length) — where the
       // source-sorted layout's strong dimension wins — and length-ONLY

@@ -72,8 +72,13 @@ object BigramLm {
     * tie-breaking, so the cut is deterministic. */
   def collocations(docs: DataFrame, minCount: Long, topK: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // EAGER materialization (r16; was a lazy .cache()): the model feeds
+    // the two marginal aggregates, the total, and the filtered probe —
+    // built as concurrent broadcast jobs that race a lazy cache into
+    // rebuilding the same corpus-scan plan (the r15 minhashNearDups
+    // finding). The model is vocab²-bounded metadata, never corpus-sized.
     val model = docBigrams(docs, idCol, textCol)
-      .groupBy("w1", "w2").agg(sum("k").as("c12")).cache()
+      .groupBy("w1", "w2").agg(sum("k").as("c12")).localCheckpoint(true)
     val left = model.groupBy("w1").agg(sum("c12").as("c1"))
     val right = model.groupBy("w2").agg(sum("c12").as("c2"))
     val nb = model.agg(sum("c12").as("nb"))
@@ -89,8 +94,13 @@ object BigramLm {
   /** Per-document LM score: (doc_id, n_bigrams, lm_score_ppm), one row
     * per input document (docs too short to form a bigram score 0). */
   def scoreDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val docbg = docBigrams(docs, idCol, textCol)
-    val model = docbg.groupBy("w1", "w2").agg(sum("k").as("cb"))
+    // EAGER shared planes (r16; previously UNmaterialized): docbg feeds
+    // the model chain AND the per-doc probe join (the tokenize+explode
+    // corpus pass ran twice per run), and the model feeds prefix, vocab
+    // and the probs join (three more aggregations of docbg without the
+    // cut). docbg is per-doc bigram counts; the model is vocab²-bounded.
+    val docbg = docBigrams(docs, idCol, textCol).localCheckpoint(true)
+    val model = docbg.groupBy("w1", "w2").agg(sum("k").as("cb")).localCheckpoint(true)
     val prefix = model.groupBy("w1").agg(sum("cb").as("cp"))
     val vocab = model.select("w2").distinct().agg(count(lit(1)).as("v"))
     val probs = model.join(prefix, Seq("w1"))

@@ -45,12 +45,16 @@ object Dsir {
     * (a deterministic predicate over the corpus's own columns — e.g.
     * the curated-language slice). Documents with no bigrams score 0. */
   def importanceWeights(docs: DataFrame, targetPred: Column): DataFrame = {
-    // cache: three aggregates below derive from this frame — without
-    // it each would re-run tokenize+hash over the corpus
+    // EAGER materialization (r16; was a lazy .cache()): three
+    // aggregates below derive from this frame, and the bucket-ratio
+    // subtree is built as a broadcast CONCURRENTLY with the per-doc
+    // probe side — against a lazy cache the two jobs race to compute
+    // the same tokenize+hash plan (the r15 minhashNearDups finding:
+    // tasks blocked ~2× CPU on the cache lock rebuilding it).
     val db = BigramLm.docBigrams(docs)
       .select(col("doc_id"), bucket(col("w1"), col("w2")).as("b"), col("k"))
       .groupBy("doc_id", "b").agg(sum("k").as("k"))
-      .cache()
+      .localCheckpoint(true)
     val buckets = db
       .join(docs.select(col("doc_id"), targetPred.as("is_t")), Seq("doc_id"))
       .groupBy("b").agg(

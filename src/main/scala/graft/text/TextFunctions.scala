@@ -97,11 +97,13 @@ object TextFunctions {
     val H = "__graft_hits"
     val hitName = LangMarkers.map { case (lang, _) => lang -> s"__graft_h_$lang" }.toMap
     val AllHits = "__graft_h_all"
-    // tokenize + the six-set marker traversal are CPU-dense per input
-    // byte — widen a narrower-than-cluster input first (identity at
-    // production scan widths; see ScanTuning)
-    var out = graft.util.ScanTuning.ensureParallelism(df, col(textCol))
-      .withColumn(T, tokens(col(textCol)))
+    // NO ensureParallelism here (r16): the r15 widen keyed the
+    // repartition on the full TEXT column — an exchange that ships
+    // every document — and the driver measured x7_lang_id 2.1× over
+    // the host band for it, while no withTextSignals consumer was ever
+    // credited a win (x117 read flat in the r15 A/B log). Locally
+    // confirmed: x7 0.66 s with the widen vs 0.29 s anchor.
+    var out = df.withColumn(T, tokens(col(textCol)))
     val tok = col(T)
     if (langCol.isDefined || qualityCol.isDefined) {
       // the combined marker list overlaps across languages ("la" ∈ es∩fr),
