@@ -32,7 +32,15 @@ object LabelPropagation {
 
   /** `edges` carries one row per undirected edge as (src, dst); both
     * orientations are derived here. Every endpoint is a node; initial
-    * label = own id. Returns (node, lbl) after `rounds` sweeps. */
+    * label = own id. Returns (node, lbl) after `rounds` sweeps.
+    *
+    * CONTRACT: node ids (and hence labels) must be NUMERIC. The
+    * per-round argmax negates the label (`max(struct(cnt, -lbl))`) to
+    * get the (cnt desc, lbl asc) tie-break as one map-combinable
+    * aggregate; a string id would fail analysis at `-col("lbl")`. All
+    * current callers use long keys; for non-numeric ids, revert to a
+    * type-generic tie-break (min_by over struct) at the cost of the
+    * map-side combine. */
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     // the symmetrized edge plane feeds EVERY round plus the node-set
     // derivation — materialize it once (eager localCheckpoint, the same

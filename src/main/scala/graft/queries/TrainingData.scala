@@ -3549,11 +3549,16 @@ object TrainingData {
 
     "x132_shard_blooms" -> ((s, d) => {
       import graft.util.Bloom
+      // EAGER planes (r16): toks (tokenize+explode corpus pass) fed the
+      // shard table AND the rare-term aggregate UNmaterialized (ran
+      // twice per run), and st was a lazy .cache() feeding the bit
+      // explode and the truth join concurrently (broadcast-build race).
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
         .distinct()
+        .localCheckpoint(true)
       val st = toks.withColumn("shard", expr("doc_id div 8"))
-        .select("shard", "tok").distinct().cache()
+        .select("shard", "tok").distinct().localCheckpoint(true)
       val bits = st.select(col("shard"),
           explode(array((0 until Bloom.NumHashes)
             .map(i => Bloom.bit(i, col("tok"))): _*)).as("bit"))
